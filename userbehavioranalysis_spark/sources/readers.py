@@ -1,0 +1,104 @@
+"""Sources (SURVEY §2.1).
+
+The reference reads header-less CSVs line-by-line and hand-splits them
+(`HotItems.scala:45-48` and identically in 10 jobs, S2/P1) plus one
+space-delimited apache log (`NetworkFlow.scala:33-39`, P2).  Here the
+same inputs are declarative scans — schema'd ``spark.read.csv`` /
+``spark.read.text`` + column expressions — so Catalyst can prune columns
+and push filters into the scan instead of materializing Scala objects
+row-at-a-time.
+
+``load_testdata`` is the entry used by every batch analytic: it loads
+the driver's parquet tables (TESTDATA.md) as DataFrames.  Parquet scans
+get predicate pushdown + column pruning for free; at cluster scale the
+same call pointed at a partitioned table keeps partition pruning too.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from userbehavioranalysis_spark import schemas
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
+) -> dict[str, DataFrame]:
+    """Load every driver testdata table as a DataFrame keyed by name.
+
+    ``events.ts`` is stored as parquet timestamp[ns]; with the session's
+    ``nanosAsLong`` setting it scans as a raw nano-epoch long, which we
+    normalize to microsecond TimestampType here (UTC session) so every
+    analytic sees a typed event-time column.
+    """
+    out = {}
+    for name in schemas.TESTDATA_TABLES:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        out[name] = df
+    return out
+
+
+def events_with_item(df: DataFrame) -> DataFrame:
+    """Normalize the testdata ``events`` stream for the behavior analytics.
+
+    Adds ``item_id`` (the ``k`` key of the JSON ``props`` column — the
+    item/ad/page identifier the top-N and blacklist analytics key on) as
+    a real column.  ``get_json_object`` runs JVM-side; no Python UDF.
+    """
+    return df.withColumn(
+        "item_id", F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    )
+
+
+def read_csv_events(
+    spark: SparkSession, path: str, schema, ts_col: str = "ts", ts_unit: str = "s"
+) -> DataFrame:
+    """Read a reference-style header-less CSV (S2/P1).
+
+    Replaces the reference's `split(",") + trim + toLong` per-row parse
+    (`HotItems.scala:45-48`) with a schema'd CSV scan.  Adds ``event_ts``
+    (TimestampType) derived from the raw epoch column: the CSVs carry
+    epoch *seconds* (multiplied by 1000 at watermark assignment in the
+    reference, `HotItems.scala:49`); marketing/apache carry *ms*.
+    """
+    df = spark.read.csv(path, schema=schema, sep=",", ignoreLeadingWhiteSpace=True,
+                        ignoreTrailingWhiteSpace=True)
+    if ts_unit == "s":
+        ts = F.col(ts_col).cast("timestamp")
+    elif ts_unit == "ms":
+        ts = (F.col(ts_col) / F.lit(1000.0)).cast("timestamp")
+    else:
+        raise ValueError(f"unknown ts_unit {ts_unit!r}")
+    return df.withColumn("event_ts", ts)
+
+
+def read_apache_log(spark: SparkSession, path: str) -> DataFrame:
+    """Parse the apache access log (P2, `NetworkFlow.scala:33-39`).
+
+    Line format: ``ip - userId dd/MM/yyyy:HH:mm:ss +0000 METHOD url``;
+    the reference space-splits and keeps fields 0,1,3,5,6 then parses the
+    timestamp with ``SimpleDateFormat("dd/MM/yyyy:HH:mm:ss")``.  Same
+    extraction, but as vectorized column expressions over a text scan.
+    """
+    parts = F.split(F.col("value"), " ")
+    ts = F.to_timestamp(parts.getItem(3), "dd/MM/yyyy:HH:mm:ss")
+    return (
+        spark.read.text(path)
+        .select(
+            parts.getItem(0).alias("ip"),
+            parts.getItem(1).alias("user_id"),
+            (F.unix_timestamp(ts) * 1000).alias("event_time_ms"),
+            parts.getItem(5).alias("method"),
+            parts.getItem(6).alias("url"),
+            ts.alias("event_ts"),
+        )
+    )
