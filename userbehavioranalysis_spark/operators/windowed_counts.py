@@ -1,0 +1,185 @@
+"""Windowed count analytics (SURVEY §2.4 Win3-Win8, §2.5 A1-A6).
+
+Rebuilds, Spark-first, the reference's windowed counting jobs:
+
+- ``page_view``        — PageView.scala:10-29 (hourly PV count, Win3/A3)
+- ``unique_visitors``  — UniqueVisitor.scala:13-47 (hourly exact UV, Win4/A4)
+- ``uv_approx``        — UvWithBloom.scala:13-103 (bounded-memory approx
+                         UV; HLL++ instead of Bloom+Redis, Win5/A6)
+- ``marketing_total``  — AppMarketing.scala:13-61 (sliding total, Win7/A1)
+- ``marketing_by_channel`` — AppMarketingByChannel.scala:23-86 (sliding
+                         per-(channel,behavior) counts, Win6/A5)
+- ``ad_clicks_by_geo`` — AdStatisticsByGeo.scala:28-57 window half (Win8/A1;
+                         the blacklist half lives in operators/blacklist.py)
+
+Design notes (scale):
+- Counting is expressed as ``groupBy(window, keys).count()`` so Catalyst
+  emits partial HashAggregate before the exchange — the map-side combine
+  the reference hand-writes as Flink ``AggregateFunction``s
+  (`HotItems.scala:66-82` etc.) is automatic here.
+- Filters sit before the aggregation so they push into the parquet scan.
+- ``uv_approx`` uses ``approx_count_distinct`` (HyperLogLog++): mergeable,
+  bounded memory per window — same engineering intent as the reference's
+  2^29-bit Bloom bitmap in Redis, without the external KV round-trips; at
+  1000 executors it aggregates tree-wise with no shared-state hotspot.
+- Geo analytic joins the (tiny) customer→nation dims with an explicit
+  ``broadcast`` hint: the fact stream never shuffles for the join, only
+  for the final (window × nation) aggregation.
+
+The testdata mapping: the driver `events` table plays the role of the
+behavior stream (`event_type` ∈ view/click/purchase/signup/error);
+'view' stands in for the reference's 'pv' behavior and `props.k` for the
+item id (see sources/readers.events_with_item).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from userbehavioranalysis_spark.functions.time import window_bounds
+
+
+def page_view(
+    events: DataFrame,
+    window: str = "1 hour",
+    view_type: str = "view",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hourly page-view count (PageView.scala:18-29).
+
+    The reference maps each pv to ``("pv", 1)`` and sums per tumbling
+    window; declaratively that is a windowed count — the dummy key is
+    unnecessary because Spark's aggregation is already distributed.
+    """
+    return window_bounds(
+        events.filter(F.col("event_type") == view_type)
+        .groupBy(F.window(ts_col, window))
+        .agg(F.count(F.lit(1)).alias("pv_count")),
+        ["pv_count"],
+    )
+
+
+def unique_visitors(
+    events: DataFrame,
+    window: str = "1 hour",
+    view_type: str = "view",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hourly exact distinct visitors (UniqueVisitor.scala:21-47).
+
+    The reference buffers a whole hour of events in a ``Set[Long]``
+    inside one parallelism-1 window (`UniqueVisitor.scala:37-47`);
+    ``countDistinct`` instead runs as a two-phase distinct aggregate —
+    partial dedup per partition, exchange on (window, user_id), final
+    count — so no single task ever holds the hour.
+    """
+    return window_bounds(
+        events.filter(F.col("event_type") == view_type)
+        .groupBy(F.window(ts_col, window))
+        .agg(F.countDistinct("user_id").alias("uv_count")),
+        ["uv_count"],
+    )
+
+
+def uv_approx(
+    events: DataFrame,
+    window: str = "1 hour",
+    view_type: str = "view",
+    rsd: float = 0.02,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Approximate hourly UV (UvWithBloom.scala:62-103).
+
+    The reference bounds distinct-count memory with a 2^29-bit Bloom
+    bitmap in Redis plus a running count hash; HyperLogLog++
+    (``approx_count_distinct``) is the Spark-native replacement: fixed
+    sketch size, mergeable across partitions, no external store.  Counts
+    are approximate in both, with different error profiles (documented
+    divergence, SURVEY §7.3.3).
+    """
+    return window_bounds(
+        events.filter(F.col("event_type") == view_type)
+        .groupBy(F.window(ts_col, window))
+        .agg(F.approx_count_distinct("user_id", rsd).alias("uv_approx")),
+        ["uv_approx"],
+    )
+
+
+def marketing_total(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Total events per sliding window (AppMarketing.scala:18-30).
+
+    Keeps the reference's UNINSTALL exclusion predicate
+    (`AppMarketing.scala:22`) — a observable no-op on its generator's
+    domain (the generator emits the misspelled 'UNISTALL',
+    `AppMarketingByChannel.scala:49`), and a no-op on the testdata
+    domain too; replicated literally per SURVEY §7.3.6.
+    """
+    return window_bounds(
+        events.filter(F.col("event_type") != "UNINSTALL")
+        .groupBy(F.window(ts_col, window, slide))
+        .agg(F.count(F.lit(1)).alias("mkt_count")),
+        ["mkt_count"],
+    )
+
+
+def marketing_by_channel(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "10 minutes",
+    channel_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Counts per channel/behavior per sliding window
+    (AppMarketingByChannel.scala:23-86).
+
+    The reference buffers each pane and emits ``elements.size``
+    (`MarketingCountChannel`, AppMarketingByChannel.scala:77-86);
+    a windowed ``count`` is strictly better (incremental, partial-agg).
+    The testdata events carry one categorical axis (`event_type`), which
+    plays the (channel, behavior) grouping role.
+    """
+    return window_bounds(
+        events.filter(F.col(channel_col) != "UNINSTALL")
+        .groupBy(F.window(ts_col, window, slide), F.col(channel_col).alias("channel"))
+        .agg(F.count(F.lit(1)).alias("mkt_count")),
+        ["channel", "mkt_count"],
+    )
+
+
+def ad_clicks_by_geo(
+    events: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    window: str = "1 hour",
+    slide: str = "5 minutes",
+    click_type: str = "click",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ad clicks per geography per sliding window
+    (AdStatisticsByGeo.scala:47-54, window half).
+
+    The reference's events carry a ``province`` string; the testdata
+    equivalent derives geography by joining the click stream to the
+    ``customer`` → ``nation`` dimensions.  Both dims are broadcast: the
+    click fact never shuffles for the join (no exchange until the final
+    window×nation aggregation), which is the plan you want when the fact
+    side is 100 TB and the dims are megabytes.
+    """
+    clicks = events.filter(F.col("event_type") == click_type)
+    geo = (
+        clicks.join(
+            F.broadcast(customer), clicks["user_id"] == customer["c_custkey"], "inner"
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"], "inner")
+    )
+    return window_bounds(
+        geo.groupBy(F.window(ts_col, window, slide), F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("click_count")),
+        ["nation", "click_count"],
+    )
