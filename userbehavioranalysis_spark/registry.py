@@ -25,6 +25,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from userbehavioranalysis_spark.operators import topn
 from userbehavioranalysis_spark.operators import windowed_counts as wc
 from userbehavioranalysis_spark.sources.readers import events_with_item, load_testdata
 
@@ -153,3 +154,58 @@ def q_marketing_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ad_clicks_by_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tables(spark, sf_dir)
     return wc.ad_clicks_by_geo(t["events"], t["customer"], t["nation"])
+
+
+# --------------------------------------------------------------------------
+# Top-N family (SURVEY §2.5 A7/A8, Win1/Win2)
+# --------------------------------------------------------------------------
+
+@query(
+    "hot_items",
+    oracle="""
+    WITH w AS (
+        SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - g.i) * 300 AS window_start,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS item_id
+        FROM events e CROSS JOIN generate_series(0, 11) g(i)
+        WHERE e.event_type = 'view'
+    ), counts AS (
+        SELECT window_start, item_id, CAST(count(*) AS BIGINT) AS view_count
+        FROM w GROUP BY 1, 2
+    )
+    SELECT window_start, window_start + 3600 AS window_end, item_id, view_count,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY view_count DESC, item_id ASC) AS rank
+        FROM counts
+    ) WHERE rank <= 3
+    """,
+)
+def q_hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topn.hot_items(_tables(spark, sf_dir)["events"])
+
+
+@query(
+    "hot_pages",
+    oracle="""
+    WITH w AS (
+        SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - g.i) * 300 AS window_start,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS item_id
+        FROM events e CROSS JOIN generate_series(0, 1) g(i)
+    ), counts AS (
+        SELECT window_start, item_id, CAST(count(*) AS BIGINT) AS view_count
+        FROM w GROUP BY 1, 2
+    )
+    SELECT window_start, window_start + 600 AS window_end, item_id, view_count,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY view_count DESC, item_id ASC) AS rank
+        FROM counts
+    ) WHERE rank <= 5
+    """,
+)
+def q_hot_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topn.hot_pages(_tables(spark, sf_dir)["events"])
