@@ -209,3 +209,237 @@ def q_hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_hot_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topn.hot_pages(_tables(spark, sf_dir)["events"])
+
+
+# --------------------------------------------------------------------------
+# Detection family (SURVEY §2.7 C1-C5)
+# --------------------------------------------------------------------------
+
+_LOGIN_GAP_S = 7200  # reference uses 2 s on its dense fixture; scaled to data
+
+
+@query(
+    "login_fail_strict",
+    oracle=f"""
+    WITH l AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER w AS prev_type,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           epoch_us(prev_ts) AS first_fail_ts_us,
+           epoch_us(ts) AS last_fail_ts_us,
+           'login fail!' AS warning_msg
+    FROM l
+    WHERE event_type = 'error' AND prev_type = 'error'
+      AND epoch_us(ts) - epoch_us(prev_ts) <= {_LOGIN_GAP_S * 1_000_000}
+    """,
+)
+def q_login_fail_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from userbehavioranalysis_spark.operators.login_fail import login_fail_warnings
+
+    return login_fail_warnings(
+        _tables(spark, sf_dir)["events"], _LOGIN_GAP_S, strict=True
+    )
+
+
+@query(
+    "login_fail_relaxed",
+    oracle=f"""
+    WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+    l AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM e
+    )
+    SELECT user_id,
+           epoch_us(prev_ts) AS first_fail_ts_us,
+           epoch_us(ts) AS last_fail_ts_us,
+           'login fail!' AS warning_msg
+    FROM l
+    WHERE epoch_us(ts) - epoch_us(prev_ts) <= {_LOGIN_GAP_S * 1_000_000}
+    """,
+)
+def q_login_fail_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from userbehavioranalysis_spark.operators.login_fail import login_fail_warnings
+
+    return login_fail_warnings(
+        _tables(spark, sf_dir)["events"], _LOGIN_GAP_S, strict=False
+    )
+
+
+_ORDER_TIMEOUT_S = 21600  # 6 h within the day bucket (reference: 15 min)
+
+
+@query(
+    "order_timeout",
+    oracle=f"""
+    WITH pk AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day_start,
+               min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS create_ts_us,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS pay_ts_us
+        FROM events
+        WHERE event_type IN ('signup', 'purchase')
+        GROUP BY 1, 2
+    )
+    SELECT user_id, day_start, create_ts_us, pay_ts_us,
+           CASE
+             WHEN create_ts_us IS NOT NULL AND pay_ts_us IS NOT NULL
+                  AND pay_ts_us <= create_ts_us + {_ORDER_TIMEOUT_S * 1_000_000}
+               THEN 'payed successfully'
+             WHEN create_ts_us IS NOT NULL AND pay_ts_us IS NOT NULL
+               THEN 'payed but already timeout'
+             WHEN create_ts_us IS NOT NULL THEN 'order timeout'
+             ELSE 'already payed but not found create log'
+           END AS result_msg,
+           (NOT (create_ts_us IS NOT NULL AND pay_ts_us IS NOT NULL
+                 AND pay_ts_us <= create_ts_us + {_ORDER_TIMEOUT_S * 1_000_000})
+           ) AS is_timeout
+    FROM pk
+    """,
+)
+def q_order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.order_timeout import (
+        order_timeout_results,
+    )
+
+    ev = _tables(spark, sf_dir)["events"].withColumn(
+        "day_start",
+        (F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)) * 86400).cast("long"),
+    )
+    return order_timeout_results(
+        ev, _ORDER_TIMEOUT_S, key_cols=["user_id", "day_start"]
+    )
+
+
+_BLACKLIST_THRESHOLD = 5  # reference caps at 100/day on its dense fixture
+
+
+@query(
+    "blacklist_warnings",
+    oracle=f"""
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day_start,
+           CAST(count(*) AS BIGINT) AS total_count,
+           'Click over {_BLACKLIST_THRESHOLD} times today.' AS warning_msg
+    FROM events
+    GROUP BY 1, 2
+    HAVING count(*) > {_BLACKLIST_THRESHOLD}
+    """,
+)
+def q_blacklist_warnings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from userbehavioranalysis_spark.operators.blacklist import blacklist_warnings
+
+    return blacklist_warnings(
+        _tables(spark, sf_dir)["events"], _BLACKLIST_THRESHOLD
+    )
+
+
+@query(
+    "blacklist_filtered",
+    oracle=f"""
+    SELECT event_id, user_id, day_start, CAST(seq AS INTEGER) AS seq
+    FROM (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day_start,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                   ORDER BY ts, event_id) AS seq
+        FROM events
+    )
+    WHERE seq <= {_BLACKLIST_THRESHOLD}
+    """,
+)
+def q_blacklist_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from userbehavioranalysis_spark.operators.blacklist import blacklist_filter
+
+    return blacklist_filter(
+        _tables(spark, sf_dir)["events"], _BLACKLIST_THRESHOLD
+    )
+
+
+# --------------------------------------------------------------------------
+# Join family (SURVEY §2.6 J1/J2)
+# --------------------------------------------------------------------------
+
+_TX_BOUND_S = 1800  # reference: ±5 s on its dense fixture; ±30 min here
+
+
+@query(
+    "tx_match_interval",
+    oracle=f"""
+    SELECT p.user_id,
+           p.event_id AS pay_event_id,
+           epoch_us(p.ts) AS pay_ts_us,
+           r.event_id AS receipt_event_id,
+           epoch_us(r.ts) AS receipt_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON p.user_id = r.user_id
+     AND epoch_us(r.ts) >= epoch_us(p.ts) - {_TX_BOUND_S * 1_000_000}
+     AND epoch_us(r.ts) <= epoch_us(p.ts) + {_TX_BOUND_S * 1_000_000}
+    """,
+)
+def q_tx_match_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.tx_match import interval_join_pairs
+
+    ev = _tables(spark, sf_dir)["events"]
+    return interval_join_pairs(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        key_col="user_id",
+        bound_seconds=_TX_BOUND_S,
+    )
+
+
+@query(
+    "tx_match_reconcile",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS hour_start,
+               CAST(count(*) AS BIGINT) AS pay_count,
+               min(epoch_us(ts)) AS pay_ts_us
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), r AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS hour_start,
+               CAST(count(*) AS BIGINT) AS receipt_count,
+               min(epoch_us(ts)) AS receipt_ts_us
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT coalesce(p.user_id, r.user_id) AS user_id,
+           coalesce(p.hour_start, r.hour_start) AS hour_start,
+           coalesce(pay_count, 0) AS pay_count,
+           coalesce(receipt_count, 0) AS receipt_count,
+           pay_ts_us, receipt_ts_us,
+           CASE WHEN pay_count IS NOT NULL AND receipt_count IS NOT NULL
+                  THEN 'matched'
+                WHEN pay_count IS NOT NULL THEN 'unmatched_pay'
+                ELSE 'unmatched_receipt'
+           END AS match_tag
+    FROM p FULL OUTER JOIN r
+      ON p.user_id = r.user_id AND p.hour_start = r.hour_start
+    """,
+)
+def q_tx_match_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.tx_match import reconcile_full_outer
+
+    ev = _tables(spark, sf_dir)["events"].withColumn(
+        "hour_start",
+        (F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)) * 3600).cast("long"),
+    )
+    return reconcile_full_outer(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        key_cols=["user_id", "hour_start"],
+    )

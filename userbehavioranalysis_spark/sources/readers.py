@@ -40,9 +40,9 @@ def load_testdata(
     for name in schemas.TESTDATA_TABLES:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if name == "events":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer div, not /1000: nano-epochs exceed double's exact
+            # integer range, so float division loses the last microsecond
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         out[name] = df
     return out
 
