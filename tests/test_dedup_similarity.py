@@ -1,0 +1,122 @@
+"""Dedup + similarity operators on constructed near-duplicate corpora."""
+
+import pyspark.sql.functions as F
+
+from userbehavioranalysis_spark.operators.dedup import (
+    embedding_dedup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from userbehavioranalysis_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    synthetic_media,
+)
+from userbehavioranalysis_spark.operators.similarity import (
+    ann_topk_brute,
+    ann_topk_ivf,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+
+
+def test_exact_dedup_groups(spark):
+    docs = _docs(spark, [BASE, BASE, "completely different text here"])
+    res = {r["text_md5"]: (r["n_docs"], r["keeper_id"]) for r in exact_dedup(docs).collect()}
+    assert sorted(res.values()) == [(1, 2), (2, 0)]
+
+
+def test_minhash_finds_near_duplicates_not_distinct(spark):
+    near = BASE.replace("today", "tonight")
+    other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(spark, [BASE, near, other])
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_hamming_close_for_near_duplicates(spark):
+    near = BASE.replace("today", "tonight")
+    other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(spark, [BASE, near, other])
+    res = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=63).collect()}
+    assert res[(0, 1)] < res[(0, 2)]
+    assert res[(0, 1)] <= 12
+
+
+def test_ngram_jaccard_exact_values(spark):
+    # doc0: shingles {ab bc, bc cd} ; doc1: {ab bc, bc ce} -> inter 1, union 3
+    docs = _docs(spark, ["ab bc cd", "ab bc ce"])
+    [r] = ngram_jaccard_pairs(docs, shingle_k=2, jaccard_num=1, jaccard_den=10).collect()
+    assert (r["inter_count"], r["union_count"]) == (1, 3)
+
+
+def _embs(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], i % 2) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_embedding_dedup_threshold(spark):
+    vecs = [[1, 0, 0], [0.99, 0.1, 0], [0, 1, 0]]
+    pairs = {(r["vec_a"], r["vec_b"]) for r in embedding_dedup_pairs(_embs(spark, vecs), 0.9).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_ann_brute_orders_by_cosine(spark):
+    vecs = [[1, 0, 0], [0.9, 0.1, 0], [0.5, 0.5, 0], [0, 1, 0]]
+    emb = _embs(spark, vecs)
+    res = ann_topk_brute(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(res, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]
+
+
+def test_ann_ivf_recall_on_clustered_data(spark):
+    # 8 well-separated clusters of 12 points: k-means-lite IVF with 3
+    # probes must recover nearly all brute-force top-5 neighbors
+    import random
+
+    from userbehavioranalysis_spark.operators.similarity import assign_ivf_clusters
+
+    rng = random.Random(7)
+    vecs = []
+    for c in range(8):
+        center = [0.0] * 16
+        center[c * 2] = 1.0
+        center[c * 2 + 1] = 0.5
+        for _ in range(12):
+            vecs.append([x + rng.uniform(-0.05, 0.05) for x in center])
+    emb = _embs(spark, vecs)
+    clustered = assign_ivf_clusters(emb, n_clusters=8, iters=2)
+    q = emb.filter(F.col("vec_id") < 4)
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_topk_brute(emb, q, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_ivf(clustered, q, k=5, cluster_col="cluster").collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.9, f"IVF recall {recall}"
+
+
+def test_multimodal_feature_shapes_and_frame_fanout(spark):
+    docs = _docs(spark, ["abcdef " * 30, "xyz " * 50, "short text"])
+    media = synthetic_media(docs)
+    feats = extract_features(media).collect()
+    assert len(feats) == 3
+    assert all(f["width"] >= 16 and 0 <= f["mean_intensity"] <= 1 for f in feats)
+    frames = frame_sample(media, every_n_bytes=32).collect()
+    vids = {r["media_id"] for r in frames}
+    assert vids  # at least one video got sampled
+    assert all(r["offset"] % 32 == 0 for r in frames)

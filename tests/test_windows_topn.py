@@ -1,0 +1,67 @@
+"""Window-assignment and ranking semantics on hand-checkable fixtures."""
+
+import pyspark.sql.functions as F
+
+from userbehavioranalysis_spark.operators.topn import windowed_topn
+from userbehavioranalysis_spark.operators.windowed_counts import (
+    page_view,
+    unique_visitors,
+)
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, event_type, item_id, epoch_seconds)"""
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, item_id long, sec long",
+    )
+    return df.withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+
+
+def test_tumbling_window_boundary_inclusion(spark):
+    # event exactly at a window end belongs to the NEXT window
+    ev = _events(
+        spark,
+        [(1, 1, "view", 1, 3599), (2, 1, "view", 1, 3600), (3, 1, "view", 1, 3601)],
+    )
+    res = {r["window_start"]: r["pv_count"] for r in page_view(ev).collect()}
+    assert res == {0: 1, 3600: 2}
+
+
+def test_uv_counts_distinct_users_not_events(spark):
+    ev = _events(
+        spark,
+        [(1, 7, "view", 1, 10), (2, 7, "view", 2, 20), (3, 8, "view", 1, 30)],
+    )
+    [r] = unique_visitors(ev).collect()
+    assert r["uv_count"] == 2
+
+
+def test_sliding_window_membership_count(spark):
+    # one event must appear in exactly size/slide windows
+    ev = _events(spark, [(1, 1, "view", 1, 5000)])
+    res = windowed_topn(ev, "item_id", n=5, window="1 hour", slide="5 minutes")
+    rows = res.collect()
+    assert len(rows) == 12
+    starts = sorted(r["window_start"] for r in rows)
+    assert starts[0] == 5000 // 300 * 300 - 11 * 300
+    assert starts[-1] == 5000 // 300 * 300
+    assert all(r["window_end"] - r["window_start"] == 3600 for r in rows)
+
+
+def test_topn_deterministic_tiebreak_and_cutoff(spark):
+    # items 2,2,1,1,3: counts {1:2, 2:2, 3:1}; top-2 must be [1, 2] by
+    # the (count DESC, key ASC) tie-break
+    ev = _events(
+        spark,
+        [
+            (1, 1, "view", 2, 10),
+            (2, 1, "view", 2, 20),
+            (3, 1, "view", 1, 30),
+            (4, 1, "view", 1, 40),
+            (5, 1, "view", 3, 50),
+        ],
+    )
+    rows = windowed_topn(ev, "item_id", n=2, window="1 hour").collect()
+    ranked = sorted((r["rank"], r["item_id"]) for r in rows)
+    assert ranked == [(1, 1), (2, 2)]

@@ -1,0 +1,134 @@
+"""Multimodal (image/audio/video) column plumbing (build-brief
+extension).
+
+Media ride through the engine as opaque ``binary`` payload columns plus
+typed metadata; decode / feature-extraction / resize / frame-sampling
+run as Arrow-batched pandas functions over ``mapInPandas`` — the Spark
+idiom for per-row Python that still streams batch-wise (no collect, no
+per-row pickling, bounded memory via batch iteration).
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT available in this
+container, so the decode kernels are clearly-marked deterministic
+stubs: the Spark-side plumbing — schemas, batch iteration, output
+shapes, partition behavior — is real and tested; swapping the stub body
+for a real codec is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("byte_len", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_intensity", DoubleType()),
+    ]
+)
+
+
+def synthetic_media(documents: DataFrame) -> DataFrame:
+    """Derive a deterministic fake media table from the documents table
+    (payload = utf8 text bytes) so the pipeline is testable without
+    binary fixtures."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.length(F.encode("text", "utf-8")).cast("long").alias("byte_len"),
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, float]:
+    """STUB decode: real implementation would call PIL/ffmpeg here.
+
+    Deterministic fake: derives (width, height, mean_intensity) from the
+    byte content so tests have stable expectations.  Raises for empty
+    payloads the way a real decoder would raise for corrupt media.
+    """
+    if not payload:
+        raise NotImplementedError("empty payload: real decoder required")
+    w = 16 + (len(payload) % 64)
+    h = 16 + (payload[0] % 64)
+    mean = float(sum(payload[:64])) / min(len(payload), 64) / 255.0
+    return w, h, round(mean, 6)
+
+
+def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Decode + feature-extract media payloads via ``mapInPandas``.
+
+    Streams Arrow batches; per batch the payloads decode in-process and
+    only the (tiny) feature rows flow on.  At scale this is the pattern
+    for any CPU-bound media op: map-only, no shuffle, output far
+    smaller than input so downstream stages are cheap.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "byte_len": pdf["byte_len"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "mean_intensity": [f[2] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' stub: emit one row per sampled offset of each
+    video payload (real impl: ffmpeg keyframe extraction).  Demonstrates
+    the 1→N mapInPandas fan-out shape (row explosion inside Arrow
+    batches, no driver involvement)."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_no", IntegerType()),
+            StructField("offset", LongType()),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_no": [], "offset": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(i)
+                    out["offset"].append(off)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(sample, schema=schema)

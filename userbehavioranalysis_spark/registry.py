@@ -443,3 +443,284 @@ def q_tx_match_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click"),
         key_cols=["user_id", "hour_start"],
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data dedup family (build brief; not in the reference)
+# --------------------------------------------------------------------------
+
+from userbehavioranalysis_spark.functions import text as _T  # noqa: E402
+from userbehavioranalysis_spark.operators import dedup as _dedup  # noqa: E402
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_md5,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.exact_dedup(_tables(spark, sf_dir)["documents"])
+
+
+_MINHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents
+    ), sigs AS (
+        SELECT doc_id, {_T.minhash_sig_duck(12)} AS sig
+        FROM (SELECT doc_id, list_distinct(tokens) AS shingles FROM toks)
+    ), buckets AS (
+        SELECT doc_id, b.band_id,
+               array_to_string(sig[b.band_id * 3 + 1 : b.band_id * 3 + 3], '-') AS band_sig
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                      AND a.doc_id < b.doc_id
+    )
+    SELECT cand.doc_a, cand.doc_b,
+           CAST(len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) AS INTEGER)
+               AS match_count
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = cand.doc_a
+    JOIN sigs sb ON sb.doc_id = cand.doc_b
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.minhash_lsh_pairs(_tables(spark, sf_dir)["documents"])
+
+
+_SIMHASH_ORACLE = f"""
+    WITH sk AS (
+        SELECT doc_id, {_T.simhash_duck(63)} AS simhash
+        FROM (
+            SELECT doc_id,
+                   list_transform(list_distinct({_T.TOKENS_DUCK}), w -> {_T.h64_duck('w')})
+                       AS word_hashes
+            FROM documents
+        )
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.simhash_pairs(_tables(spark, sf_dir)["documents"])
+
+
+_NGRAM_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+        FROM (
+            SELECT doc_id, list_distinct({_T.shingles_duck(3)}) AS shingles
+            FROM (SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents)
+        )
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sh AS n_a, b.n_sh AS n_b,
+               CAST(count(*) AS BIGINT) AS inter_count
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, inter_count,
+           n_a + n_b - inter_count AS union_count
+    FROM inter
+    WHERE inter_count * 10 >= (n_a + n_b - inter_count) * 1
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.ngram_jaccard_pairs(_tables(spark, sf_dir)["documents"])
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ve,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.ve) + 1), i -> a.ve[i] * b.ve[i]))
+          / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.embedding_dedup_pairs(_tables(spark, sf_dir)["embeddings"])
+
+
+# --------------------------------------------------------------------------
+# Similarity search + text analysis + multimodal (build-brief extensions)
+# --------------------------------------------------------------------------
+
+@query(
+    "ann_topk_brute",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ve,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ), q AS (SELECT * FROM v WHERE vec_id < 5),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_sum(list_transform(range(1, len(q.ve) + 1),
+                                             i -> q.ve[i] * c.ve[i]))
+                     / (q.nrm * c.nrm), 6) AS cosine_r6
+        FROM v c JOIN q ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_r6, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_r6 DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.similarity import ann_topk_brute
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    return ann_topk_brute(emb, emb.filter(F.col("vec_id") < 5))
+
+
+# IVF is approximate by construction: recall measured vs brute force in
+# tests; driver records a rows-only check.
+@query("ann_topk_ivf")
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.similarity import (
+        ann_topk_ivf,
+        assign_ivf_clusters,
+    )
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    clustered = assign_ivf_clusters(emb, n_clusters=10, iters=2)
+    return ann_topk_ivf(
+        clustered, emb.filter(F.col("vec_id") < 5), cluster_col="cluster"
+    )
+
+
+_LANGID_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents
+    ), hits AS (
+        SELECT doc_id,
+           len(list_filter(tokens, x -> x IN ('der','die','und','das'))) AS h_de,
+           len(list_filter(tokens, x -> x IN ('the','a','of','and'))) AS h_en,
+           len(list_filter(tokens, x -> x IN ('el','la','de','y'))) AS h_es,
+           len(list_filter(tokens, x -> x IN ('le','la','et','les'))) AS h_fr
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                ELSE 'de' END AS lang_guess,
+           CAST(greatest(h_de, h_en, h_es, h_fr) AS INTEGER) AS marker_hits
+    FROM hits
+"""
+
+
+@query("language_id", oracle=_LANGID_ORACLE)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from userbehavioranalysis_spark.operators.text_analysis import language_id
+
+    return language_id(_tables(spark, sf_dir)["documents"])
+
+
+@query(
+    "quality_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tokens) AS BIGINT) AS n_tokens,
+           round(list_sum(list_transform(tokens, x -> length(x)::DOUBLE))
+                 / len(tokens), 4) AS mean_token_len_r4,
+           round(len(list_filter(tokens, x -> x IN ('the','a','of','and')))::DOUBLE
+                 / len(tokens), 4) AS stopword_ratio_r4,
+           round(least(len(tokens)::DOUBLE / 100, 1.0) * 0.5
+                 + (1.0 - len(list_filter(tokens, x -> x IN ('the','a','of','and')))::DOUBLE
+                          / len(tokens)) * 0.5, 4) AS score_r4
+    FROM t
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from userbehavioranalysis_spark.operators.text_analysis import quality_score
+
+    return quality_score(_tables(spark, sf_dir)["documents"])
+
+
+@query(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]'))
+                AS BIGINT) AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from userbehavioranalysis_spark.operators.text_analysis import token_counts
+
+    return token_counts(_tables(spark, sf_dir)["documents"])
+
+
+_FP_H64 = "('0x' || substr(md5(x), 1, 15))::BIGINT"
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens) - 4 + 2),
+                             i -> array_to_string(tokens[i:i + 3], ' '))) AS shingles
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+              FROM documents)
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(list_transform(shingles, x -> {_FP_H64}))[1:4], '-')
+               AS fingerprint
+    FROM s
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from userbehavioranalysis_spark.operators.text_analysis import fingerprints
+
+    return fingerprints(_tables(spark, sf_dir)["documents"])
+
+
+# Multimodal plumbing: mapInPandas decode stubs — no SQL equivalent by
+# design (the decode kernel is imperative); rows-only check.
+@query("media_features")
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from userbehavioranalysis_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    return extract_features(synthetic_media(_tables(spark, sf_dir)["documents"]))
