@@ -1,0 +1,78 @@
+"""Physical-plan shape assertions — scale regressions fail here.
+
+The bench numbers at sf0.1 can't tell a broadcast join from a shuffled
+one; the plan can.  These tests pin the properties that make the plans
+survive a 100×-1000× scale-up: dims broadcast, filters pushed into the
+parquet scan, partial aggregation before the exchange.
+"""
+
+import pyspark.sql.functions as F
+
+from userbehavioranalysis_spark.plans.relational import (
+    local_supplier_volume,
+    pricing_summary,
+    shipping_priority,
+)
+from userbehavioranalysis_spark.operators.windowed_counts import ad_clicks_by_geo
+from userbehavioranalysis_spark.sources.readers import events_with_item, load_testdata
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_geo_analytic_broadcasts_dims_and_pushes_filter(spark):
+    t = load_testdata(spark, SF)
+    df = ad_clicks_by_geo(events_with_item(t["events"]), t["customer"], t["nation"])
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+    # click filter must reach the events parquet scan
+    assert " = click)" in plan
+
+
+def test_pricing_summary_partial_aggregation_and_pushdown(spark):
+    t = load_testdata(spark, SF)
+    plan = _plan(pricing_summary(t["lineitem"]))
+    # partial before exchange, final after: two HashAggregate spans
+    assert plan.count("HashAggregate") >= 2
+    assert "l_shipdate" in plan.split("FileScan")[1]  # filter at the scan
+    # column pruning: l_comment-free schema (only 7 cols referenced)
+    assert "ReadSchema" in plan and "l_partkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_shipping_priority_broadcasts_customer_only(spark):
+    t = load_testdata(spark, SF)
+    plan = _plan(shipping_priority(t["customer"], t["orders"], t["lineitem"]))
+    assert "BroadcastHashJoin" in plan
+    # the fact-fact join may be SMJ or (at tiny SF, post-AQE) broadcast;
+    # what must hold: both date filters pushed to their scans
+    assert "o_orderdate" in plan and "l_shipdate" in plan
+    scans = plan.split("FileScan")[1:]
+    assert any("o_orderdate" in sc.split("ReadSchema")[0] for sc in scans)
+    assert any("l_shipdate" in sc.split("ReadSchema")[0] for sc in scans)
+
+
+def test_local_supplier_volume_no_fact_shuffle_for_dims(spark):
+    t = load_testdata(spark, SF)
+    df = local_supplier_volume(
+        t["region"], t["nation"], t["customer"], t["supplier"], t["orders"], t["lineitem"]
+    )
+    plan = _plan(df)
+    # customer/supplier/nation/region joins all broadcast
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_windowed_count_filter_pushed_before_window_explode(spark):
+    t = load_testdata(spark, SF)
+    from userbehavioranalysis_spark.operators.windowed_counts import page_view
+
+    plan = _plan(page_view(events_with_item(t["events"])))
+    assert " = view)" in plan  # into the scan
+    assert plan.count("HashAggregate") >= 2  # partial + final

@@ -1,0 +1,130 @@
+"""Relational benchmark plans over the TPC-H-style testdata tables.
+
+The reference has no relational queries (SURVEY §2.6: J1-J3 are its only
+joins), but the engine must also carry a training-data pipeline's
+warehouse-side workload; these classic shapes are the bench headliners
+exercising the relational optimizer end to end:
+
+- ``pricing_summary``  (TPC-H Q1 shape) — full-scan aggregate: partial
+  HashAggregate before the exchange, 4 aggregates over 2 group keys.
+- ``shipping_priority`` (Q3 shape) — fact-fact join orders⋈lineitem with
+  a broadcast dim filter (customer segment), date predicates pushed to
+  the parquet scan.
+- ``local_supplier_volume`` (Q5 shape) — five-table star join: all four
+  dims broadcast, the single fact (lineitem) never shuffles for joins,
+  only for the final group-by.
+
+Scale notes live where they matter: at 100 TB the fact-fact join in Q3
+is the one real shuffle; bucketing both facts on orderkey (or relying
+on AQE + storage partitioning) removes it.  ``.explain`` on each plan
+shows PushedFilters on the scans and BroadcastHashJoin on every dim —
+asserted in tests/test_plans.py so regressions in plan shape fail CI,
+not just slow down the bench.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+
+
+def _dsum(col: F.Column) -> F.Column:
+    """Engine-portable money sum: exact decimal accumulation, one final
+    double conversion.  Distributed double sums are order-dependent in
+    the last ulp (partial sums combine in partition order), which would
+    wobble the cross-engine value hash; decimal sums are exact, so the
+    result is identical no matter the partitioning — on Spark, on
+    DuckDB, on a 1000-executor cluster."""
+    return F.round(F.sum(col.cast("decimal(18,6)")).cast("double"), 4)
+
+
+def _dsum_disc() -> F.Column:
+    """sum(l_extendedprice * (1 - l_discount)) in exact decimals."""
+    ext = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    return F.round(F.sum((ext * disc).cast("decimal(30,12)")).cast("double"), 4)
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1995-06-17") -> DataFrame:
+    """Q1-shape pricing summary: grouped aggregates over one scan."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum_disc().alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1995-06-17",
+) -> DataFrame:
+    """Q3-shape shipping priority: dim-filtered fact-fact join + top-N.
+
+    customer (filtered on segment) broadcasts into orders; the
+    orders⋈lineitem equi join is the real shuffle; final rank keeps the
+    10 highest-revenue orders (deterministic tie-break on orderkey).
+    """
+    cut = F.lit(cutoff).cast("timestamp_ntz")
+    c = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    l = lineitem.filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum_disc().alias("revenue_r4"))
+        .orderBy(F.desc("revenue_r4"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            "o_orderpriority",
+            "revenue_r4",
+        )
+    )
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """Q5-shape star join: revenue per nation where customer and
+    supplier share the nation, one region, all dims broadcast."""
+    r = region.filter(F.col("r_name") == region_name)
+    dims = (
+        nation.join(F.broadcast(r), nation["n_regionkey"] == r["r_regionkey"])
+        .select("n_nationkey", "n_name")
+    )
+    c = customer.join(
+        F.broadcast(dims), customer["c_nationkey"] == dims["n_nationkey"]
+    ).select("c_custkey", F.col("n_nationkey").alias("c_nat"), "n_name")
+    s = supplier.select("s_suppkey", F.col("s_nationkey").alias("s_nat"))
+    j = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), lineitem["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nat") == F.col("s_nat"))
+    )
+    return j.groupBy("n_name").agg(_dsum_disc().alias("revenue_r4"))

@@ -724,3 +724,76 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return extract_features(synthetic_media(_tables(spark, sf_dir)["documents"]))
+
+
+# --------------------------------------------------------------------------
+# Relational plans (bench headliners; TPC-H shapes)
+# --------------------------------------------------------------------------
+
+from userbehavioranalysis_spark.plans import relational as _rel  # noqa: E402
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS sum_base_price,
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                               * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                               AS DECIMAL(30,12))) AS DOUBLE), 4) AS sum_disc_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1995-06-17'
+    GROUP BY 1, 2
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rel.pricing_summary(_tables(spark, sf_dir)["lineitem"])
+
+
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+           o_orderpriority,
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                               * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                               AS DECIMAL(30,12))) AS DOUBLE), 4) AS revenue_r4
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1995-06-17'
+      AND l_shipdate > TIMESTAMP '1995-06-17'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_r4 DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return _rel.shipping_priority(t["customer"], t["orders"], t["lineitem"])
+
+
+@query(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                               * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                               AS DECIMAL(30,12))) AS DOUBLE), 4) AS revenue_r4
+    FROM region, nation, customer, supplier, orders, lineitem
+    WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+      AND c_nationkey = n_nationkey AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+    GROUP BY 1
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return _rel.local_supplier_volume(
+        t["region"], t["nation"], t["customer"], t["supplier"], t["orders"], t["lineitem"]
+    )
