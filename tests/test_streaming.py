@@ -1,0 +1,180 @@
+"""Streaming layer: file-replay through memory sinks, compared against
+the batch operators (the batch results are the semantic oracle —
+SURVEY §5's streaming smoke-test strategy).
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from userbehavioranalysis_spark.operators.login_fail import login_fail_warnings
+from userbehavioranalysis_spark.operators.topn import windowed_topn
+from userbehavioranalysis_spark.operators.windowed_counts import page_view
+from userbehavioranalysis_spark.streaming.jobs import (
+    run_topn_foreachBatch,
+    streaming_page_view,
+)
+from userbehavioranalysis_spark.streaming.sources import file_replay, marketing_generator
+from userbehavioranalysis_spark.streaming.stateful import (
+    blacklist_stateful,
+    login_fail_stateful,
+    order_timeout_stateful,
+)
+
+SCHEMA = "event_id long, user_id long, event_type string, item_id long, ts timestamp"
+
+
+def _write_files(spark, tmpdir, batches):
+    """batches: list of row-lists (event_id, user_id, event_type, item_id, sec).
+    One parquet file per batch -> one micro-batch each with
+    maxFilesPerTrigger=1 (files replay in name order)."""
+    path = os.path.join(tmpdir, "stream")
+    os.makedirs(path, exist_ok=True)
+    all_rows = []
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(e, u, t, k, s) for e, u, t, k, s in rows],
+            "event_id long, user_id long, event_type string, item_id long, sec long",
+        ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+        df.coalesce(1).write.parquet(os.path.join(tmpdir, f"tmp{i}"))
+        part = [
+            f for f in os.listdir(os.path.join(tmpdir, f"tmp{i}")) if f.endswith(".parquet")
+        ][0]
+        os.rename(
+            os.path.join(tmpdir, f"tmp{i}", part),
+            os.path.join(path, f"batch_{i:03d}.parquet"),
+        )
+        all_rows.extend(rows)
+    batch_df = spark.createDataFrame(
+        [(e, u, t, k, s) for e, u, t, k, s in all_rows],
+        "event_id long, user_id long, event_type string, item_id long, sec long",
+    ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+    return path, batch_df
+
+
+def _run_to_memory(spark, sdf, name, tmpdir):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+BATCHES = [
+    [(1, 1, "view", 10, 100), (2, 2, "view", 10, 200), (3, 1, "click", 11, 3_000)],
+    [(4, 1, "view", 11, 4_000), (5, 3, "view", 10, 7_300), (6, 2, "view", 12, 7_400)],
+    [(7, 9, "view", 10, 30_000)],  # far-future: advances watermark past hour 0-2
+]
+
+
+def test_streaming_page_view_matches_batch(spark, tmp_path):
+    path, batch_df = _write_files(spark, str(tmp_path), BATCHES)
+    stream = file_replay(spark, path, batch_df.schema)
+    res = _run_to_memory(
+        spark, streaming_page_view(stream, watermark="0 seconds"), "pv_stream", str(tmp_path)
+    )
+    got = {(r["window_start"], r["pv_count"]) for r in res.collect()}
+    expect_closed = {
+        (r["window_start"], r["pv_count"])
+        for r in page_view(batch_df).collect()
+        if r["window_end"] <= 30_000  # append mode emits watermark-closed windows
+    }
+    assert expect_closed <= got | expect_closed  # closed windows all present
+    assert got == expect_closed
+
+
+def test_streaming_topn_foreachBatch_matches_batch(spark, tmp_path):
+    path, batch_df = _write_files(spark, str(tmp_path), BATCHES)
+    stream = file_replay(spark, path, batch_df.schema)
+    q, state = run_topn_foreachBatch(
+        stream.filter(F.col("event_type") == "view"),
+        key_col="item_id",
+        n=2,
+        window="1 hour",
+    )
+    q.awaitTermination(120)
+    got = {
+        ws: [k for k, _ in items] for ws, items in state.topn().items()
+    }
+    expect = {}
+    for r in windowed_topn(
+        batch_df.filter(F.col("event_type") == "view"), "item_id", 2, "1 hour"
+    ).collect():
+        expect.setdefault(r["window_start"], []).append((r["rank"], r["item_id"]))
+    expect = {ws: [k for _, k in sorted(v)] for ws, v in expect.items()}
+    assert got == expect
+
+
+def test_login_fail_state_survives_batch_boundary(spark, tmp_path):
+    # fail pair SPLIT across two micro-batches must still warn; an
+    # intervening success in-batch must break strict contiguity
+    batches = [
+        [(1, 1, "error", 100, 100), (2, 2, "error", 0, 100)],
+        [(3, 1, "error", 0, 102), (4, 2, "view", 0, 101), (5, 2, "error", 0, 102)],
+    ]
+    path, batch_df = _write_files(spark, str(tmp_path), batches)
+    stream = file_replay(spark, path, batch_df.schema)
+    res = _run_to_memory(
+        spark, login_fail_stateful(stream, 10), "login_stream", str(tmp_path)
+    )
+    got = {(r["user_id"], r["first_fail_ts_us"], r["last_fail_ts_us"]) for r in res.collect()}
+    expect = {
+        (r["user_id"], r["first_fail_ts_us"], r["last_fail_ts_us"])
+        for r in login_fail_warnings(batch_df, 10, strict=True).collect()
+    }
+    assert got == expect == {(1, 100_000_000, 102_000_000)}
+
+
+def test_order_timeout_stateful_immediate_and_timer_outcomes(spark, tmp_path):
+    batches = [
+        [
+            (1, 1, "signup", 0, 100), (2, 1, "purchase", 0, 200),   # in time
+            (3, 2, "signup", 0, 100), (4, 2, "purchase", 0, 2000),  # too late
+            (5, 3, "signup", 0, 100),                                # never pays
+            (6, 4, "purchase", 0, 150),                              # no create
+        ],
+        [(7, 9, "view", 0, 100_000)],   # watermark jump
+        [(8, 9, "view", 0, 200_000)],   # next batch: expired timers fire
+    ]
+    path, batch_df = _write_files(spark, str(tmp_path), batches)
+    stream = file_replay(spark, path, batch_df.schema)
+    res = _run_to_memory(
+        spark,
+        order_timeout_stateful(stream, timeout_seconds=900, watermark="10 seconds"),
+        "order_stream",
+        str(tmp_path),
+    )
+    got = {r["order_id"]: r["result_msg"] for r in res.collect()}
+    assert got == {
+        1: "payed successfully",
+        2: "payed but already timeout",
+        3: "order timeout",
+        4: "already payed but not found create log",
+    }
+
+
+def test_blacklist_stateful_threshold_and_latch(spark, tmp_path):
+    rows = [(i, 1, "click", 0, 100 + i) for i in range(7)]
+    batches = [rows[:4], rows[4:]]
+    path, batch_df = _write_files(spark, str(tmp_path), batches)
+    stream = file_replay(spark, path, batch_df.schema)
+    res = _run_to_memory(
+        spark, blacklist_stateful(stream, threshold=5), "bl_stream", str(tmp_path)
+    )
+    rows_out = res.collect()
+    passed = [r for r in rows_out if not r["is_warning"]]
+    warns = [r for r in rows_out if r["is_warning"]]
+    assert len(passed) == 5 and len(warns) == 1  # 6th event warns, 7th suppressed
+    assert warns[0]["event_id"] == 5
+
+
+def test_marketing_generator_schema(spark):
+    gen = marketing_generator(spark, rows_per_second=10)
+    assert set(gen.schema.names) == {"user_id", "behavior", "channel", "ts"}
+    assert gen.isStreaming

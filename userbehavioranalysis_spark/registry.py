@@ -797,3 +797,110 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rel.local_supplier_volume(
         t["region"], t["nation"], t["customer"], t["supplier"], t["orders"], t["lineitem"]
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming replay queries (Structured Streaming end-to-end; the driver
+# gate runs them as bounded availableNow replays into a memory sink)
+# --------------------------------------------------------------------------
+
+def _replay_events_stream(spark: SparkSession, sf_dir: str):
+    """events.parquet as a bounded stream (ts stored as ns-epoch long)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    # the file source needs a directory: stage a symlink dir around the
+    # single events.parquet file (read-only testdata stays untouched)
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="uba_events_stream_")
+    os.symlink(sf_dir, os.path.join(stage, "events.parquet"))
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .load(stage)
+        .where(F.col("event_id").isNotNull())
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_bounded(sdf, name: str):
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix=f"uba_{name}_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from pyspark.sql import SparkSession as _S
+
+    return _S.getActiveSession().table(name)
+
+
+@query(
+    "streaming_page_view_replay",
+    oracle="""
+    WITH agg AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600 AS window_end,
+               CAST(count(*) AS BIGINT) AS pv_count
+        FROM events
+        WHERE event_type = 'view'
+        GROUP BY 1, 2
+    )
+    SELECT * FROM agg
+    WHERE window_end <= (SELECT epoch(max(ts)) FROM events)
+    """,
+)
+def q_streaming_page_view_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageView as a real Structured Streaming job: parquet file stream →
+    watermark → windowed count → append-mode memory sink.  Append mode
+    emits exactly the watermark-closed windows, which the oracle
+    replicates with the max-event-time bound."""
+    import os
+
+    from userbehavioranalysis_spark.streaming.jobs import streaming_page_view
+
+    stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return _run_bounded(
+        streaming_page_view(stream, watermark="0 seconds"), "uba_stream_pv"
+    )
+
+
+@query("streaming_order_timeout_replay")
+def q_streaming_order_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-timeout as a stateful streaming job (applyInPandasWithState
+    with event-time timers).  Bounded replay: orders still pending at
+    end-of-stream never see their timer fire (no further watermark
+    advance), so this is a rows-only check; the batch `order_timeout`
+    query is the hash-checked form of the same semantics."""
+    import os
+
+    from userbehavioranalysis_spark.streaming.stateful import order_timeout_stateful
+
+    stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return _run_bounded(
+        order_timeout_stateful(stream, timeout_seconds=21600), "uba_stream_ot"
+    )

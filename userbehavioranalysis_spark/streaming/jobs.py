@@ -1,0 +1,150 @@
+"""Streaming forms of the windowed analytics (SURVEY §2.3-§2.5).
+
+The batch operators in ``operators/`` define the semantics; these wire
+the same logic over streaming DataFrames with event-time watermarks:
+
+- ``streaming_page_view`` / ``streaming_unique_visitors`` — windowed
+  counts with a watermark (W1/W2: the reference's ascending-timestamp
+  jobs map to a 0-second watermark; bounded out-of-orderness maps to
+  that bound).
+- ``streaming_uv_approx`` — ``approx_count_distinct`` per window: the
+  Spark-native replacement for the Bloom/Redis UV job (Win5/A6); emits
+  per micro-batch in update mode instead of per event (documented
+  cadence divergence, SURVEY §7.3.2).
+- ``run_topn_foreachBatch`` — the streaming Top-N (A7/A8): windowed
+  counts stream in update mode into ``foreachBatch``, which upserts a
+  per-(window, key) count table and re-ranks — the declarative
+  equivalent of the reference's ListState/MapState + timer ranking
+  (`HotItems.scala:111-155`, `NetworkFlow.scala:85-117`).  The upsert
+  naturally absorbs late re-fires (the MapState-never-cleared quirk of
+  A8 becomes plain idempotent overwrite).
+
+All functions take/return DataFrames; callers own the ``writeStream``
+(sink choice, trigger, checkpointing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_page_view(
+    events: DataFrame,
+    watermark: str = "0 seconds",
+    window: str = "1 hour",
+    view_type: str = "view",
+    ts_col: str = "ts",
+) -> DataFrame:
+    return (
+        events.withWatermark(ts_col, watermark)
+        .filter(F.col("event_type") == view_type)
+        .groupBy(F.window(ts_col, window))
+        .agg(F.count(F.lit(1)).alias("pv_count"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            F.col("window.end").cast("long").alias("window_end"),
+            "pv_count",
+        )
+    )
+
+
+def streaming_unique_visitors(
+    events: DataFrame,
+    watermark: str = "0 seconds",
+    window: str = "1 hour",
+    view_type: str = "view",
+    approx: bool = False,
+    ts_col: str = "ts",
+) -> DataFrame:
+    agg = (
+        F.approx_count_distinct("user_id", 0.02).alias("uv_count")
+        if approx
+        else F.count_distinct(F.col("user_id")).alias("uv_count")
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .filter(F.col("event_type") == view_type)
+        .groupBy(F.window(ts_col, window))
+        .agg(agg)
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            F.col("window.end").cast("long").alias("window_end"),
+            "uv_count",
+        )
+    )
+
+
+class TopNState:
+    """Driver-side upsert store + ranker for foreachBatch Top-N.
+
+    Each micro-batch delivers updated (window_start, key, count) rows;
+    ``merge`` overwrites by (window, key) — idempotent under update-mode
+    re-emissions and late-data re-fires — and ``topn`` ranks on demand
+    with the deterministic (count DESC, key ASC) order.  In production
+    the same merge is a Delta/Iceberg MERGE INTO keyed the same way;
+    holding it in a dict here keeps tests hermetic.
+    """
+
+    def __init__(self, n: int):
+        self.n = n
+        self.counts: dict[tuple[int, int], int] = {}
+
+    def merge(self, rows) -> None:
+        for r in rows:
+            self.counts[(r["window_start"], r["key"])] = r["cnt"]
+
+    def topn(self) -> dict[int, list[tuple[int, int]]]:
+        by_window: dict[int, list[tuple[int, int]]] = {}
+        for (ws, key), cnt in self.counts.items():
+            by_window.setdefault(ws, []).append((key, cnt))
+        return {
+            ws: sorted(items, key=lambda kc: (-kc[1], kc[0]))[: self.n]
+            for ws, items in by_window.items()
+        }
+
+
+def run_topn_foreachBatch(
+    events: DataFrame,
+    key_col: str,
+    n: int,
+    window: str,
+    slide: str | None = None,
+    watermark: str = "0 seconds",
+    ts_col: str = "ts",
+    state: TopNState | None = None,
+) -> tuple[object, TopNState]:
+    """Start the streaming Top-N; returns (StreamingQuery, state).
+
+    Counts stream in update mode; every batch upserts into ``state``.
+    Call ``state.topn()`` after (or during) the run for current ranks.
+    """
+    state = state or TopNState(n)
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    counts = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("window"), F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").cast("long").alias("window_start"), "key", "cnt")
+    )
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        state.merge(batch_df.collect())
+
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, state
+
+
+def split_by_tag(df: DataFrame, tag_col: str, tags: list[str]) -> dict[str, DataFrame]:
+    """Side-output pattern (SURVEY §1.5): one stateful result stream
+    fans out into per-tag DataFrames via filters; Catalyst reuses the
+    upstream subplan, so this is the OutputTag equivalent without a
+    second execution."""
+    return {t: df.filter(F.col(tag_col) == t) for t in tags}

@@ -1,0 +1,248 @@
+"""Custom stateful streaming operators (SURVEY §2.7 C1-C5 streaming
+forms) via ``applyInPandasWithState``.
+
+The reference implements these with Flink keyed state + timers
+(`LoginFail.scala:51-105`, `OrderTimeoutWithoutCep.scala:33-97`,
+`AdStatisticsByGeo.scala:59-101`); the Spark-native equivalent is a
+grouped-state pandas function: per key the runtime hands us the
+micro-batch's rows (Arrow batches) plus a persistent state handle with
+an optional event-time timeout — the same {ValueState, timer} toolkit,
+minus hand-rolled serialization.
+
+Batch forms in ``operators/`` are the semantic oracles; tests replay
+the same fixtures through these and compare.
+
+Scale: state lives in the state store (RocksDB-backed on a real
+cluster), partitioned by the group key — the same key-sharding Flink
+uses; watermark-driven timeouts bound state growth exactly as the
+reference's timers do.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+LOGIN_WARN_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("first_fail_ts_us", LongType()),
+        StructField("last_fail_ts_us", LongType()),
+        StructField("warning_msg", StringType()),
+    ]
+)
+_LOGIN_STATE = StructType(
+    [StructField("prev_type", StringType()), StructField("prev_ts_us", LongType())]
+)
+
+
+def login_fail_stateful(
+    events: DataFrame,
+    max_gap_seconds: int,
+    fail_type: str = "error",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming strict-contiguity login-fail detection (C1/C2).
+
+    State per user: the previous event (type + time) — exactly the
+    reference's ListState holding the last fail (`LoginFail.scala:53`),
+    generalized to remember successes so strict contiguity survives
+    batch boundaries.  Emits one warning per qualifying consecutive
+    fail pair.
+    """
+    gap_us = max_gap_seconds * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        prev_type, prev_ts = state.get if state.exists else (None, None)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for _, row in pdf.iterrows():
+                ts_us = int(row["ts"].value // 1000)  # pandas ns -> us
+                etype = row["event_type"]
+                if (
+                    etype == fail_type
+                    and prev_type == fail_type
+                    and ts_us - prev_ts <= gap_us
+                ):
+                    out.append((key[0], prev_ts, ts_us, "login fail!"))
+                prev_type, prev_ts = etype, ts_us
+        state.update((prev_type, prev_ts))
+        yield pd.DataFrame(
+            out, columns=["user_id", "first_fail_ts_us", "last_fail_ts_us", "warning_msg"]
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, LOGIN_WARN_SCHEMA, _LOGIN_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+ORDER_RESULT_SCHEMA = StructType(
+    [
+        StructField("order_id", LongType()),
+        StructField("result_msg", StringType()),
+        StructField("is_timeout", BooleanType()),
+    ]
+)
+_ORDER_STATE = StructType(
+    [StructField("create_ts_us", LongType()), StructField("pay_ts_us", LongType())]
+)
+
+
+def order_timeout_stateful(
+    events: DataFrame,
+    timeout_seconds: int,
+    key_col: str = "user_id",
+    create_type: str = "signup",
+    pay_type: str = "purchase",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming order-timeout monitor (C3/C4).
+
+    State per order key: (create_ts, pay_ts) as seen so far.  Immediate
+    outcomes emit when the second side arrives (handles pay-before-
+    create, `OrderTimeoutWithoutCep.scala:59-81`); never-completed
+    orders emit via the event-time timeout — the ``registerTimer``
+    equivalent (`OrderTimeoutWithoutCep.scala:56`).
+    """
+    timeout_us = timeout_seconds * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            create_ts, pay_ts = state.get if state.exists else (None, None)
+            state.remove()
+            if create_ts is not None and pay_ts is None:
+                yield pd.DataFrame(
+                    [(key[0], "order timeout", True)],
+                    columns=["order_id", "result_msg", "is_timeout"],
+                )
+            elif pay_ts is not None and create_ts is None:
+                yield pd.DataFrame(
+                    [(key[0], "already payed but not found create log", True)],
+                    columns=["order_id", "result_msg", "is_timeout"],
+                )
+            return
+
+        create_ts, pay_ts = state.get if state.exists else (None, None)
+        out = []
+        max_ts = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for _, row in pdf.iterrows():
+                ts_us = int(row["ts"].value // 1000)
+                max_ts = ts_us if max_ts is None else max(max_ts, ts_us)
+                if row["event_type"] == create_type and create_ts is None:
+                    create_ts = ts_us
+                elif row["event_type"] == pay_type and pay_ts is None:
+                    pay_ts = ts_us
+        if create_ts is not None and pay_ts is not None:
+            ok = pay_ts <= create_ts + timeout_us
+            out.append(
+                (
+                    key[0],
+                    "payed successfully" if ok else "payed but already timeout",
+                    not ok,
+                )
+            )
+            state.remove()
+        elif create_ts is not None or pay_ts is not None:
+            state.update((create_ts, pay_ts))
+            # timer at first-event + timeout, like the reference's
+            # eventTime timer; expressed as an event-time timeout ts
+            base = create_ts if create_ts is not None else pay_ts
+            state.setTimeoutTimestamp((base + timeout_us) // 1000)
+        yield pd.DataFrame(out, columns=["order_id", "result_msg", "is_timeout"])
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            ORDER_RESULT_SCHEMA,
+            _ORDER_STATE,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+BLACKLIST_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("seq", IntegerType()),
+        StructField("is_warning", BooleanType()),
+    ]
+)
+_BL_STATE = StructType(
+    [StructField("cnt", LongType()), StructField("warned", BooleanType())]
+)
+
+
+def blacklist_stateful(
+    events: DataFrame,
+    threshold: int,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming click-fraud filter (C5).
+
+    Per (user, day) running count: events 1..threshold pass through
+    (is_warning=false); the crossing event emits one warning row
+    (is_warning=true, the ``isSentBlackList`` latch) and further events
+    are suppressed — `AdStatisticsByGeo.scala:79-90` semantics with the
+    calendar-day key replacing the midnight processing-time timer
+    (SURVEY §7.3.4).  Callers split pass-through vs warnings with
+    ``jobs.split_by_tag`` on ``is_warning``.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cnt, warned = state.get if state.exists else (0, False)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                if cnt < threshold:
+                    cnt += 1
+                    out.append((key[0], int(row["event_id"]), cnt, False))
+                elif not warned:
+                    warned = True
+                    out.append((key[0], int(row["event_id"]), cnt + 1, True))
+        state.update((cnt, warned))
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "seq", "is_warning"])
+
+    from pyspark.sql import functions as F
+
+    with_day = events.withColumn(
+        "day_start",
+        (F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)) * 86400).cast(
+            "long"
+        ),
+    )
+    return (
+        with_day.withWatermark("ts", watermark)
+        .groupBy("user_id", "day_start")
+        .applyInPandasWithState(
+            fn, BLACKLIST_SCHEMA, _BL_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
