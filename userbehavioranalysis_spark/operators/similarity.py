@@ -25,10 +25,36 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 _DOT = (
     "aggregate(zip_with(qv, cv, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
 )
+
+
+def _cosine_udf():
+    """Arrow-batched cosine(a, b) over two array<double> columns.
+
+    One numpy einsum per Arrow batch — the vectorized kernel for the
+    IVF paths, ~2 orders faster than the interpreted ``aggregate``/
+    ``zip_with`` fold.  (``ann_topk_brute`` keeps the fold form: its
+    sequential summation order is what the DuckDB oracle reproduces.)
+    """
+
+    @pandas_udf("double")
+    def cos(a, b):
+        import numpy as np
+        import pandas as pd
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.vstack(a.to_numpy())
+        mb = np.vstack(b.to_numpy())
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / den)
+
+    return cos
 
 
 def _normed(embeddings: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
@@ -82,53 +108,60 @@ def assign_ivf_clusters(
 
     Seeds are the ``n_clusters`` lowest vec_ids (deterministic), then
     ``iters`` Lloyd rounds of assign-to-nearest-centroid (cosine) →
-    recompute means.  Each round is one broadcast join + one aggregation
-    — no driver-side loops over data, only over iterations.  Returns
+    recompute means.  Centroids are **driver-held model state** (like
+    MLlib's k-means): assignment is one Arrow-batched numpy argmax over
+    the broadcast centroid matrix — a map-only stage, no join and no
+    per-vector shuffle; only the per-cluster mean aggregation shuffles,
+    and that moves ``n_clusters × dims`` partial sums.  Returns
     (vec_id, embedding, cluster).
 
     This is the "train once, persist" step of a production IVF index;
     at 100 TB you'd run it on a sample and bucket the corpus by the
     resulting cluster id so probes become partition-pruned scans.
     """
+    import numpy as np
+
     v = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("qv")
     )
     dims = embeddings.select(F.expr("size(embedding)").alias("d")).first()["d"]
-    centroids = (
-        v.orderBy("vec_id")
-        .limit(n_clusters)
-        .select(
-            F.row_number().over(Window.orderBy("vec_id")).alias("cluster"),
-            F.col("qv").alias("cv"),
-        )
+    cmat = np.vstack(
+        [r["qv"] for r in v.orderBy("vec_id").limit(n_clusters).collect()]
     )
     for _ in range(iters):
-        assigned = _assign_nearest(v, centroids)
-        centroids = assigned.groupBy("cluster").agg(
-            F.array(*[F.avg(F.col("qv")[i]) for i in range(dims)]).alias("cv")
-        )
-    assigned = _assign_nearest(v, centroids)
-    return assigned.select(
+        assigned = v.withColumn("cluster", _assign_udf(cmat)(F.col("qv")))
+        means = assigned.groupBy("cluster").agg(
+            *[F.avg(F.col("qv")[i]).alias(f"c{i}") for i in range(dims)]
+        ).collect()
+        cmat = cmat.copy()  # empty clusters keep their old centroid
+        for row in means:
+            cmat[row["cluster"]] = [row[f"c{i}"] for i in range(dims)]
+    return v.withColumn("cluster", _assign_udf(cmat)(F.col("qv"))).select(
         "vec_id", F.col("qv").cast("array<float>").alias("embedding"), "cluster"
     )
 
 
-def _assign_nearest(v: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid (cosine) assignment via broadcast + argmax."""
-    scored = v.join(F.broadcast(centroids)).withColumn(
-        "sim",
-        F.expr(_DOT)
-        / (
-            F.expr("sqrt(aggregate(qv, cast(0 as double), (acc, x) -> acc + x * x))")
-            * F.expr("sqrt(aggregate(cv, cast(0 as double), (acc, x) -> acc + x * x))")
-        ),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cluster"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "qv", "cluster")
-    )
+def _assign_udf(cmat):
+    """Nearest-centroid (cosine) argmax as an Arrow-batched pandas UDF.
+
+    Ties take the lowest cluster id (np.argmax returns the first max,
+    matching an ORDER BY sim DESC, cluster ASC tie-break).
+    """
+    import numpy as np
+
+    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def assign(qv):
+        import pandas as pd
+
+        if len(qv) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.vstack(qv.to_numpy())
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(mn @ cn.T, axis=1).astype("int32"))
+
+    return assign
 
 
 def ann_topk_ivf(
@@ -161,22 +194,11 @@ def ann_topk_ivf(
             ).alias("cv")
         )
     )
+    cos = _cosine_udf()
     q = _normed(queries, "query_id", "qv")
     qc = (
         q.join(F.broadcast(centroids))
-        .withColumn(
-            "cdist",
-            F.round(
-                F.expr(_DOT)
-                / (
-                    F.col("query_id_norm")
-                    * F.expr(
-                        "sqrt(aggregate(cv, cast(0 as double), (acc, x) -> acc + x * x))"
-                    )
-                ),
-                6,
-            ),
-        )
+        .withColumn("cdist", F.round(cos(F.col("qv"), F.col("cv")), 6))
         .withColumn(
             "crank",
             F.row_number().over(
@@ -190,20 +212,11 @@ def ann_topk_ivf(
         F.col("vec_id").alias("neighbor_id"),
         F.col(cluster_col).alias("cluster"),
         F.col("embedding").cast("array<double>").alias("cv"),
-        F.expr(
-            "sqrt(aggregate(cast(embedding as array<double>), cast(0 as double),"
-            " (acc, x) -> acc + x * x))"
-        ).alias("neighbor_id_norm"),
     )
     scored = (
         c.join(F.broadcast(qc), on="cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine_r6",
-            F.round(
-                F.expr(_DOT) / (F.col("query_id_norm") * F.col("neighbor_id_norm")), 6
-            ),
-        )
+        .withColumn("cosine_r6", F.round(cos(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r6"), F.asc("neighbor_id"))
     return (

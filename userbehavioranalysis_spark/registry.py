@@ -520,17 +520,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NGRAM_ORACLE = f"""
-    WITH sh AS (
+    WITH sh0 AS (
         SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
         FROM (
             SELECT doc_id, list_distinct({_T.shingles_duck(3)}) AS shingles
             FROM (SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents)
         )
+    ), sh AS (
+        -- join on the same portable 60-bit shingle hash the Spark side
+        -- uses, so any hash collision affects both engines identically
+        SELECT doc_id, n_sh, {_T.h64_duck('shingle')} AS sh_h FROM sh0
     ), inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.n_sh AS n_a, b.n_sh AS n_b,
                CAST(count(*) AS BIGINT) AS inter_count
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
         GROUP BY 1, 2, 3, 4
     )
     SELECT doc_a, doc_b, inter_count,
