@@ -50,3 +50,17 @@ def tumbling_start(ts_expr: str, size_s: int) -> str:
 
 def col_epoch_s(c: str) -> Column:
     return F.col(c).cast("long")
+
+
+_UNIT_S = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def duration_seconds(spec: str) -> int:
+    """Parse a Spark interval string like ``'1 hour'`` / ``'5 seconds'``."""
+    n, unit = spec.strip().split()
+    return int(n) * _UNIT_S[unit]

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from userbehavioranalysis_spark.functions.time import window_bounds
+from userbehavioranalysis_spark.operators.windowed_counts import sliding_counts
 
 
 def windowed_topn(
@@ -51,21 +52,30 @@ def windowed_topn(
 ) -> DataFrame:
     """Generic sliding/tumbling-window top-N by count.
 
-    Returns (window_start, window_end, <key>, <count_alias>, rank) with
-    rank 1..n, ordered deterministically (count DESC, key ASC).
+    The count stage routes through ``sliding_counts`` (pane-optimized
+    for high window/slide ratios — see windowed_counts.py); the rank
+    stage partitions on the resulting window_start.  Returns
+    (window_start, window_end, <key>, <count_alias>, rank) with rank
+    1..n, ordered deterministically (count DESC, key ASC).
     """
-    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
-    counts = (
-        events.groupBy(win.alias("window"), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias(count_alias))
-    )
-    rank_w = Window.partitionBy("window").orderBy(
+    if slide:
+        counts = sliding_counts(
+            events, [key_col], window, slide, ts_col, count_alias
+        )
+    else:
+        counts = window_bounds(
+            events.groupBy(F.window(ts_col, window).alias("window"), F.col(key_col))
+            .agg(F.count(F.lit(1)).alias(count_alias)),
+            [key_col, count_alias],
+        )
+    rank_w = Window.partitionBy("window_start").orderBy(
         F.desc(count_alias), F.asc(key_col)
     )
-    ranked = counts.withColumn("rank", F.row_number().over(rank_w)).filter(
-        F.col("rank") <= n
+    return (
+        counts.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= n)
+        .select("window_start", "window_end", key_col, count_alias, "rank")
     )
-    return window_bounds(ranked, [key_col, count_alias, "rank"])
 
 
 def hot_items(

@@ -37,7 +37,72 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from userbehavioranalysis_spark.functions.time import window_bounds
+from userbehavioranalysis_spark.functions.time import duration_seconds, window_bounds
+
+# Above this window/slide ratio, sliding counts switch from F.window's
+# per-row Expand to the two-stage pane form (see sliding_counts).
+PANE_RATIO_THRESHOLD = 16
+
+
+def sliding_counts(
+    df: DataFrame,
+    keys: list[str],
+    window: str,
+    slide: str,
+    ts_col: str,
+    count_alias: str,
+) -> DataFrame:
+    """Sliding-window count per key, pane-optimized for high ratios.
+
+    ``F.window(ts, size, slide)`` plans an Expand that copies every
+    input row size/slide times *before* aggregating — at 1 h / 5 s
+    that's a 720× row amplification of the raw stream (and a generated
+    Expand so wide janino fails to compile it, dropping the stage to
+    interpreted mode).  For ratios above ``PANE_RATIO_THRESHOLD`` this
+    uses the classic panes decomposition instead:
+
+    1. tumbling count per ``slide``-sized pane — full reduction first,
+       partial aggregation + one exchange on (pane, keys);
+    2. explode each *pane aggregate* into the size/slide windows it
+       contributes to and sum — amplification applies to the reduced
+       panes, not the events.
+
+    At 100 TB the difference is shuffling |panes|×ratio tiny rows vs
+    |events|×ratio.  Emits (window_start, window_end, *keys,
+    count_alias) with epoch-second bigint bounds, byte-identical to the
+    ``F.window`` form.
+    """
+    size_s, slide_s = duration_seconds(window), duration_seconds(slide)
+    assert size_s % slide_s == 0, "slide must divide window size"
+    k = size_s // slide_s
+    if k <= PANE_RATIO_THRESHOLD:
+        return window_bounds(
+            df.groupBy(F.window(ts_col, window, slide), *keys).agg(
+                F.count(F.lit(1)).alias(count_alias)
+            ),
+            [*keys, count_alias],
+        )
+    panes = df.groupBy(
+        (F.floor(F.unix_micros(F.col(ts_col)) / F.lit(slide_s * 1_000_000)) * slide_s)
+        .cast("long")
+        .alias("pane_start"),
+        *keys,
+    ).agg(F.count(F.lit(1)).alias("pane_count"))
+    expanded = panes.select(
+        F.explode(
+            F.expr(f"transform(sequence(0, {k - 1}), i -> pane_start - i * {slide_s})")
+        ).alias("window_start"),
+        *keys,
+        "pane_count",
+    )
+    return expanded.groupBy("window_start", *keys).agg(
+        F.sum("pane_count").alias(count_alias)
+    ).select(
+        "window_start",
+        (F.col("window_start") + size_s).alias("window_end"),
+        *keys,
+        count_alias,
+    )
 
 
 def page_view(
@@ -120,11 +185,13 @@ def marketing_total(
     `AppMarketingByChannel.scala:49`), and a no-op on the testdata
     domain too; replicated literally per SURVEY §7.3.6.
     """
-    return window_bounds(
-        events.filter(F.col("event_type") != "UNINSTALL")
-        .groupBy(F.window(ts_col, window, slide))
-        .agg(F.count(F.lit(1)).alias("mkt_count")),
-        ["mkt_count"],
+    return sliding_counts(
+        events.filter(F.col("event_type") != "UNINSTALL"),
+        [],
+        window,
+        slide,
+        ts_col,
+        "mkt_count",
     )
 
 
@@ -144,11 +211,15 @@ def marketing_by_channel(
     The testdata events carry one categorical axis (`event_type`), which
     plays the (channel, behavior) grouping role.
     """
-    return window_bounds(
-        events.filter(F.col(channel_col) != "UNINSTALL")
-        .groupBy(F.window(ts_col, window, slide), F.col(channel_col).alias("channel"))
-        .agg(F.count(F.lit(1)).alias("mkt_count")),
-        ["channel", "mkt_count"],
+    return sliding_counts(
+        events.filter(F.col(channel_col) != "UNINSTALL").withColumn(
+            "channel", F.col(channel_col)
+        ),
+        ["channel"],
+        window,
+        slide,
+        ts_col,
+        "mkt_count",
     )
 
 
@@ -178,8 +249,11 @@ def ad_clicks_by_geo(
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"], "inner")
     )
-    return window_bounds(
-        geo.groupBy(F.window(ts_col, window, slide), F.col("n_name").alias("nation"))
-        .agg(F.count(F.lit(1)).alias("click_count")),
-        ["nation", "click_count"],
+    return sliding_counts(
+        geo.withColumn("nation", F.col("n_name")),
+        ["nation"],
+        window,
+        slide,
+        ts_col,
+        "click_count",
     )
