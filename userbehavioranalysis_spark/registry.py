@@ -1097,6 +1097,223 @@ def q_streaming_page_view_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_unique_visitors_replay",
+    oracle="""
+    WITH agg AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600 AS window_end,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS uv_count
+        FROM events
+        WHERE event_type = 'view'
+        GROUP BY 1, 2
+    )
+    SELECT * FROM agg
+    WHERE window_end <= (SELECT epoch(max(ts)) FROM events)
+    """,
+)
+def q_streaming_uv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct UV as a streaming windowed agg (append mode emits
+    watermark-closed windows; oracle bounds on max event time)."""
+    import os
+
+    from userbehavioranalysis_spark.streaming.jobs import streaming_unique_visitors
+
+    stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return _run_bounded(
+        streaming_unique_visitors(stream, watermark="0 seconds"), "uba_stream_uv"
+    )
+
+
+@query(
+    "streaming_marketing_replay",
+    oracle="""
+    WITH w AS (
+        SELECT (CAST(floor(epoch(ts) / 600) AS BIGINT) - g.i) * 600 AS window_start,
+               e.*
+        FROM events e CROSS JOIN generate_series(0, 5) g(i)
+        WHERE event_type <> 'UNINSTALL'
+    ), agg AS (
+        SELECT window_start, window_start + 3600 AS window_end,
+               CAST(count(*) AS BIGINT) AS mkt_count
+        FROM w GROUP BY 1, 2
+    )
+    SELECT * FROM agg
+    WHERE window_end <= (SELECT epoch(max(ts)) FROM events)
+    """,
+)
+def q_streaming_marketing_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/10min total as a streaming agg — append mode emits
+    every aligned window closed by the final watermark."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    counts = (
+        stream.withWatermark("ts", "0 seconds")
+        .filter(F.col("event_type") != "UNINSTALL")
+        .groupBy(F.window("ts", "1 hour", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("mkt_count"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            F.col("window.end").cast("long").alias("window_end"),
+            "mkt_count",
+        )
+    )
+    return _run_bounded(counts, "uba_stream_mkt")
+
+
+@query(
+    "streaming_hot_items_replay",
+    oracle="""
+    WITH w AS (
+        SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - g.i) * 300 AS window_start,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS item_id
+        FROM events e CROSS JOIN generate_series(0, 11) g(i)
+        WHERE e.event_type = 'view'
+    ), counts AS (
+        SELECT window_start, item_id, CAST(count(*) AS BIGINT) AS view_count
+        FROM w GROUP BY 1, 2
+    )
+    SELECT window_start, window_start + 3600 AS window_end, item_id, view_count,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY view_count DESC, item_id ASC) AS rank
+        FROM counts
+    ) WHERE rank <= 3
+    """,
+)
+def q_streaming_hot_items_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Top-N via update-mode counts + foreachBatch upsert/rank
+    (A7 streaming form).  The driver-side TopNState converges to the
+    batch ranking, so the full hot-items oracle applies."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.streaming.jobs import run_topn_foreachBatch
+
+    stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    views = stream.filter(F.col("event_type") == "view").withColumn(
+        "item_id", F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    )
+    q, state = run_topn_foreachBatch(
+        views, "item_id", 3, "1 hour", "5 minutes", watermark="0 seconds"
+    )
+    q.awaitTermination(300)
+    rows = [
+        (ws, ws + 3600, item, cnt, rank)
+        for ws, items in state.topn().items()
+        for rank, (item, cnt) in enumerate(items, start=1)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "window_start long, window_end long, item_id long, view_count long, rank int",
+    )
+
+
+@query(
+    "streaming_login_fail_replay",
+    oracle=f"""
+    WITH l AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER w AS prev_type,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           epoch_us(prev_ts) AS first_fail_ts_us,
+           epoch_us(ts) AS last_fail_ts_us,
+           'login fail!' AS warning_msg
+    FROM l
+    WHERE event_type = 'error' AND prev_type = 'error'
+      AND epoch_us(ts) - epoch_us(prev_ts) <= {_LOGIN_GAP_S * 1_000_000}
+    """,
+)
+def q_streaming_login_fail_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict login-fail detection as applyInPandasWithState (C1/C2
+    streaming form).  Warnings emit immediately (not watermark-gated),
+    so the bounded replay matches the batch operator exactly."""
+    import os
+
+    from userbehavioranalysis_spark.streaming.stateful import login_fail_stateful
+
+    stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return _run_bounded(
+        login_fail_stateful(stream, _LOGIN_GAP_S, fail_type="error"),
+        "uba_stream_lf",
+    )
+
+
+@query(
+    "streaming_blacklist_replay",
+    oracle=f"""
+    SELECT user_id, event_id, CAST(seq AS INTEGER) AS seq,
+           seq = {_BLACKLIST_THRESHOLD + 1} AS is_warning
+    FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                   ORDER BY ts, event_id) AS seq
+        FROM events
+    )
+    WHERE seq <= {_BLACKLIST_THRESHOLD + 1}
+    """,
+)
+def q_streaming_blacklist_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-fraud filter as applyInPandasWithState (C5 streaming form):
+    first N events pass, the crossing event emits the one warning row
+    (the isSentBlackList latch)."""
+    import os
+
+    from userbehavioranalysis_spark.streaming.stateful import blacklist_stateful
+
+    stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return _run_bounded(
+        blacklist_stateful(stream, _BLACKLIST_THRESHOLD), "uba_stream_bl"
+    )
+
+
+@query(
+    "streaming_tx_match_replay",
+    oracle=f"""
+    SELECT p.user_id,
+           p.event_id AS pay_event_id,
+           epoch_us(p.ts) AS pay_ts_us,
+           r.event_id AS receipt_event_id,
+           epoch_us(r.ts) AS receipt_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON p.user_id = r.user_id
+     AND epoch_us(r.ts) >= epoch_us(p.ts) - {_TX_BOUND_S * 1_000_000}
+     AND epoch_us(r.ts) <= epoch_us(p.ts) + {_TX_BOUND_S * 1_000_000}
+    """,
+)
+def q_streaming_tx_match_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner interval join (J1 streaming form) — inner
+    matches emit eagerly, so the bounded replay equals the batch join."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.streaming.jobs import streaming_interval_join
+
+    stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return _run_bounded(
+        streaming_interval_join(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "click"),
+            key_col="user_id",
+            bound_seconds=_TX_BOUND_S,
+        ),
+        "uba_stream_tx",
+    )
+
+
 @query("streaming_order_timeout_replay")
 def q_streaming_order_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-timeout as a stateful streaming job (applyInPandasWithState

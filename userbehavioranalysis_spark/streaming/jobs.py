@@ -59,21 +59,29 @@ def streaming_unique_visitors(
     approx: bool = False,
     ts_col: str = "ts",
 ) -> DataFrame:
-    agg = (
-        F.approx_count_distinct("user_id", 0.02).alias("uv_count")
-        if approx
-        else F.count_distinct(F.col("user_id")).alias("uv_count")
+    filtered = events.withWatermark(ts_col, watermark).filter(
+        F.col("event_type") == view_type
     )
-    return (
-        events.withWatermark(ts_col, watermark)
-        .filter(F.col("event_type") == view_type)
-        .groupBy(F.window(ts_col, window))
-        .agg(agg)
-        .select(
-            F.col("window.start").cast("long").alias("window_start"),
-            F.col("window.end").cast("long").alias("window_end"),
-            "uv_count",
+    if approx:
+        agged = filtered.groupBy(F.window(ts_col, window)).agg(
+            F.approx_count_distinct("user_id", 0.02).alias("uv_count")
         )
+    else:
+        # Streaming exact distinct = dedup-then-count: COUNT(DISTINCT)
+        # isn't supported on streams, but a watermarked dropDuplicates
+        # on (window, user) followed by a windowed count is — two
+        # chained stateful operators (Spark ≥3.4), each with
+        # watermark-evicted state, and the dedup state is one row per
+        # (window, user) rather than a buffered Set per window
+        # (UniqueVisitor.scala:37-47).
+        dedup = filtered.select(
+            F.window(ts_col, window).alias("window"), "user_id"
+        ).dropDuplicates(["window", "user_id"])
+        agged = dedup.groupBy("window").agg(F.count(F.lit(1)).alias("uv_count"))
+    return agged.select(
+        F.col("window.start").cast("long").alias("window_start"),
+        F.col("window.end").cast("long").alias("window_end"),
+        "uv_count",
     )
 
 
@@ -140,6 +148,50 @@ def run_topn_foreachBatch(
         .start()
     )
     return q, state
+
+
+def streaming_interval_join(
+    pays: DataFrame,
+    receipts: DataFrame,
+    key_col: str,
+    bound_seconds: int,
+    watermark: str = "0 seconds",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream inner interval join (J1 streaming form,
+    TxMatchByJoin.scala:36-43).
+
+    Both sides carry watermarks and the join condition is equi-key plus
+    a time range — exactly the pattern Structured Streaming needs to
+    bound join state: each side's buffered rows are dropped once the
+    other side's watermark passes ``ts + bound``.  Inner matches emit
+    eagerly (no window-closure latency), so a bounded replay produces
+    the complete batch interval-join result.
+    """
+    p = pays.select(
+        F.col(key_col).alias("key"),
+        F.col("event_id").alias("pay_event_id"),
+        F.col(ts_col).alias("pay_ts"),
+    ).withWatermark("pay_ts", watermark)
+    r = receipts.select(
+        F.col(key_col).alias("r_key"),
+        F.col("event_id").alias("receipt_event_id"),
+        F.col(ts_col).alias("receipt_ts"),
+    ).withWatermark("receipt_ts", watermark)
+    joined = p.join(
+        r,
+        (p["key"] == r["r_key"])
+        & (r["receipt_ts"] >= p["pay_ts"] - F.expr(f"INTERVAL {bound_seconds} SECONDS"))
+        & (r["receipt_ts"] <= p["pay_ts"] + F.expr(f"INTERVAL {bound_seconds} SECONDS")),
+        "inner",
+    )
+    return joined.select(
+        F.col("key").alias(key_col),
+        "pay_event_id",
+        F.unix_micros(F.col("pay_ts")).alias("pay_ts_us"),
+        "receipt_event_id",
+        F.unix_micros(F.col("receipt_ts")).alias("receipt_ts_us"),
+    )
 
 
 def split_by_tag(df: DataFrame, tag_col: str, tags: list[str]) -> dict[str, DataFrame]:

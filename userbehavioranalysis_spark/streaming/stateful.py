@@ -66,23 +66,41 @@ def login_fail_stateful(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         prev_type, prev_ts = state.get if state.exists else (None, None)
-        out = []
+        frames = []
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for _, row in pdf.iterrows():
-                ts_us = int(row["ts"].value // 1000)  # pandas ns -> us
-                etype = row["event_type"]
-                if (
-                    etype == fail_type
-                    and prev_type == fail_type
-                    and ts_us - prev_ts <= gap_us
-                ):
-                    out.append((key[0], prev_ts, ts_us, "login fail!"))
-                prev_type, prev_ts = etype, ts_us
+            if len(pdf) == 0:
+                continue
+            # event_id tie-break keeps same-timestamp ordering identical
+            # to the batch operator's window ORDER BY (ts, event_id)
+            by = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
+            pdf = pdf.sort_values(by)
+            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            etype = pdf["event_type"].to_numpy()
+            # vectorized lag: row 0 compares against carried state
+            prev_t = np.concatenate(([prev_type or ""], etype[:-1]))
+            # sentinel far in the past (not int64-min: the lag subtraction
+            # must not overflow; the type check alone already rejects row 0)
+            prev_u = np.concatenate(
+                ([prev_ts if prev_ts is not None else -(10**15)], ts_us[:-1])
+            )
+            hit = (etype == fail_type) & (prev_t == fail_type) & (ts_us - prev_u <= gap_us)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": key[0],
+                        "first_fail_ts_us": prev_u[hit],
+                        "last_fail_ts_us": ts_us[hit],
+                        "warning_msg": "login fail!",
+                    }
+                )
+            )
+            prev_type, prev_ts = str(etype[-1]), int(ts_us[-1])
         state.update((prev_type, prev_ts))
-        yield pd.DataFrame(
-            out, columns=["user_id", "first_fail_ts_us", "last_fail_ts_us", "warning_msg"]
+        yield pd.concat(frames) if frames else pd.DataFrame(
+            columns=["user_id", "first_fail_ts_us", "last_fail_ts_us", "warning_msg"]
         )
 
     return (
@@ -218,18 +236,41 @@ def blacklist_stateful(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         cnt, warned = state.get if state.exists else (0, False)
-        out = []
+        frames = []
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                if cnt < threshold:
-                    cnt += 1
-                    out.append((key[0], int(row["event_id"]), cnt, False))
-                elif not warned:
-                    warned = True
-                    out.append((key[0], int(row["event_id"]), cnt + 1, True))
+            eids = pdf["event_id"].to_numpy()
+            n_pass = max(0, min(threshold - cnt, len(eids)))
+            if n_pass:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": key[0],
+                            "event_id": eids[:n_pass],
+                            "seq": range(cnt + 1, cnt + n_pass + 1),
+                            "is_warning": False,
+                        }
+                    )
+                )
+                cnt += n_pass
+            if len(eids) > n_pass and not warned:
+                warned = True
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "event_id": [int(eids[n_pass])],
+                            "seq": [cnt + 1],
+                            "is_warning": [True],
+                        }
+                    )
+                )
         state.update((cnt, warned))
-        yield pd.DataFrame(out, columns=["user_id", "event_id", "seq", "is_warning"])
+        yield pd.concat(frames) if frames else pd.DataFrame(
+            columns=["user_id", "event_id", "seq", "is_warning"]
+        )
 
     from pyspark.sql import functions as F
 
