@@ -76,3 +76,41 @@ def test_windowed_count_filter_pushed_before_window_explode(spark):
     plan = _plan(page_view(events_with_item(t["events"])))
     assert " = view)" in plan  # into the scan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Bucketing both sides on the join key removes the shuffle —
+    the write-once posture for repeatedly-joined 100 TB facts."""
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.plans.bucketing import (
+        co_located_join,
+        write_bucketed,
+    )
+
+    a = spark.range(1000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("x")
+    )
+    b = spark.range(1000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 5).alias("y")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the plan choice is SMJ-vs-shuffle — at
+        # real fact×fact scale neither side broadcasts anyway
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(a, "bkt_a", ["user_id"], n_buckets=8)
+        write_bucketed(b, "bkt_b", ["user_id"], n_buckets=8)
+        joined = co_located_join(spark, "bkt_a", "bkt_b", ["user_id"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+        # control: the same join on unbucketed frames must shuffle —
+        # bucketing is what removed the exchange
+        plain = a.join(b, "user_id")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")

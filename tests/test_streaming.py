@@ -178,3 +178,38 @@ def test_marketing_generator_schema(spark):
     gen = marketing_generator(spark, rows_per_second=10)
     assert set(gen.schema.names) == {"user_id", "behavior", "channel", "ts"}
     assert gen.isStreaming
+
+
+def test_late_data_within_watermark_delay_updates_window(spark, tmp_path):
+    """W4 analog (allowedLateness 60s, NetworkFlow.scala:40-47): a
+    watermark *delay* keeps windows open for late arrivals; update mode
+    re-emits the corrected count — the reference's downstream MapState
+    upsert (`NetworkFlow.scala:87-91`) becomes idempotent overwrite
+    (SURVEY §7.3.1: final-state equivalence, not emission-trace)."""
+    batches = [
+        [(1, 1, "view", 10, 100), (2, 2, "view", 10, 7_000)],
+        [(3, 3, "view", 10, 500)],  # late vs max-ts 7000, within 2h delay
+        [(4, 4, "view", 10, 20_000)],
+    ]
+    path, batch_df = _write_files(spark, str(tmp_path), batches)
+    stream = file_replay(spark, path, batch_df.schema)
+    sdf = streaming_page_view(stream, watermark="2 hours")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("pv_late")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode re-emits a window on every change; counts only grow,
+    # so max() per window is the final converged value
+    final = {}
+    for r in spark.sql("SELECT * FROM pv_late").collect():
+        final[r["window_start"]] = max(final.get(r["window_start"], 0), r["pv_count"])
+    expect = {
+        r["window_start"]: r["pv_count"] for r in page_view(batch_df).collect()
+    }
+    assert final == expect
+    assert final[0] == 2  # the late event at t=500 was absorbed into hour 0

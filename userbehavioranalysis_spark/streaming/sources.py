@@ -56,6 +56,32 @@ def kafka_events(
     )
 
 
+def kafka_feeder(
+    df: DataFrame,
+    bootstrap: str,
+    topic: str = "hotitems",
+    value_cols: list[str] | None = None,
+) -> None:
+    """Replay a DataFrame into a Kafka topic (S4, the reference's
+    ``KafkaProducer`` feeder, `KafkaProducer.scala:13-28`).
+
+    The reference loops a CSV line-by-line through a producer; here the
+    rows serialize to CSV strings JVM-side (`concat_ws`) and the Kafka
+    batch sink writes them in parallel — one job, no driver loop.
+    ``value_cols`` defaults to all columns, joined with ','.
+    """
+    cols = value_cols or df.columns
+    (
+        df.select(
+            F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("value")
+        )
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+
+
 BEHAVIORS = ("CLICK", "DOWNLOAD", "INSTALL", "UNISTALL")  # sic — ref :49
 CHANNELS = ("wechat", "weibo", "appstore", "huaweistore")
 
