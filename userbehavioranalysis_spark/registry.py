@@ -1314,6 +1314,31 @@ def q_streaming_tx_match_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("streaming_tx_reconcile_replay")
+def q_streaming_tx_reconcile_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer stream-stream reconciliation (J2 streaming form).
+    Rows-only check: unmatched rows whose join range is still open at
+    end-of-stream are (correctly) withheld by the watermark, so the
+    bounded replay is a strict subset of the batch full-outer result;
+    the batch `tx_match_reconcile` query is the hash-checked form."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.streaming.jobs import streaming_reconcile_outer
+
+    stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return _run_bounded(
+        streaming_reconcile_outer(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "click"),
+            key_col="user_id",
+            bound_seconds=_TX_BOUND_S,
+        ),
+        "uba_stream_txo",
+    )
+
+
 @query("streaming_order_timeout_replay")
 def q_streaming_order_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-timeout as a stateful streaming job (applyInPandasWithState

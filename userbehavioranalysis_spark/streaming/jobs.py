@@ -194,6 +194,60 @@ def streaming_interval_join(
     )
 
 
+def streaming_reconcile_outer(
+    pays: DataFrame,
+    receipts: DataFrame,
+    key_col: str,
+    bound_seconds: int,
+    watermark: str = "0 seconds",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Full-outer stream-stream reconciliation (J2 streaming form,
+    TxMacthDetect.scala:42-98).
+
+    The reference's CoProcessFunction holds the first-arriving side in
+    ValueState and a 5 s timer flushes unmatched rows to side outputs.
+    Spark-native: a watermarked full-outer join with a time-range
+    condition — matches emit eagerly; an unmatched row emits with nulls
+    on the other side once the watermark passes its join range (the
+    timer firing).  The ``match_tag`` column replaces the two side
+    outputs (split with ``split_by_tag``).
+    """
+    p = pays.select(
+        F.col(key_col).alias("p_key"),
+        F.col("event_id").alias("pay_event_id"),
+        F.col(ts_col).alias("pay_ts"),
+    ).withWatermark("pay_ts", watermark)
+    r = receipts.select(
+        F.col(key_col).alias("r_key"),
+        F.col("event_id").alias("receipt_event_id"),
+        F.col(ts_col).alias("receipt_ts"),
+    ).withWatermark("receipt_ts", watermark)
+    joined = p.join(
+        r,
+        (p["p_key"] == r["r_key"])
+        & (r["receipt_ts"] >= p["pay_ts"] - F.expr(f"INTERVAL {bound_seconds} SECONDS"))
+        & (r["receipt_ts"] <= p["pay_ts"] + F.expr(f"INTERVAL {bound_seconds} SECONDS")),
+        "full_outer",
+    )
+    tag = (
+        F.when(
+            F.col("pay_event_id").isNotNull() & F.col("receipt_event_id").isNotNull(),
+            F.lit("matched"),
+        )
+        .when(F.col("pay_event_id").isNotNull(), F.lit("unmatched_pay"))
+        .otherwise(F.lit("unmatched_receipt"))
+    )
+    return joined.select(
+        F.coalesce(F.col("p_key"), F.col("r_key")).alias(key_col),
+        "pay_event_id",
+        F.unix_micros(F.col("pay_ts")).alias("pay_ts_us"),
+        "receipt_event_id",
+        F.unix_micros(F.col("receipt_ts")).alias("receipt_ts_us"),
+        tag.alias("match_tag"),
+    )
+
+
 def split_by_tag(df: DataFrame, tag_col: str, tags: list[str]) -> dict[str, DataFrame]:
     """Side-output pattern (SURVEY §1.5): one stateful result stream
     fans out into per-tag DataFrames via filters; Catalyst reuses the
