@@ -1049,22 +1049,36 @@ def _replay_events_stream(spark: SparkSession, sf_dir: str):
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
-def _run_bounded(sdf, name: str):
+def _run_bounded(sdf, name: str, partitions: int = 8):
     import tempfile
 
-    ckpt = tempfile.mkdtemp(prefix=f"uba_{name}_")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
     from pyspark.sql import SparkSession as _S
 
-    return _S.getActiveSession().table(name)
+    spark = _S.getActiveSession()
+    ckpt = tempfile.mkdtemp(prefix=f"uba_{name}_")
+    # 8 shuffle/state partitions for JVM-side replays: the state-store
+    # partition count is fixed at a checkpoint's first run (AQE cannot
+    # coalesce stateful streaming exchanges), and 32 state instances per
+    # tiny replay is pure per-task overhead.  Python-bound
+    # applyInPandasWithState replays pass partitions=32 instead — their
+    # cost is the per-group pandas work, which wants the parallelism.
+    # Fresh checkpoint per call makes the change safe; restored
+    # afterwards so batch queries keep the session default.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 @query(
@@ -1246,6 +1260,7 @@ def q_streaming_login_fail_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     return _run_bounded(
         login_fail_stateful(stream, _LOGIN_GAP_S, fail_type="error"),
         "uba_stream_lf",
+        partitions=32,
     )
 
 
@@ -1274,7 +1289,7 @@ def q_streaming_blacklist_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     return _run_bounded(
-        blacklist_stateful(stream, _BLACKLIST_THRESHOLD), "uba_stream_bl"
+        blacklist_stateful(stream, _BLACKLIST_THRESHOLD), "uba_stream_bl", partitions=32
     )
 
 
@@ -1352,5 +1367,5 @@ def q_streaming_order_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFr
 
     stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     return _run_bounded(
-        order_timeout_stateful(stream, timeout_seconds=21600), "uba_stream_ot"
+        order_timeout_stateful(stream, timeout_seconds=21600), "uba_stream_ot", partitions=32
     )
