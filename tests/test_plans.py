@@ -114,3 +114,20 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_semi_anti_joins_plan_without_row_duplication(spark):
+    """EXISTS/NOT EXISTS plan as LeftSemi/LeftAnti — the probe side
+    streams once, no multiplied rows shuffled."""
+    from userbehavioranalysis_spark.plans.relational import (
+        order_priority_checking,
+        parts_never_shipped,
+    )
+    from userbehavioranalysis_spark.sources.readers import load_testdata
+
+    t = load_testdata(spark, "/root/testdata/sf0.001")
+    semi = order_priority_checking(t["orders"], t["lineitem"])
+    assert "LeftSemi" in semi._jdf.queryExecution().executedPlan().toString()
+    anti = parts_never_shipped(t["part"], t["lineitem"])
+    assert "LeftAnti" in anti._jdf.queryExecution().executedPlan().toString()
+    assert semi.count() > 0 and anti.count() >= 0

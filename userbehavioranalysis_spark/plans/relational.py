@@ -128,3 +128,39 @@ def local_supplier_volume(
         .filter(F.col("c_nat") == F.col("s_nat"))
     )
     return j.groupBy("n_name").agg(_dsum_disc().alias("revenue_r4"))
+
+
+def order_priority_checking(
+    orders: DataFrame, lineitem: DataFrame, cutoff: str = "1995-06-17"
+) -> DataFrame:
+    """Q4-shape EXISTS: orders (before cutoff) having at least one
+    returned line, counted per priority.
+
+    ``left_semi`` is the plan-level EXISTS: the probe side streams
+    once, no row duplication however many lines match (a plain inner
+    join + distinct would shuffle the multiplied rows first).  The
+    existence side is pre-filtered and pre-projected to the join key,
+    so the shuffle moves one bigint column.
+    """
+    flagged = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .join(flagged, orders["o_orderkey"] == flagged["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def parts_never_shipped(
+    part: DataFrame, lineitem: DataFrame, min_qty: int = 45
+) -> DataFrame:
+    """NOT EXISTS via ``left_anti``: parts with no bulk lineitem
+    (quantity > ``min_qty``), counted per brand.  Same shuffle
+    discipline as the semi form — the anti side is pre-filtered and
+    reduces to a single key column."""
+    bulk = lineitem.filter(F.col("l_quantity") > min_qty).select("l_partkey")
+    return (
+        part.join(bulk, part["p_partkey"] == F.col("l_partkey"), "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("part_count"))
+    )

@@ -803,6 +803,37 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "order_priority_checking",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate < TIMESTAMP '1995-06-17'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY 1
+    """,
+)
+def q_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return _rel.order_priority_checking(t["orders"], t["lineitem"])
+
+
+@query(
+    "parts_never_shipped",
+    oracle="""
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS part_count
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    GROUP BY 1
+    """,
+)
+def q_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return _rel.parts_never_shipped(t["part"], t["lineitem"])
+
+
 # --------------------------------------------------------------------------
 # Reference-fixture parity queries: each reference job with its exact
 # parameters on the fixture CSV bundled with the reference (read-only).
