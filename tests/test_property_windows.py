@@ -60,3 +60,28 @@ def test_boundary_event_belongs_to_window_starting_at_it(spark):
     assert 7200 - 3600 not in starts  # window (3600, 7200] ... start 3600 excluded
     assert min(starts) == 7200 - 3600 + 120
     assert len(rows) == 30
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["hot", "k2"]), st.integers(0, 40)),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_salted_distinct_count_is_exact(spark, rows):
+    """The derived-salt two-stage distinct must equal the plain
+    countDistinct for any input, including heavy single-key skew."""
+    from userbehavioranalysis_spark.operators.skew import salted_distinct_count
+
+    df = spark.createDataFrame(rows, "key string, val long")
+    got = {
+        (r.key, r.distinct_count)
+        for r in salted_distinct_count(df, ["key"], "val", n_salt=4).collect()
+    }
+    want = {
+        (r.key, r.dc)
+        for r in df.groupBy("key").agg(F.countDistinct("val").alias("dc")).collect()
+    }
+    assert got == want
