@@ -120,3 +120,21 @@ def test_multimodal_feature_shapes_and_frame_fanout(spark):
     vids = {r["media_id"] for r in frames}
     assert vids  # at least one video got sampled
     assert all(r["offset"] % 32 == 0 for r in frames)
+
+
+def test_multimodal_resize_composes_with_features(spark):
+    from userbehavioranalysis_spark.operators.multimodal import (
+        extract_features,
+        resize,
+        synthetic_media,
+    )
+
+    docs = _docs(spark, ["x" * 500, "y" * 100, "short"])
+    media = synthetic_media(docs)
+    small = resize(media, max_bytes=64)
+    rows = {r.media_id: r for r in small.collect()}
+    assert all(r.byte_len <= 64 for r in rows.values())
+    assert rows[0].byte_len == 64 and rows[2].byte_len == 5
+    # binary-out schema composes straight into the feature extractor
+    feats = extract_features(small).collect()
+    assert len(feats) == 3 and all(f.width > 0 for f in feats)

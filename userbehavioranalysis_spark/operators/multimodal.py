@@ -108,6 +108,32 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
+def resize(media: DataFrame, max_bytes: int = 256) -> DataFrame:
+    """'Resize' stub: payload → smaller payload (real impl: PIL
+    thumbnail / ffmpeg scale).  The binary-in → binary-out mapInPandas
+    shape matters at scale: the transform streams Arrow batches through
+    Python once, emits MEDIA_SCHEMA again, and composes with
+    ``extract_features``/``frame_sample`` without extra shuffles.
+
+    Deterministic fake: truncate to ``max_bytes`` (a real resize also
+    shrinks payloads content-dependently).
+    """
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            small = [bytes(p[:max_bytes]) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": small,
+                    "byte_len": [len(p) for p in small],
+                }
+            )
+
+    return media.mapInPandas(shrink, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stub: emit one row per sampled offset of each
     video payload (real impl: ffmpeg keyframe extraction).  Demonstrates
