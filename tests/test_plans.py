@@ -131,3 +131,24 @@ def test_semi_anti_joins_plan_without_row_duplication(spark):
     anti = parts_never_shipped(t["part"], t["lineitem"])
     assert "LeftAnti" in anti._jdf.queryExecution().executedPlan().toString()
     assert semi.count() > 0 and anti.count() >= 0
+
+
+def test_pane_sliding_count_has_two_aggregations_no_row_expand(spark):
+    """High-ratio sliding counts must plan as pane-agg → pane-explode →
+    window-agg: the Expand/Generate over raw rows (F.window's per-row
+    copy) must not appear below the first aggregation."""
+    from userbehavioranalysis_spark.operators.windowed_counts import sliding_counts
+
+    t = load_testdata(spark, SF)
+    df = sliding_counts(
+        events_with_item(t["events"]), [], "1 hour", "5 seconds", "ts", "c"
+    )
+    plan = _plan(df)
+    # two logical aggregations (each partial+final) around the explode
+    assert plan.count("HashAggregate") >= 4, plan
+    # the generate (explode) consumes pane aggregates, i.e. it sits
+    # above a HashAggregate in the tree — textually, a HashAggregate
+    # appears below the Generate node in the printed plan
+    gen_pos = plan.find("Generate")
+    assert gen_pos != -1
+    assert "HashAggregate" in plan[gen_pos:], plan

@@ -121,9 +121,11 @@ def assign_ivf_clusters(
     """
     import numpy as np
 
+    # cached: the corpus is re-assigned once per Lloyd round plus the
+    # final labeling — without the cache each pass re-scans + re-casts
     v = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("qv")
-    )
+    ).cache()
     dims = embeddings.select(F.expr("size(embedding)").alias("d")).first()["d"]
     cmat = np.vstack(
         [r["qv"] for r in v.orderBy("vec_id").limit(n_clusters).collect()]
