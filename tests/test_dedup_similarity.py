@@ -138,3 +138,20 @@ def test_multimodal_resize_composes_with_features(spark):
     # binary-out schema composes straight into the feature extractor
     feats = extract_features(small).collect()
     assert len(feats) == 3 and all(f.width > 0 for f in feats)
+
+
+def test_clean_corpus_pipeline_gates_compose(spark):
+    from userbehavioranalysis_spark.operators.pipeline import clean_corpus
+
+    texts = [
+        "the cat sat on the mat and the dog slept near a door of wood",  # en, keeper
+        "the cat sat on the mat and the dog slept near a door of wood",  # exact dup -> dropped
+        "the cat sat on the mat and the dog slept near a door of pine",  # near dup -> dropped
+        "der hund und die katze und das haus und der baum und das brot",  # german -> dropped
+        "zz",                                                             # lang=und -> dropped
+    ]
+    out = clean_corpus(
+        _docs(spark, texts), min_score=0.3, lang="en", near_dup_min_matches=9
+    ).collect()
+    assert [r.doc_id for r in out] == [0]
+    assert out[0].n_tokens == 15

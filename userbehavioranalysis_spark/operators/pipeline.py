@@ -1,0 +1,65 @@
+"""End-to-end corpus-cleaning pipeline — the composition a 100 TB
+training-data run actually executes, built entirely from this repo's
+operators:
+
+    documents
+      → quality gate          (text_analysis.quality_score ≥ threshold)
+      → language gate         (text_analysis.language_id == lang)
+      → exact-dup removal     (dedup.exact_dedup keeper per md5 group)
+      → near-dup removal      (dedup.minhash_lsh_pairs; drop the higher
+                               doc_id of every high-similarity pair)
+      → cleaned corpus        (doc_id + token count + quality score)
+
+Composition is where the scale discipline pays off: each stage's
+reduction happens before the next stage's shuffle, the near-dup pair
+list is orders of magnitude smaller than the corpus (LSH candidates
+only), and the final assembly is semi/anti joins on doc_id — no text
+column ever crosses a shuffle after the first scan.
+
+The whole pipeline is one declarative plan: Catalyst sees all five
+stages at once (shared scans collapse, filters push down through the
+joins), which no imperative stage-by-stage runner gets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from userbehavioranalysis_spark.operators import text_analysis
+from userbehavioranalysis_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+
+def clean_corpus(
+    documents: DataFrame,
+    min_score: float = 0.5,
+    lang: str = "en",
+    near_dup_min_matches: int = 9,
+) -> DataFrame:
+    """Cleaned-corpus keep list: (doc_id, n_tokens, score_r4).
+
+    ``near_dup_min_matches`` of 9/12 minhashes ≈ Jaccard ≥ 0.75 — the
+    usual near-dup cut; exact-dup groups keep their lowest doc_id, and
+    of every near-dup pair the higher doc_id drops (transitively: a doc
+    survives iff it is not doc_b of any qualifying pair).
+    """
+    quality_ok = text_analysis.quality_score(documents).filter(
+        F.col("score_r4") >= min_score
+    )
+    lang_ok = text_analysis.language_id(documents).filter(
+        F.col("lang_guess") == lang
+    )
+    exact_keepers = exact_dedup(documents).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    near_losers = (
+        minhash_lsh_pairs(documents, min_matching_hashes=near_dup_min_matches)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        quality_ok.select("doc_id", "n_tokens", "score_r4")
+        .join(lang_ok.select("doc_id"), "doc_id")
+        .join(exact_keepers, "doc_id", "left_semi")
+        .join(near_losers, "doc_id", "left_anti")
+    )

@@ -718,6 +718,69 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_tables(spark, sf_dir)["documents"])
 
 
+_CLEAN_CORPUS_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents
+    ), q AS (
+        SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+               round(least(len(tokens)::DOUBLE / 100, 1.0) * 0.5
+                     + (1.0 - len(list_filter(tokens, x -> x IN ('the','a','of','and')))::DOUBLE
+                              / len(tokens)) * 0.5, 4) AS score_r4
+        FROM toks
+    ), hits AS (
+        SELECT doc_id,
+           len(list_filter(tokens, x -> x IN ('der','die','und','das'))) AS h_de,
+           len(list_filter(tokens, x -> x IN ('the','a','of','and'))) AS h_en,
+           len(list_filter(tokens, x -> x IN ('el','la','de','y'))) AS h_es,
+           len(list_filter(tokens, x -> x IN ('le','la','et','les'))) AS h_fr
+        FROM toks
+    ), lang AS (
+        SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                ELSE 'de' END AS lang_guess
+        FROM hits
+    ), keepers AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), sigs AS (
+        SELECT doc_id, {_T.minhash_sig_duck(12)} AS sig
+        FROM (SELECT doc_id, list_distinct(tokens) AS shingles FROM toks)
+    ), buckets AS (
+        SELECT doc_id, b.band_id,
+               array_to_string(sig[b.band_id * 3 + 1 : b.band_id * 3 + 3], '-') AS band_sig
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                      AND a.doc_id < b.doc_id
+    ), losers AS (
+        SELECT DISTINCT cand.doc_b AS doc_id
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = cand.doc_a
+        JOIN sigs sb ON sb.doc_id = cand.doc_b
+        WHERE len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) >= 9
+    )
+    SELECT q.doc_id, q.n_tokens, q.score_r4
+    FROM q
+    JOIN lang ON q.doc_id = lang.doc_id
+    WHERE lang.lang_guess = 'en' AND q.score_r4 >= 0.5
+      AND q.doc_id IN (SELECT doc_id FROM keepers)
+      AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+@query("pipeline_clean_corpus", oracle=_CLEAN_CORPUS_ORACLE)
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: quality gate → language gate →
+    exact-dup keepers → near-dup removal, one declarative plan."""
+    from userbehavioranalysis_spark.operators.pipeline import clean_corpus
+
+    return clean_corpus(_tables(spark, sf_dir)["documents"])
+
+
 # Multimodal plumbing: mapInPandas decode stubs — no SQL equivalent by
 # design (the decode kernel is imperative); rows-only check.
 @query("media_features")
