@@ -65,3 +65,27 @@ def test_topn_deterministic_tiebreak_and_cutoff(spark):
     rows = windowed_topn(ev, "item_id", n=2, window="1 hour").collect()
     ranked = sorted((r["rank"], r["item_id"]) for r in rows)
     assert ranked == [(1, 1), (2, 2)]
+
+
+def test_session_window_gap_boundary_splits(spark):
+    """An event exactly `gap` after the last one still MERGES (Spark
+    starts a new session only when the gap is strictly exceeded)."""
+    from userbehavioranalysis_spark.operators.windowed_counts import user_sessions
+
+    rows = [
+        (1, 1, "view", 0, 100),
+        (2, 1, "view", 0, 150),   # merges (within 60s)
+        (3, 1, "view", 0, 210),   # exactly last+60 -> merges
+        (5, 1, "view", 0, 271),   # 61s after 210 -> new session
+        (4, 2, "view", 0, 100),
+    ]
+    df = _events(spark, rows)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.event_count)
+        for r in user_sessions(df, gap="60 seconds").collect()
+    }
+    assert got == {
+        (1, 100, 270, 3),  # 210 merged: last+gap boundary is inclusive
+        (1, 271, 331, 1),  # 271 > 210+60: strictly past the gap
+        (2, 100, 160, 1),
+    }

@@ -105,6 +105,35 @@ def sliding_counts(
     )
 
 
+def user_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key session windows: events closer than ``gap`` merge into
+    one session (``F.session_window`` — dynamic-length windows the
+    reference has no analog for, SURVEY §2.4).
+
+    Returns (user_id, session_start, session_end, event_count) with
+    epoch-second bounds; ``session_end`` is last-event + gap (Spark's
+    session close semantics).  Scale: one exchange on the key; session
+    merging happens inside the aggregation, state bounded per key.
+    """
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            key_col,
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "event_count",
+        )
+    )
+
+
 def page_view(
     events: DataFrame,
     window: str = "1 hour",

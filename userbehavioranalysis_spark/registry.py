@@ -93,6 +93,33 @@ def q_uv_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wc.uv_approx(_tables(spark, sf_dir)["events"])
 
 
+@query(
+    "user_sessions",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS t,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+        FROM events
+    ), isl AS (
+        SELECT user_id, t,
+               -- new session iff the gap is STRICTLY exceeded: Spark
+               -- merges an event arriving exactly at last+gap
+               sum(CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e
+    )
+    SELECT user_id,
+           CAST(min(t) // 1000000 AS BIGINT) AS session_start,
+           CAST((max(t) + 1800000000) // 1000000 AS BIGINT) AS session_end,
+           CAST(count(*) AS BIGINT) AS event_count
+    FROM isl GROUP BY user_id, sid
+    """,
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return wc.user_sessions(_tables(spark, sf_dir)["events"])
+
+
 _SLIDING_1H_10M = """
     WITH w AS (
         SELECT (CAST(floor(epoch(ts) / 600) AS BIGINT) - g.i) * 600 AS window_start,
