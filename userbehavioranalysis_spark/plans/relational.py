@@ -130,6 +130,34 @@ def local_supplier_volume(
     return j.groupBy("n_name").agg(_dsum_disc().alias("revenue_r4"))
 
 
+def pricing_rollup(lineitem: DataFrame, cutoff: str = "1995-06-17") -> DataFrame:
+    """Hierarchical totals via ``rollup`` (grouping sets — absent from
+    the reference, SURVEY §2.5; one scan, one shuffle for all levels).
+
+    Emits (l_returnflag, l_linestatus) detail rows plus per-flag
+    subtotals and the grand total; null group keys are rendered as
+    'ALL' and a ``grouping_level`` disambiguates genuine nulls —
+    Catalyst plans a single Expand + HashAggregate, not one job per
+    level.
+    """
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp_ntz"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.grouping_id().cast("int").alias("grouping_level"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "count_order",
+            "grouping_level",
+        )
+    )
+
+
 def order_priority_checking(
     orders: DataFrame, lineitem: DataFrame, cutoff: str = "1995-06-17"
 ) -> DataFrame:

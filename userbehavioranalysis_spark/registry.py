@@ -894,6 +894,24 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pricing_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS count_order,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER)
+               AS grouping_level
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1995-06-17'
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rel.pricing_rollup(_tables(spark, sf_dir)["lineitem"])
+
+
+@query(
     "order_priority_checking",
     oracle="""
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
