@@ -85,3 +85,69 @@ def test_salted_distinct_count_is_exact(spark, rows):
         for r in df.groupBy("key").agg(F.countDistinct("val").alias("dc")).collect()
     }
     assert got == want
+
+
+@given(
+    pays=st.lists(st.tuples(st.integers(1, 3), st.integers(0, 50)), max_size=15),
+    receipts=st.lists(st.tuples(st.integers(1, 3), st.integers(0, 50)), max_size=15),
+)
+@settings(max_examples=10, deadline=None)
+def test_interval_join_matches_brute_force(spark, pays, receipts):
+    """J1 equi+range join vs a python nested loop, any input."""
+    from userbehavioranalysis_spark.operators.tx_match import interval_join_pairs
+
+    def mk(rows, base):
+        return spark.createDataFrame(
+            [(base + i, k, s) for i, (k, s) in enumerate(rows)],
+            "event_id long, user_id long, sec long",
+        ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+
+    p_df, r_df = mk(pays, 100), mk(receipts, 900)
+    got = {
+        (r.pay_event_id, r.receipt_event_id)
+        for r in interval_join_pairs(
+            p_df, r_df, key_col="user_id", bound_seconds=5
+        ).collect()
+    }
+    want = {
+        (100 + i, 900 + j)
+        for i, (pk, ps) in enumerate(pays)
+        for j, (rk, rs) in enumerate(receipts)
+        if pk == rk and abs(rs - ps) <= 5
+    }
+    assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.sampled_from(["signup", "purchase", "view"]), st.integers(0, 100)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_order_timeout_classification_matches_python(spark, events):
+    """C3/C4 four-outcome classification vs a python oracle, any event mix."""
+    from userbehavioranalysis_spark.operators.order_timeout import (
+        order_timeout_results,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1, t, s) for i, (t, s) in enumerate(events)],
+        "event_id long, user_id long, event_type string, sec long",
+    ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+    rows = order_timeout_results(df, timeout_seconds=10, key_cols=["user_id"]).collect()
+
+    create = min((s for t, s in events if t == "signup"), default=None)
+    pay = min((s for t, s in events if t == "purchase"), default=None)
+    if create is None and pay is None:
+        assert rows == []
+        return
+    if create is not None and pay is not None:
+        want = "payed successfully" if pay <= create + 10 else "payed but already timeout"
+    elif create is not None:
+        want = "order timeout"
+    else:
+        want = "already payed but not found create log"
+    assert len(rows) == 1 and rows[0].result_msg == want
+    assert rows[0].is_timeout == (want != "payed successfully")
