@@ -155,3 +155,28 @@ def test_clean_corpus_pipeline_gates_compose(spark):
     ).collect()
     assert [r.doc_id for r in out] == [0]
     assert out[0].n_tokens == 15
+
+
+def test_simhash_blocking_strategies_agree(spark):
+    """Pigeonhole blocking must be lossless: forced-blocked and
+    all-pairs strategies return identical pair sets."""
+    from userbehavioranalysis_spark.operators.dedup import simhash_pairs
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",   # near dup
+        "one two three four five six seven eight nine",
+        "alpha beta gamma delta epsilon zeta eta theta",  # exact dup
+        "completely different words entirely unrelated here",
+    ]
+    docs = _docs(spark, texts)
+    blocked = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(docs, block=True).collect()
+    }
+    allpairs = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(docs, block=False).collect()
+    }
+    assert blocked == allpairs
+    assert (0, 3, 0) in allpairs  # exact dup pair at hamming 0
