@@ -1468,6 +1468,45 @@ def q_streaming_tx_match_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_user_sessions_replay",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS t,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+        FROM events
+    ), isl AS (
+        SELECT user_id, t,
+               sum(CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e
+    ), s AS (
+        SELECT user_id,
+               CAST(min(t) // 1000000 AS BIGINT) AS session_start,
+               CAST((max(t) + 1800000000) // 1000000 AS BIGINT) AS session_end,
+               CAST(count(*) AS BIGINT) AS event_count,
+               (max(t) + 1800000000) AS end_us
+        FROM isl GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, event_count
+    FROM s
+    WHERE end_us <= (SELECT epoch_us(max(ts)) FROM events)
+    """,
+)
+def q_streaming_user_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows as a streaming agg: append mode emits sessions
+    the watermark has closed (gap elapsed past the last event), which
+    the oracle replicates with the end <= max-event-time bound."""
+    import os
+
+    from userbehavioranalysis_spark.operators.windowed_counts import user_sessions
+
+    stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    sessions = user_sessions(stream.withWatermark("ts", "0 seconds"))
+    return _run_bounded(sessions, "uba_stream_sess")
+
+
 @query("streaming_tx_reconcile_replay")
 def q_streaming_tx_reconcile_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-outer stream-stream reconciliation (J2 streaming form).
