@@ -1151,37 +1151,30 @@ def q_ref_network_flow_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate runs them as bounded availableNow replays into a memory sink)
 # --------------------------------------------------------------------------
 
+# per-source staged symlink dirs, keyed by the source file path: reused
+# across replay calls so repeated driver runs don't accumulate tempdirs
+_STREAM_STAGE_CACHE: dict[str, str] = {}
+
+
 def _replay_events_stream(spark: SparkSession, sf_dir: str):
     """events.parquet as a bounded stream (ts stored as ns-epoch long)."""
     import pyspark.sql.functions as F
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
 
-    schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
+    from userbehavioranalysis_spark import schemas as _schemas
+
     # the file source needs a directory: stage a symlink dir around the
     # single events.parquet file (read-only testdata stays untouched)
     import os
     import tempfile
 
-    stage = tempfile.mkdtemp(prefix="uba_events_stream_")
-    os.symlink(sf_dir, os.path.join(stage, "events.parquet"))
+    stage = _STREAM_STAGE_CACHE.get(sf_dir)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="uba_events_stream_")
+        os.symlink(sf_dir, os.path.join(stage, "events.parquet"))
+        _STREAM_STAGE_CACHE[sf_dir] = stage
     raw = (
         spark.readStream.format("parquet")
-        .schema(schema)
+        .schema(_schemas.EVENTS_RAW)
         .load(stage)
         .where(F.col("event_id").isNotNull())
     )
@@ -1214,7 +1207,14 @@ def _run_bounded(sdf, name: str, partitions: int = 8):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
+        # a silent partial/empty memory table would be scored as a genuine
+        # mismatch by the oracle harness — fail loudly instead
+        if q.exception() is not None:
+            raise RuntimeError(f"streaming replay {name!r} failed") from q.exception()
+        if not finished:
+            q.stop()
+            raise TimeoutError(f"streaming replay {name!r} exceeded 300s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

@@ -17,6 +17,7 @@ fidelity against the reference stays possible.
 from __future__ import annotations
 
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -90,6 +91,20 @@ RECEIPT_EVENT = _struct(
 # Driver testdata `events` table (TESTDATA.md) — the generic behavior
 # stream the batch analytics run on: event_id, ts(timestamp), user_id,
 # event_type(view|click|purchase|signup|error), value(double), props(json).
+# The parquet stores ts as timestamp[ns]; EVENTS_RAW types it LongType so
+# the scan works on ANY session (no nanosAsLong legacy conf), with the
+# nano→micro normalization done in the reader (sources/readers.py).
+EVENTS_RAW = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
 TESTDATA_TABLES = (
     "region",
     "nation",

@@ -31,18 +31,25 @@ def load_testdata(
 ) -> dict[str, DataFrame]:
     """Load every driver testdata table as a DataFrame keyed by name.
 
-    ``events.ts`` is stored as parquet timestamp[ns]; with the session's
-    ``nanosAsLong`` setting it scans as a raw nano-epoch long, which we
+    ``events.ts`` is stored as parquet timestamp[ns], which Spark's
+    parquet reader rejects outright on a vanilla session
+    (PARQUET_TYPE_ILLEGAL).  Reading with an explicit schema that types
+    ``ts`` as LongType makes the scan session-independent — the INT64
+    physical values come through as raw nano-epoch longs on ANY session,
+    no ``spark.sql.legacy.parquet.nanosAsLong`` conf required — and we
     normalize to microsecond TimestampType here (UTC session) so every
     analytic sees a typed event-time column.
     """
     out = {}
     for name in schemas.TESTDATA_TABLES:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        path = os.path.join(sf_dir, f"{name}.parquet")
         if name == "events":
+            df = spark.read.schema(schemas.EVENTS_RAW).parquet(path)
             # integer div, not /1000: nano-epochs exceed double's exact
             # integer range, so float division loses the last microsecond
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = spark.read.parquet(path)
         out[name] = df
     return out
 
