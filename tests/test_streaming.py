@@ -109,6 +109,8 @@ def test_streaming_topn_foreachBatch_matches_batch(spark, tmp_path):
         expect.setdefault(r["window_start"], []).append((r["rank"], r["item_id"]))
     expect = {ws: [k for _, k in sorted(v)] for ws, v in expect.items()}
     assert got == expect
+    # driver state is bounded: ≤ N entries per window, never every key
+    assert len(state.counts) <= 2 * len(got)
 
 
 def test_login_fail_state_survives_batch_boundary(spark, tmp_path):
@@ -172,6 +174,32 @@ def test_blacklist_stateful_threshold_and_latch(spark, tmp_path):
     warns = [r for r in rows_out if r["is_warning"]]
     assert len(passed) == 5 and len(warns) == 1  # 6th event warns, 7th suppressed
     assert warns[0]["event_id"] == 5
+
+
+def test_blacklist_stateful_late_previous_day_never_resets(spark, tmp_path):
+    # a late click from an already-closed day (admitted by the watermark
+    # in a later micro-batch) must NOT reset the current day's counter or
+    # re-fire the warning latch — it folds into the current counter, like
+    # the reference where the midnight timer already cleared the old day
+    day = 86_400
+    batches = [
+        [(i, 1, "click", 0, day + 100 + i) for i in range(6)],  # day 1: 5 pass + warn
+        [(10, 1, "click", 0, 50),            # LATE day-0 click: suppressed
+         (11, 1, "click", 0, day + 200)],    # more day-1: suppressed (past cap)
+    ]
+    path, batch_df = _write_files(spark, str(tmp_path), batches)
+    stream = file_replay(spark, path, batch_df.schema)
+    res = _run_to_memory(
+        spark,
+        blacklist_stateful(stream, threshold=5, watermark="2 days"),
+        "bl_late_stream",
+        str(tmp_path),
+    )
+    rows_out = res.collect()
+    passed = sorted(r["event_id"] for r in rows_out if not r["is_warning"])
+    warns = [r for r in rows_out if r["is_warning"]]
+    assert passed == [0, 1, 2, 3, 4]        # nothing restarted after the late event
+    assert len(warns) == 1 and warns[0]["event_id"] == 5  # latch fired exactly once
 
 
 def test_marketing_generator_schema(spark):

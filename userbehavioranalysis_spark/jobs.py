@@ -193,13 +193,15 @@ def ad_statistics_job(
     - ``warnings``: one BlackListWarning per (user, ad, day) over the
       cap (`:79-87`), side-output → separate DataFrame (SURVEY §1.5).
     """
-    passed = blacklist_filter(
+    # blacklist_filter keeps the full rows, so the window agg consumes
+    # them directly — no join-back (which would multiply duplicate rows
+    # sharing a content-hash event_id and cost an extra shuffle)
+    allowed = blacklist_filter(
         ad_clicks,
         threshold,
         key_cols=["user_id", "ad_id"],
         ts_col="event_ts",
-    ).select("event_id")
-    allowed = ad_clicks.join(passed, "event_id")
+    )
     province_counts = wc.sliding_counts(
         allowed, ["province"], "1 hour", "5 seconds", "event_ts", "click_count"
     )

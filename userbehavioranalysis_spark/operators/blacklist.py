@@ -45,21 +45,20 @@ def blacklist_filter(
 ) -> DataFrame:
     """Pass-through stream: the first ``threshold`` events per key per day.
 
-    Returns (event_id, user_id, day_start, seq) — ``seq`` is the
-    1-based event-time position within the (key, day) bucket.
+    Returns the FULL input rows plus ``day_start`` and ``seq`` (the
+    1-based event-time position within the (key, day) bucket).  Keeping
+    every column means downstream consumers (ad_statistics_job's window
+    agg) never join back to the source — a join-back on a non-unique
+    content hash multiplies exact-duplicate input rows (the reference
+    fixture AdClickLog.csv contains such duplicates), and is an extra
+    shuffle besides.
     """
     key_cols = key_cols or ["user_id"]
     df = _with_day(events, ts_col)
     w = Window.partitionBy(*key_cols, "day_start").orderBy(ts_col, "event_id")
     return (
-        df.withColumn("seq", F.row_number().over(w))
+        df.withColumn("seq", F.row_number().over(w).cast("int"))
         .filter(F.col("seq") <= threshold)
-        .select(
-            "event_id",
-            "user_id",
-            "day_start",
-            F.col("seq").cast("int").alias("seq"),
-        )
     )
 
 

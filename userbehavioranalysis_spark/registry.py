@@ -387,7 +387,7 @@ def q_blacklist_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return blacklist_filter(
         _tables(spark, sf_dir)["events"], _BLACKLIST_THRESHOLD
-    )
+    ).select("event_id", "user_id", "day_start", "seq")
 
 
 # --------------------------------------------------------------------------

@@ -88,12 +88,18 @@ def streaming_unique_visitors(
 class TopNState:
     """Driver-side upsert store + ranker for foreachBatch Top-N.
 
-    Each micro-batch delivers updated (window_start, key, count) rows;
-    ``merge`` overwrites by (window, key) — idempotent under update-mode
-    re-emissions and late-data re-fires — and ``topn`` ranks on demand
-    with the deterministic (count DESC, key ASC) order.  In production
-    the same merge is a Delta/Iceberg MERGE INTO keyed the same way;
-    holding it in a dict here keeps tests hermetic.
+    Each micro-batch delivers its top-N (window_start, key, count) rows
+    (ranked executor-side before collect); ``merge`` overwrites by
+    (window, key) — idempotent under update-mode re-emissions and
+    late-data re-fires — then prunes to the per-window top-N so driver
+    memory stays ≤ N·windows regardless of key cardinality.
+
+    Pruning is lossless because streaming counts are monotone
+    non-decreasing per (window, key): a key displaced from the top-N can
+    only return via a later re-emission with a higher count, at which
+    point it re-enters through a later batch's top-N.  In production the
+    same merge is a Delta/Iceberg MERGE INTO keyed the same way; holding
+    it in a dict here keeps tests hermetic.
     """
 
     def __init__(self, n: int):
@@ -103,6 +109,10 @@ class TopNState:
     def merge(self, rows) -> None:
         for r in rows:
             self.counts[(r["window_start"], r["key"])] = r["cnt"]
+        ranked = self.topn()
+        self.counts = {
+            (ws, key): cnt for ws, items in ranked.items() for key, cnt in items
+        }
 
     def topn(self) -> dict[int, list[tuple[int, int]]]:
         by_window: dict[int, list[tuple[int, int]]] = {}
@@ -139,7 +149,24 @@ def run_topn_foreachBatch(
     )
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
-        state.merge(batch_df.collect())
+        # rank INSIDE the batch so the driver collects ≤ N rows per
+        # window, not every (window, key) count — at high key
+        # cardinality an unranked collect is a driver OOM.  Dropping a
+        # batch's below-N rows is lossless: counts are monotone
+        # non-decreasing, so a key whose latest emission isn't in the
+        # batch top-N is beaten by N keys whose final counts are at
+        # least as high.
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("window_start").orderBy(
+            F.col("cnt").desc(), F.col("key").asc()
+        )
+        top = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .drop("rn")
+        )
+        state.merge(top.collect())
 
     q = (
         counts.writeStream.outputMode("update")

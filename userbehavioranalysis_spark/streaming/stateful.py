@@ -261,9 +261,15 @@ def order_timeout_stateful(
         elif create_ts is not None or pay_ts is not None:
             state.update((create_ts, pay_ts))
             # timer at first-event + timeout, like the reference's
-            # eventTime timer; expressed as an event-time timeout ts
+            # eventTime timer; expressed as an event-time timeout ts.
+            # Spark rejects a timeout at/below the current watermark
+            # (query-fatal), which can happen when the first event for an
+            # order arrives very late — clamp to watermark + 1ms so the
+            # order still gets classified on the next watermark advance.
             base = create_ts if create_ts is not None else pay_ts
-            state.setTimeoutTimestamp((base + timeout_us) // 1000)
+            timer_ms = (base + timeout_us) // 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(timer_ms, wm_ms + 1))
         yield pd.DataFrame(out, columns=["order_id", "result_msg", "is_timeout"])
 
     return (
@@ -339,8 +345,13 @@ def blacklist_stateful(
             cuts = np.flatnonzero(np.diff(days)) + 1
             for seg in np.split(np.arange(len(days)), cuts):
                 d = int(days[seg[0]])
-                if d != day:
+                if day is None or d > day:
                     day, cnt, warned = d, 0, False
+                # d < day: late event from an already-closed day (allowed
+                # by the watermark across micro-batches).  The reference's
+                # midnight timer has already cleared that day's counter,
+                # so the late click counts against the CURRENT day's
+                # counter — never resurrect or reset to the old day.
                 seg_eids = eids[seg]
                 n_pass = max(0, min(threshold - cnt, len(seg_eids)))
                 if n_pass:
