@@ -101,19 +101,78 @@ def ann_topk_brute(
     )
 
 
+def _sum_by_cluster(cmat=None):
+    """mapInPandas kernel: per-partition per-cluster (psum, cnt) rows.
+
+    With ``cmat`` given it fuses nearest-centroid assignment (numpy
+    argmax over the broadcast matrix) with the partial mean sums — one
+    map-only stage per Lloyd round, NO shuffle and no dims-wide
+    aggregate; the driver combines ≤ partitions × n_clusters tiny rows.
+    With ``cmat=None`` the input already carries a ``cluster`` column.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cn = None if cmat is None else cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    def fn(batches):
+        sums: dict[int, list] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["qv"].to_numpy())
+            if cn is not None:
+                mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+                cl = np.argmax(mn @ cn.T, axis=1)
+            else:
+                cl = pdf["cluster"].to_numpy()
+            for c in np.unique(cl):
+                mask = cl == c
+                acc = sums.setdefault(int(c), [np.zeros(m.shape[1]), 0])
+                acc[0] += m[mask].sum(axis=0)
+                acc[1] += int(mask.sum())
+        yield pd.DataFrame(
+            [
+                {"cluster": c, "psum": acc[0].tolist(), "cnt": acc[1]}
+                for c, acc in sorted(sums.items())
+            ],
+            columns=["cluster", "psum", "cnt"],
+        )
+
+    return fn
+
+
+_PSUM_SCHEMA = "cluster int, psum array<double>, cnt long"
+
+
+def _combine_means(rows) -> dict[int, "object"]:
+    """Combine collected (cluster, psum, cnt) partials into mean vectors."""
+    import numpy as np
+
+    acc: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["cluster"], r["cnt"])):
+        a = acc.setdefault(r["cluster"], [np.zeros(len(r["psum"])), 0])
+        a[0] += np.asarray(r["psum"])
+        a[1] += r["cnt"]
+    return {c: a[0] / a[1] for c, a in acc.items() if a[1] > 0}
+
+
 def assign_ivf_clusters(
     embeddings: DataFrame, n_clusters: int = 10, iters: int = 2
 ) -> DataFrame:
     """Derive an IVF coarse quantization: k-means-lite cluster ids.
 
-    Seeds are the ``n_clusters`` lowest vec_ids (deterministic), then
-    ``iters`` Lloyd rounds of assign-to-nearest-centroid (cosine) →
-    recompute means.  Centroids are **driver-held model state** (like
-    MLlib's k-means): assignment is one Arrow-batched numpy argmax over
-    the broadcast centroid matrix — a map-only stage, no join and no
-    per-vector shuffle; only the per-cluster mean aggregation shuffles,
-    and that moves ``n_clusters × dims`` partial sums.  Returns
-    (vec_id, embedding, cluster).
+    Seeding is k-means++-style farthest-point over a hashed sample:
+    ``orderBy(xxhash64(vec_id)).limit(20·k)`` (TakeOrdered — per-
+    partition top-k merge, no full sort) gives a deterministic pseudo-
+    random sample; greedy max-min cosine distance picks well-spread
+    seeds instead of the degenerate lowest-vec_ids.  Then ``iters``
+    Lloyd rounds, each ONE fused map-only pass (``_sum_by_cluster``):
+    assignment argmax + per-cluster partial sums in the same Arrow
+    batch — no shuffle, no dims-wide aggregate; the driver reduces
+    ≤ partitions × k partial rows.  Centroids are **driver-held model
+    state** (like MLlib's k-means).  Returns (vec_id, embedding,
+    cluster).
 
     This is the "train once, persist" step of a production IVF index;
     at 100 TB you'd run it on a sample and bucket the corpus by the
@@ -121,23 +180,40 @@ def assign_ivf_clusters(
     """
     import numpy as np
 
+    from userbehavioranalysis_spark.operators.cachepool import (
+        pooled_cache,
+        release_pooled,
+    )
+
     # cached: the corpus is re-assigned once per Lloyd round plus the
     # final labeling — without the cache each pass re-scans + re-casts
-    v = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("qv")
-    ).cache()
-    dims = embeddings.select(F.expr("size(embedding)").alias("d")).first()["d"]
-    cmat = np.vstack(
-        [r["qv"] for r in v.orderBy("vec_id").limit(n_clusters).collect()]
+    release_pooled()
+    v = pooled_cache(
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("qv")
+        )
     )
+    sample = v.orderBy(F.xxhash64("vec_id"), "vec_id").limit(
+        max(20 * n_clusters, n_clusters + 1)
+    ).collect()
+    sm = np.vstack([r["qv"] for r in sample])
+    smn = sm / np.linalg.norm(sm, axis=1, keepdims=True)
+    # greedy farthest-point (deterministic k-means++ stand-in): start at
+    # the lowest-hash sample point, repeatedly add the point maximizing
+    # min cosine distance to the chosen set (ties → first index)
+    chosen = [0]
+    min_sim = smn @ smn[0]
+    for _ in range(1, min(n_clusters, len(sample))):
+        nxt = int(np.argmin(min_sim))
+        chosen.append(nxt)
+        min_sim = np.maximum(min_sim, smn @ smn[nxt])
+    cmat = sm[chosen]
     for _ in range(iters):
-        assigned = v.withColumn("cluster", _assign_udf(cmat)(F.col("qv")))
-        means = assigned.groupBy("cluster").agg(
-            *[F.avg(F.col("qv")[i]).alias(f"c{i}") for i in range(dims)]
-        ).collect()
+        parts = v.mapInPandas(_sum_by_cluster(cmat), _PSUM_SCHEMA).collect()
+        means = _combine_means(parts)
         cmat = cmat.copy()  # empty clusters keep their old centroid
-        for row in means:
-            cmat[row["cluster"]] = [row[f"c{i}"] for i in range(dims)]
+        for c, mean in means.items():
+            cmat[c] = mean
     return v.withColumn("cluster", _assign_udf(cmat)(F.col("qv"))).select(
         "vec_id", F.col("qv").cast("array<float>").alias("embedding"), "cluster"
     )
@@ -183,18 +259,21 @@ def ann_topk_ivf(
     ``ann_topk_brute``; recall < 1 by construction — tested against the
     brute-force baseline, not an SQL oracle.
     """
-    dims = embeddings.select(F.expr("size(embedding)").alias("d")).first()["d"]
-    centroids = (
+    # per-cluster means via the same fused partial-sum map pass as
+    # training (no dims-wide F.avg aggregate, no shuffle); the centroid
+    # table is n_clusters rows built driver-side and broadcast back
+    parts = (
         embeddings.select(
-            F.col(cluster_col).alias("cluster"),
-            F.col("embedding").cast("array<double>").alias("v"),
+            F.col(cluster_col).cast("int").alias("cluster"),
+            F.col("embedding").cast("array<double>").alias("qv"),
         )
-        .groupBy("cluster")
-        .agg(
-            F.array(
-                *[F.avg(F.col("v")[i]) for i in range(dims)]
-            ).alias("cv")
-        )
+        .mapInPandas(_sum_by_cluster(), _PSUM_SCHEMA)
+        .collect()
+    )
+    means = _combine_means(parts)
+    centroids = embeddings.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in mean]) for c, mean in sorted(means.items())],
+        "cluster int, cv array<double>",
     )
     cos = _cosine_udf()
     q = _normed(queries, "query_id", "qv")

@@ -47,9 +47,21 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# DataFrame plans are cheap but not free: building them re-lists the
+# parquet dir and infers 9 table schemas from footers (~0.3-0.5 s).  A
+# 52-query bench pays that per query without this cache.  Keyed by
+# (applicationId, session id, sf_dir) so distinct sessions/dirs never
+# share plans; holds logical plans only, no materialized data.
+_TABLES_CACHE: dict[tuple, dict[str, DataFrame]] = {}
+
+
 def _tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    t = load_testdata(spark, sf_dir)
-    t["events"] = events_with_item(t["events"])
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir)
+    t = _TABLES_CACHE.get(key)
+    if t is None:
+        t = load_testdata(spark, sf_dir)
+        t["events"] = events_with_item(t["events"])
+        _TABLES_CACHE[key] = t
     return t
 
 
@@ -553,10 +565,18 @@ _NGRAM_ORACLE = f"""
             SELECT doc_id, list_distinct({_T.shingles_duck(3)}) AS shingles
             FROM (SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents)
         )
-    ), sh AS (
+    ), sh1 AS (
         -- join on the same portable 60-bit shingle hash the Spark side
         -- uses, so any hash collision affects both engines identically
         SELECT doc_id, n_sh, {_T.h64_duck('shingle')} AS sh_h FROM sh0
+    ), sh AS (
+        -- same df cutoff as the Spark operator: drop df=1 (can't
+        -- intersect) and df > max(2, floor(0.1 * n_docs)) stop-shingles
+        SELECT doc_id, n_sh, sh_h FROM (
+            SELECT *, count(*) OVER (PARTITION BY sh_h) AS df FROM sh1
+        )
+        WHERE df >= 2
+          AND df <= greatest(2, CAST(floor(0.1 * (SELECT count(*) FROM documents)) AS BIGINT))
     ), inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.n_sh AS n_a, b.n_sh AS n_b,
