@@ -1527,13 +1527,50 @@ def q_streaming_user_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFr
     return _run_bounded(sessions, "uba_stream_sess")
 
 
-@query("streaming_tx_reconcile_replay")
+@query(
+    "streaming_tx_reconcile_replay",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, event_id AS pay_event_id, epoch_us(ts) AS pay_us
+        FROM events WHERE event_type = 'purchase'
+    ), r AS (
+        SELECT user_id, event_id AS receipt_event_id, epoch_us(ts) AS receipt_us
+        FROM events WHERE event_type = 'click'
+    ),
+    -- final event-time watermark of the bounded replay: two watermarked
+    -- inputs, global watermark = min of the per-input maxima (0s delay)
+    wm AS (SELECT least((SELECT max(pay_us) FROM p),
+                        (SELECT max(receipt_us) FROM r)) AS w),
+    m AS (
+        SELECT p.user_id, p.pay_event_id, p.pay_us AS pay_ts_us,
+               r.receipt_event_id, r.receipt_us AS receipt_ts_us,
+               'matched' AS match_tag
+        FROM p JOIN r ON p.user_id = r.user_id
+           AND r.receipt_us BETWEEN p.pay_us - {_TX_BOUND_S * 1_000_000}
+                                AND p.pay_us + {_TX_BOUND_S * 1_000_000}
+    )
+    SELECT * FROM m
+    UNION ALL
+    -- an unmatched row emits (with nulls) once the watermark passes its
+    -- join range; rows whose range is still open at end-of-stream are
+    -- withheld — exactly Spark's outer-join state eviction
+    SELECT user_id, pay_event_id, pay_us, NULL, NULL, 'unmatched_pay'
+    FROM p
+    WHERE pay_event_id NOT IN (SELECT pay_event_id FROM m)
+      AND pay_us + {_TX_BOUND_S * 1_000_000} < (SELECT w FROM wm)
+    UNION ALL
+    SELECT user_id, NULL, NULL, receipt_event_id, receipt_us, 'unmatched_receipt'
+    FROM r
+    WHERE receipt_event_id NOT IN (SELECT receipt_event_id FROM m)
+      AND receipt_us + {_TX_BOUND_S * 1_000_000} < (SELECT w FROM wm)
+    """,
+)
 def q_streaming_tx_reconcile_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-outer stream-stream reconciliation (J2 streaming form).
-    Rows-only check: unmatched rows whose join range is still open at
-    end-of-stream are (correctly) withheld by the watermark, so the
-    bounded replay is a strict subset of the batch full-outer result;
-    the batch `tx_match_reconcile` query is the hash-checked form."""
+    """Full-outer stream-stream reconciliation (J2 streaming form,
+    TxMacthDetect.scala:42-98).  The oracle replicates the watermark
+    semantics of the bounded replay: matches always emit; unmatched
+    rows emit iff the final watermark (min of the two sides' max event
+    times) passed their join range."""
     import os
 
     import pyspark.sql.functions as F
@@ -1552,13 +1589,45 @@ def q_streaming_tx_reconcile_replay(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@query("streaming_order_timeout_replay")
+@query(
+    "streaming_order_timeout_replay",
+    oracle="""
+    WITH wm AS (SELECT epoch_us(max(ts)) - 10000000 AS w FROM events),
+    agg AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS create_us,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS pay_us
+        FROM events GROUP BY user_id
+    ), c AS (
+        SELECT user_id AS order_id,
+          CASE
+            WHEN create_us IS NOT NULL AND pay_us IS NOT NULL THEN
+              CASE WHEN pay_us <= create_us + 21600000000
+                   THEN 'payed successfully'
+                   ELSE 'payed but already timeout' END
+            -- timer outcomes need the final watermark (max ts - 10s)
+            -- past first-event + timeout; pending orders are withheld
+            WHEN create_us IS NOT NULL
+                 AND create_us + 21600000000 < (SELECT w FROM wm)
+                 THEN 'order timeout'
+            WHEN pay_us IS NOT NULL
+                 AND pay_us + 21600000000 < (SELECT w FROM wm)
+                 THEN 'already payed but not found create log'
+          END AS result_msg
+        FROM agg
+    )
+    SELECT order_id, result_msg,
+           result_msg <> 'payed successfully' AS is_timeout
+    FROM c WHERE result_msg IS NOT NULL
+    """,
+)
 def q_streaming_order_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-timeout as a stateful streaming job (applyInPandasWithState
-    with event-time timers).  Bounded replay: orders still pending at
-    end-of-stream never see their timer fire (no further watermark
-    advance), so this is a rows-only check; the batch `order_timeout`
-    query is the hash-checked form of the same semantics."""
+    with event-time timers, OrderTimeoutWithoutCep.scala:33-97).  The
+    oracle mirrors the replay's watermark semantics: both-sides-seen
+    orders classify immediately; single-sided orders classify via the
+    event-time timer only if the final watermark passed first-event +
+    timeout, else they stay pending (withheld)."""
     import os
 
     from userbehavioranalysis_spark.streaming.stateful import order_timeout_stateful
