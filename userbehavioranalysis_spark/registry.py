@@ -1201,7 +1201,56 @@ def _replay_events_stream(spark: SparkSession, sf_dir: str):
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
-def _run_bounded(sdf, name: str, partitions: int = 8):
+def _replay_events_stream_late(spark: SparkSession, sf_dir: str):
+    """events.parquet as TWO ordered micro-batches with genuine late data.
+
+    Every 20th event (pmod(event_id, 20) = 0 — deterministic, ~5%) is
+    held back into the second file, so batch 2 delivers events that are
+    event-time EARLIER than batch 1's watermark high-mark: real
+    allowedLateness-style late arrivals (NetworkFlow.scala:47 W4), not
+    merely out-of-order within a batch.  ``maxFilesPerTrigger=1`` makes
+    the file boundary a micro-batch boundary.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark import schemas as _schemas
+
+    key = (sf_dir, "late-split")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="uba_events_late_")
+        raw = spark.read.schema(_schemas.EVENTS_RAW).parquet(
+            os.path.join(sf_dir, "events.parquet")
+        )
+        for i, frame in enumerate(
+            (
+                raw.where(F.pmod("event_id", F.lit(20)) != 0),
+                raw.where(F.pmod("event_id", F.lit(20)) == 0),
+            )
+        ):
+            tmp = os.path.join(stage, f"tmp{i}")
+            frame.coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            os.rename(
+                os.path.join(tmp, part), os.path.join(stage, f"batch_{i:03d}.parquet")
+            )
+            shutil.rmtree(tmp)
+        _STREAM_STAGE_CACHE[key] = stage
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(_schemas.EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+        .where(F.col("event_id").isNotNull())
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_bounded(sdf, name: str, partitions: int = 8, output_mode: str = "append"):
     import tempfile
 
     from pyspark.sql import SparkSession as _S
@@ -1222,7 +1271,7 @@ def _run_bounded(sdf, name: str, partitions: int = 8):
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -1267,6 +1316,44 @@ def q_streaming_page_view_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     return _run_bounded(
         streaming_page_view(stream, watermark="0 seconds"), "uba_stream_pv"
+    )
+
+
+@query(
+    "streaming_page_view_late_replay",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600 AS window_end,
+           CAST(count(*) AS BIGINT) AS pv_count
+    FROM events
+    WHERE event_type = 'view'
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_page_view_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 allowedLateness semantics (NetworkFlow.scala:47) under REAL
+    late data: ~5% of events arrive in a second micro-batch after the
+    watermark high-mark of the first — the documented mapping is
+    watermark-delay + update mode, where a late arrival re-fires its
+    window with an updated count (the reference re-emits on every late
+    element within allowedLateness).  The watermark delay (2 days >
+    dataset span) admits every late event, so the LAST update per
+    window must equal the batch count over all events — final-state
+    equivalence, which the oracle asserts.  Counts are monotone, so
+    max() selects the final re-fire per window.
+    """
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.streaming.jobs import streaming_page_view
+
+    stream = _replay_events_stream_late(spark, sf_dir)
+    updates = _run_bounded(
+        streaming_page_view(stream, watermark="2 days"),
+        "uba_stream_pv_late",
+        output_mode="update",
+    )
+    return updates.groupBy("window_start", "window_end").agg(
+        F.max("pv_count").alias("pv_count")
     )
 
 
