@@ -66,6 +66,15 @@ def events_with_item(df: DataFrame) -> DataFrame:
     )
 
 
+def _event_ts(ts_col: str, ts_unit: str):
+    """TimestampType event time from a raw epoch column (s or ms)."""
+    if ts_unit == "s":
+        return F.col(ts_col).cast("timestamp")
+    if ts_unit == "ms":
+        return (F.col(ts_col) / F.lit(1000.0)).cast("timestamp")
+    raise ValueError(f"unknown ts_unit {ts_unit!r}")
+
+
 def read_csv_events(
     spark: SparkSession, path: str, schema, ts_col: str = "ts", ts_unit: str = "s"
 ) -> DataFrame:
@@ -79,13 +88,28 @@ def read_csv_events(
     """
     df = spark.read.csv(path, schema=schema, sep=",", ignoreLeadingWhiteSpace=True,
                         ignoreTrailingWhiteSpace=True)
-    if ts_unit == "s":
-        ts = F.col(ts_col).cast("timestamp")
-    elif ts_unit == "ms":
-        ts = (F.col(ts_col) / F.lit(1000.0)).cast("timestamp")
-    else:
-        raise ValueError(f"unknown ts_unit {ts_unit!r}")
-    return df.withColumn("event_ts", ts)
+    return df.withColumn("event_ts", _event_ts(ts_col, ts_unit))
+
+
+def parse_csv_values(
+    df: DataFrame, schema, ts_col: str = "ts", ts_unit: str = "s"
+) -> DataFrame:
+    """Parse a Kafka-style ``value: string`` column into typed columns.
+
+    The streaming twin of :func:`read_csv_events` — the reference maps
+    each consumed Kafka line through ``split(",") + trim + cast``
+    (`HotItems.scala:45-48`); here that parse is column expressions over
+    the value column, shared by the real ``kafka_events`` stream and the
+    file-backed topic fake, so the parse logic S1 depends on is
+    exercised even without a broker.  Works on batch and streaming
+    DataFrames alike.
+    """
+    parts = F.split(F.col("value"), ",")
+    cols = [
+        F.trim(parts.getItem(i)).cast(f.dataType).alias(f.name)
+        for i, f in enumerate(schema.fields)
+    ]
+    return df.select(*cols).withColumn("event_ts", _event_ts(ts_col, ts_unit))
 
 
 def read_apache_log(spark: SparkSession, path: str) -> DataFrame:

@@ -82,6 +82,36 @@ def kafka_feeder(
     )
 
 
+def file_topic_feeder(
+    df: DataFrame, topic_dir: str, value_cols: list[str] | None = None
+) -> None:
+    """File-backed stand-in for ``kafka_feeder`` (S4) — same record
+    contract (CSV-serialized ``value`` strings, appended to a log), with
+    a text directory playing the topic.  Serialization is byte-identical
+    to ``kafka_feeder``'s (`concat_ws(",")` over cast columns), so the
+    round-trip exercises everything but the broker transport.
+    """
+    cols = value_cols or df.columns
+    (
+        df.select(
+            F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("value")
+        )
+        .write.mode("append")
+        .format("text")
+        .save(topic_dir)
+    )
+
+
+def file_topic_events(spark: SparkSession, topic_dir: str) -> DataFrame:
+    """File-backed stand-in for ``kafka_events`` (S1): a streaming
+    DataFrame with the same single ``value: string`` column shape the
+    Kafka source produces, read from a ``file_topic_feeder`` directory.
+    Downstream parsing (``sources.readers.parse_csv_values``) is shared
+    with the real Kafka path, so swapping the fake for a broker is a
+    one-line source change."""
+    return spark.readStream.format("text").load(topic_dir)
+
+
 BEHAVIORS = ("CLICK", "DOWNLOAD", "INSTALL", "UNISTALL")  # sic — ref :49
 CHANNELS = ("wechat", "weibo", "appstore", "huaweistore")
 
