@@ -180,3 +180,22 @@ def test_simhash_blocking_strategies_agree(spark):
     }
     assert blocked == allpairs
     assert (0, 3, 0) in allpairs  # exact dup pair at hamming 0
+
+
+def test_dedup_clusters_components_and_canonicals(spark):
+    from userbehavioranalysis_spark.operators.dedup import dedup_clusters
+
+    # chain 1-2-3 (+ redundant 1-3), isolated pair 10-11, and a LONG
+    # chain 100..140 whose diameter (40) exceeds max_iters (16) unless
+    # pointer jumping actually doubles the propagation radius per round
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11)]
+    pairs += [(i, i + 1) for i in range(100, 140)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup_clusters(df).collect()
+    }
+    assert got[1] == (1, True) and got[2] == (1, False) and got[3] == (1, False)
+    assert got[10] == (10, True) and got[11] == (10, False)
+    assert all(got[i] == (100, i == 100) for i in range(100, 141))
+    assert len(got) == 3 + 2 + 41

@@ -558,6 +558,46 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_pairs(_tables(spark, sf_dir)["documents"])
 
 
+# transitive closure over the simhash pair graph: the oracle's
+# recursive CTE computes exact min-reachable-id components, which the
+# Spark pointer-jumping label propagation must reproduce exactly
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE sk AS (
+        SELECT doc_id, {_T.simhash_duck(63)} AS simhash
+        FROM (
+            SELECT doc_id,
+                   list_transform(list_distinct({_T.TOKENS_DUCK}), w -> {_T.h64_duck('w')})
+                       AS word_hashes
+            FROM documents
+        )
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+        SELECT a AS doc, a AS r FROM edges
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc
+    )
+    SELECT doc AS doc_id, min(r) AS cluster_id,
+           (doc = min(r)) AS is_canonical
+    FROM reach GROUP BY doc
+"""
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: simhash pairs → connected components →
+    (doc, cluster, canonical keep flag) — the keep/drop decision step
+    of a corpus cleaning pipeline."""
+    pairs = _dedup.simhash_pairs(_tables(spark, sf_dir)["documents"])
+    return _dedup.dedup_clusters(pairs)
+
+
 _NGRAM_ORACLE = f"""
     WITH sh0 AS (
         SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
