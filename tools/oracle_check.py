@@ -19,7 +19,6 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from userbehavioranalysis_spark import get_spark  # noqa: E402
 from userbehavioranalysis_spark.registry import ORACLES, QUERIES  # noqa: E402
 from userbehavioranalysis_spark.schemas import TESTDATA_TABLES  # noqa: E402
 
@@ -48,7 +47,20 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or list(QUERIES)
 
-    spark = get_spark("oracle-check")
+    # VANILLA session, like the driver's harness — deliberately not
+    # get_spark(), so any dependence on our session defaults (legacy
+    # parquet confs, timezone, broadcast thresholds) fails HERE first.
+    # Only the UI/progress knobs and master are set.
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("oracle-check")
+        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
