@@ -199,3 +199,40 @@ def test_dedup_clusters_components_and_canonicals(spark):
     assert got[10] == (10, True) and got[11] == (10, False)
     assert all(got[i] == (100, i == 100) for i in range(100, 141))
     assert len(got) == 3 + 2 + 41
+
+
+def test_dedup_clusters_matches_union_find_property(spark):
+    """Random pair graphs: the distributed CC must equal a plain
+    union-find's components exactly (cluster id = min member)."""
+    import random
+
+    from userbehavioranalysis_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randint(5, 60)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randint(1, 2 * n))
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        in_pairs = {x for p in pairs for x in p}
+        expect = {x: find(x) for x in in_pairs}
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["cluster_id"] for r in dedup_clusters(df).collect()
+        }
+        assert got == expect, f"trial {trial}: {got} != {expect}"
