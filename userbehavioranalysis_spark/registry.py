@@ -1291,6 +1291,7 @@ def _replay_events_stream_late(spark: SparkSession, sf_dir: str):
 
 
 def _run_bounded(sdf, name: str, partitions: int = 8, output_mode: str = "append"):
+    import shutil
     import tempfile
 
     from pyspark.sql import SparkSession as _S
@@ -1326,6 +1327,10 @@ def _run_bounded(sdf, name: str, partitions: int = 8, output_mode: str = "append
             raise TimeoutError(f"streaming replay {name!r} exceeded 300s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # bounded replay into a memory sink: the checkpoint has no
+        # recovery value once the query terminated — don't leak a state
+        # dir per call under repeated driver runs
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -1341,14 +1346,16 @@ def _run_bounded(sdf, name: str, partitions: int = 8, output_mode: str = "append
         GROUP BY 1, 2
     )
     SELECT * FROM agg
-    WHERE window_end <= (SELECT epoch(max(ts)) FROM events)
+    WHERE window_end <= (SELECT epoch(max(ts)) FROM events
+                         WHERE event_type = 'view')
     """,
 )
 def q_streaming_page_view_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageView as a real Structured Streaming job: parquet file stream →
-    watermark → windowed count → append-mode memory sink.  Append mode
-    emits exactly the watermark-closed windows, which the oracle
-    replicates with the max-event-time bound."""
+    filter → watermark → windowed count → append-mode memory sink.
+    Append mode emits exactly the watermark-closed windows; the
+    watermark is defined by the filtered (view) stream, so the oracle
+    bounds closure on the max *view* event time."""
     import os
 
     from userbehavioranalysis_spark.streaming.jobs import streaming_page_view
@@ -1409,12 +1416,14 @@ def q_streaming_page_view_late_replay(spark: SparkSession, sf_dir: str) -> DataF
         GROUP BY 1, 2
     )
     SELECT * FROM agg
-    WHERE window_end <= (SELECT epoch(max(ts)) FROM events)
+    WHERE window_end <= (SELECT epoch(max(ts)) FROM events
+                         WHERE event_type = 'view')
     """,
 )
 def q_streaming_uv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct UV as a streaming windowed agg (append mode emits
-    watermark-closed windows; oracle bounds on max event time)."""
+    watermark-closed windows; the watermark is defined by the filtered
+    view stream, so the oracle bounds on max *view* event time)."""
     import os
 
     from userbehavioranalysis_spark.streaming.jobs import streaming_unique_visitors

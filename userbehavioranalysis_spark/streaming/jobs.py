@@ -38,9 +38,14 @@ def streaming_page_view(
     view_type: str = "view",
     ts_col: str = "ts",
 ) -> DataFrame:
+    # filter BEFORE the watermark: the watermark must be defined by the
+    # view stream itself (Catalyst pushes the filter below the watermark
+    # node anyway — making it explicit pins the semantics rather than
+    # relying on the optimizer's choice, and the append-mode closure
+    # bound in the oracle is then max *view* event time)
     return (
-        events.withWatermark(ts_col, watermark)
-        .filter(F.col("event_type") == view_type)
+        events.filter(F.col("event_type") == view_type)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window))
         .agg(F.count(F.lit(1)).alias("pv_count"))
         .select(
@@ -59,8 +64,9 @@ def streaming_unique_visitors(
     approx: bool = False,
     ts_col: str = "ts",
 ) -> DataFrame:
-    filtered = events.withWatermark(ts_col, watermark).filter(
-        F.col("event_type") == view_type
+    # filter before the watermark — same reasoning as streaming_page_view
+    filtered = events.filter(F.col("event_type") == view_type).withWatermark(
+        ts_col, watermark
     )
     if approx:
         agged = filtered.groupBy(F.window(ts_col, window)).agg(
