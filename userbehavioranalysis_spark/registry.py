@@ -1474,6 +1474,115 @@ def q_streaming_marketing_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_marketing_channel_replay",
+    oracle="""
+    WITH w AS (
+        SELECT (CAST(floor(epoch(ts) / 600) AS BIGINT) - g.i) * 600 AS window_start,
+               e.*
+        FROM events e CROSS JOIN generate_series(0, 5) g(i)
+        WHERE event_type <> 'UNINSTALL'
+    ), agg AS (
+        SELECT window_start, window_start + 3600 AS window_end,
+               event_type AS channel,
+               CAST(count(*) AS BIGINT) AS mkt_count
+        FROM w GROUP BY 1, 2, 3
+    )
+    SELECT * FROM agg
+    WHERE window_end <= (SELECT epoch(max(ts)) FROM events
+                         WHERE event_type <> 'UNINSTALL')
+    """,
+)
+def q_streaming_marketing_channel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Win6 streaming form: keyed sliding count by channel
+    (AppMarketingByChannel.scala:24-42) as an append-mode windowed agg;
+    oracle bounds closure on the filtered stream's max event time."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    counts = (
+        stream.filter(F.col("event_type") != "UNINSTALL")
+        .withWatermark("ts", "0 seconds")
+        .groupBy(
+            F.window("ts", "1 hour", "10 minutes"),
+            F.col("event_type").alias("channel"),
+        )
+        .agg(F.count(F.lit(1)).alias("mkt_count"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            F.col("window.end").cast("long").alias("window_end"),
+            "channel",
+            "mkt_count",
+        )
+    )
+    return _run_bounded(counts, "uba_stream_mktch")
+
+
+@query(
+    "streaming_ad_geo_replay",
+    oracle="""
+    WITH w AS (
+        SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - g.i) * 300 AS window_start,
+               e.*
+        FROM events e CROSS JOIN generate_series(0, 11) g(i)
+        WHERE e.event_type = 'click'
+    ), agg AS (
+        SELECT window_start, window_start + 3600 AS window_end,
+               n_name AS nation,
+               CAST(count(*) AS BIGINT) AS click_count
+        FROM w
+        JOIN customer ON w.user_id = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3
+    )
+    SELECT * FROM agg
+    WHERE window_end <= (SELECT epoch(max(ts)) FROM events
+                         WHERE event_type = 'click')
+    """,
+)
+def q_streaming_ad_geo_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Win8/geo streaming form: STREAM-STATIC join — the click stream
+    broadcast-joins the static customer/nation dims (stateless, the
+    production enrich-then-aggregate pattern), then a keyed sliding
+    windowed count in append mode (AdStatisticsByGeo.scala:24-44
+    semantics over the testdata geography)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    t = _tables(spark, sf_dir)
+    stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    enriched = (
+        stream.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "0 seconds")
+        .join(
+            F.broadcast(
+                t["customer"].join(
+                    t["nation"],
+                    t["customer"]["c_nationkey"] == t["nation"]["n_nationkey"],
+                ).select(
+                    F.col("c_custkey").alias("user_id"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            "user_id",
+        )
+    )
+    counts = (
+        enriched.groupBy(F.window("ts", "1 hour", "5 minutes"), "nation")
+        .agg(F.count(F.lit(1)).alias("click_count"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            F.col("window.end").cast("long").alias("window_end"),
+            "nation",
+            "click_count",
+        )
+    )
+    return _run_bounded(counts, "uba_stream_adgeo")
+
+
+@query(
     "streaming_hot_items_replay",
     oracle="""
     WITH w AS (
