@@ -236,3 +236,28 @@ def test_dedup_clusters_matches_union_find_property(spark):
             r["doc_id"]: r["cluster_id"] for r in dedup_clusters(df).collect()
         }
         assert got == expect, f"trial {trial}: {got} != {expect}"
+
+
+def test_wav_round_trip_real_decoder(spark):
+    """The audio path is NOT a stub: real RIFF/WAV bytes parsed back by
+    the stdlib wave module must reproduce the synthesis parameters."""
+    import io
+    import wave
+
+    from userbehavioranalysis_spark.operators.multimodal import (
+        audio_features,
+        synthetic_wav_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "x" * 123), (20042, "y" * 955)], "doc_id long, text string"
+    ).withColumn("n_chars", __import__("pyspark.sql.functions", fromlist=["f"]).length("text").cast("long"))
+    media = synthetic_wav_media(docs)
+    payload = media.orderBy("media_id").first()["payload"]
+    # independently verify the payload is a well-formed WAV container
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        assert (w.getframerate(), w.getnchannels(), w.getsampwidth()) == (8000, 1, 2)
+    got = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert got[7]["n_frames"] == 800 + 123 and got[7]["peak"] == got[7]["rms"] == 1007
+    assert got[20042]["n_frames"] == 800 + 955 % 800
+    assert got[20042]["peak"] == 1000 + 20042 % 20000 == 1042

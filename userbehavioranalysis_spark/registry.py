@@ -880,6 +880,33 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthetic_media(_tables(spark, sf_dir)["documents"]))
 
 
+@query(
+    "audio_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           8000 AS sample_rate,
+           1 AS n_channels,
+           CAST(800 + (n_chars % 800) AS BIGINT) AS n_frames,
+           CAST(1000 + (doc_id % 20000) AS INTEGER) AS peak,
+           CAST(1000 + (doc_id % 20000) AS INTEGER) AS rms
+    FROM documents
+    """,
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal round-trip, no stub: deterministic square-wave
+    PCM → RIFF/WAV bytes (stdlib ``wave``) → binary payload column →
+    mapInPandas decode back to (rate, channels, frames, peak, rms).
+    Every sample is ±A exactly, so peak = rms = A and the features are
+    integer-derivable from (doc_id, n_chars) — which is what the oracle
+    computes independently, proving the encode→decode round-trip."""
+    from userbehavioranalysis_spark.operators.multimodal import (
+        audio_features,
+        synthetic_wav_media,
+    )
+
+    return audio_features(synthetic_wav_media(_tables(spark, sf_dir)["documents"]))
+
+
 # --------------------------------------------------------------------------
 # Relational plans (bench headliners; TPC-H shapes)
 # --------------------------------------------------------------------------
