@@ -261,3 +261,26 @@ def test_wav_round_trip_real_decoder(spark):
     assert got[7]["n_frames"] == 800 + 123 and got[7]["peak"] == got[7]["rms"] == 1007
     assert got[20042]["n_frames"] == 800 + 955 % 800
     assert got[20042]["peak"] == 1000 + 20042 % 20000 == 1042
+
+
+def test_bmp_round_trip_real_decoder(spark):
+    """The image path round-trips genuine BMP bytes: header magic,
+    dimensions, stride padding and pixel means all decoded for real."""
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.multimodal import (
+        image_features,
+        synthetic_bmp_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "a" * 7), (260, "b" * 33)], "doc_id long, text string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    media = synthetic_bmp_media(docs)
+    payload = bytes(media.orderBy("media_id").first()["payload"])
+    assert payload[:2] == b"BM"  # real RIFF... BMP magic
+    got = {r["media_id"]: r for r in image_features(media).collect()}
+    # doc 3: w=8+7=15 (odd width exercises stride padding), h=8+3, gray=3
+    assert (got[3]["width"], got[3]["height"], got[3]["mean_intensity"]) == (15, 11, 3)
+    # doc 260: gray=260%256=4, h=8+260%32=12, w=8+33%32=9
+    assert (got[260]["width"], got[260]["height"], got[260]["mean_intensity"]) == (9, 12, 4)

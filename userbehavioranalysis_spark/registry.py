@@ -907,6 +907,30 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(synthetic_wav_media(_tables(spark, sf_dir)["documents"]))
 
 
+@query(
+    "image_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8 + (n_chars % 32) AS INTEGER) AS width,
+           CAST(8 + (doc_id % 32) AS INTEGER) AS height,
+           CAST(doc_id % 256 AS INTEGER) AS mean_intensity
+    FROM documents
+    """,
+)
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image round-trip: 24-bit uncompressed BMP bytes (struct-
+    packed headers + padded BGR rows) → binary payload → mapInPandas
+    header/pixel decode.  Solid-gray synthesis makes the decoded mean
+    intensity integer-exact, so the oracle derives everything from
+    (doc_id, n_chars) independently."""
+    from userbehavioranalysis_spark.operators.multimodal import (
+        image_features,
+        synthetic_bmp_media,
+    )
+
+    return image_features(synthetic_bmp_media(_tables(spark, sf_dir)["documents"]))
+
+
 # --------------------------------------------------------------------------
 # Relational plans (bench headliners; TPC-H shapes)
 # --------------------------------------------------------------------------
