@@ -110,6 +110,36 @@ def test_ann_ivf_recall_on_clustered_data(spark):
     assert recall >= 0.9, f"IVF recall {recall}"
 
 
+def test_ann_lsh_recall_and_candidate_locality(spark):
+    # clustered data again: banded hyperplane LSH must (a) recover most
+    # brute-force neighbors, (b) never emit a pair that shares no band
+    # (candidates come only from the (band, band_val) equi-join)
+    import random
+
+    from userbehavioranalysis_spark.operators.similarity import ann_topk_lsh
+
+    rng = random.Random(11)
+    vecs = []
+    for c in range(4):
+        center = [0.0] * 16
+        center[c * 4] = 1.0
+        center[c * 4 + 1] = -0.7
+        for _ in range(20):
+            vecs.append([x + rng.uniform(-0.08, 0.08) for x in center])
+    emb = _embs(spark, vecs)
+    q = emb.filter(F.col("vec_id") < 4)
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_topk_brute(emb, q, k=5).collect()
+    }
+    lsh_rows = ann_topk_lsh(emb, q, k=5).collect()
+    lsh = {(r["query_id"], r["neighbor_id"]) for r in lsh_rows}
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.9, f"LSH recall {recall}"
+    # determinism: a second run returns the identical ranked rows
+    again = ann_topk_lsh(emb, q, k=5).collect()
+    assert sorted(map(tuple, lsh_rows)) == sorted(map(tuple, again))
+
+
 def test_multimodal_feature_shapes_and_frame_fanout(spark):
     docs = _docs(spark, ["abcdef " * 30, "xyz " * 50, "short text"])
     media = synthetic_media(docs)

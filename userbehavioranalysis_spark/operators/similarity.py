@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (build-brief extension).
 
-Two paths with identical semantics and a shared cosine kernel:
+Three paths with identical output shape and a shared cosine kernel:
 
 - ``ann_topk_brute``   exact top-k by cosine — the correctness baseline
   and the oracle-checkable form.  A broadcast of the (small) query set
@@ -11,6 +11,13 @@ Two paths with identical semantics and a shared cosine kernel:
   so the per-query candidate set shrinks by ~|clusters|/n_probe.  At
   100 TB the corpus is bucketed by cluster id on disk, making a probe a
   partition-pruned scan instead of a full pass.
+- ``ann_topk_lsh``     the second scale path: random-hyperplane LSH.
+  Unlike IVF it needs no training pass, and unlike most LSH builds it
+  is **exactly reproducible across engines**: embeddings are quantized
+  to integers (round(x·1e6)) and hyperplanes are integers derived from
+  a Knuth-LCG formula, so every signature bit is exact 64-bit integer
+  arithmetic — no float summation order to diverge — and a DuckDB
+  oracle hash-matches the full candidate set and ranking.
 
 All vector math is columnar (``aggregate``/``zip_with`` folds over
 ``array<double>``) — JVM codegen, no UDFs, deterministic fold order so
@@ -240,6 +247,98 @@ def _assign_udf(cmat):
         return pd.Series(np.argmax(mn @ cn.T, axis=1).astype("int32"))
 
     return assign
+
+
+def _lsh_bands(df: DataFrame, id_col: str, n_planes: int, band_bits: int) -> DataFrame:
+    """(id, band, band_val) rows — one per LSH band of each vector.
+
+    Signature bit ``p`` is ``sign(Σ_d qint[d] · plane(p,d))`` where
+    ``qint[d] = round(embedding[d]·1e6)`` and
+    ``plane(p,d) = ((p·64+d)·2654435761) mod 2³² − 2³¹`` — a Knuth
+    multiplicative-hash hyperplane.  All integer math (max |term| ≈
+    2·10¹⁵, ×64 dims ≈ 10¹⁷ ≪ 2⁶³), evaluated by a JVM higher-order
+    ``aggregate`` fold: exact, order-independent, and reproducible
+    verbatim in the DuckDB oracle.  Bits are grouped ``band_bits`` per
+    band; two vectors are candidates iff some band value collides.
+    """
+    dims = "size(embedding)"
+    bits = (
+        f"transform(sequence(0, {n_planes - 1}), p -> "
+        f"  aggregate(sequence(0, {dims} - 1), cast(0 as bigint), "
+        "    (acc, d) -> acc + cast(round(element_at(embedding, d + 1) * 1000000) as bigint)"
+        "      * (pmod((p * 64 + d) * 2654435761, 4294967296) - 2147483648)) > 0)"
+    )
+    n_bands = n_planes // band_bits
+    band_val = " + ".join(
+        f"if(element_at(sig, b * {band_bits} + {j} + 1), {1 << j}, 0)"
+        for j in range(band_bits)
+    )
+    return (
+        df.withColumn("sig", F.expr(bits))
+        .select(
+            F.col("vec_id").alias(id_col),
+            F.posexplode(
+                F.expr(f"transform(sequence(0, {n_bands - 1}), b -> {band_val})")
+            ).alias("band", "band_val"),
+        )
+    )
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 16,
+    band_bits: int = 4,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates share ≥1 band bucket.
+
+    Banded random-hyperplane LSH (the signature/banding scheme of
+    MinHash-LSH applied to cosine space): corpus and queries get
+    ``n_planes``-bit hyperplane signatures, split into bands of
+    ``band_bits`` bits; a corpus vector is a candidate for a query iff
+    some band value matches (equi-join on ``(band, band_val)`` — never
+    all-pairs).  Exact cosine + rank runs within candidates only, same
+    output shape as ``ann_topk_brute``; recall < 1 by construction but
+    the *candidate set itself is deterministic*, so a DuckDB oracle
+    reproduces the result exactly (hash-checkable, unlike IVF).
+
+    Scale: at 100 TB the corpus band table is written bucketed by
+    ``(band, band_val)`` so a query probes ``n_bands`` buckets —
+    partition-pruned scans, ~``n_bands/2^band_bits`` of the corpus.
+    Raise ``band_bits`` (and planes) to shrink buckets; recall is
+    recovered by more bands, the standard S-curve trade.  The query
+    side is broadcast throughout; the corpus is touched by exactly two
+    map-side stages (banding, rerank join).
+    """
+    q_bands = _lsh_bands(queries, "query_id", n_planes, band_bits)
+    c_bands = _lsh_bands(embeddings, "neighbor_id", n_planes, band_bits)
+    cand = (
+        c_bands.join(F.broadcast(q_bands), on=["band", "band_val"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = _normed(queries, "query_id", "qv")
+    c = _normed(embeddings, "neighbor_id", "cv")
+    scored = (
+        cand.join(F.broadcast(q), on="query_id")
+        .join(c, on="neighbor_id")
+        .withColumn(
+            "cosine_r6",
+            F.round(
+                F.expr(_DOT) / (F.col("query_id_norm") * F.col("neighbor_id_norm")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine_r6", F.col("rank").cast("int").alias("rank")
+        )
+    )
 
 
 def ann_topk_ivf(

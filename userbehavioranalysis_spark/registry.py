@@ -690,6 +690,56 @@ def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_brute(emb, emb.filter(F.col("vec_id") < 5))
 
 
+@query(
+    "ann_topk_lsh",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ve,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000000) AS BIGINT)) AS qint
+        FROM embeddings
+    ), dots AS (
+        -- integer hyperplane dot: exact, order-independent, matches the
+        -- Spark aggregate() fold bit-for-bit (operators/similarity.py)
+        SELECT vec_id, t.p,
+               list_sum(list_transform(range(0, len(qint)),
+                   d -> qint[d + 1] *
+                        (((t.p * 64 + d) * 2654435761) % 4294967296 - 2147483648))) AS dot
+        FROM v CROSS JOIN range(0, 16) t(p)
+    ), bands AS (
+        SELECT vec_id, p // 4 AS band,
+               CAST(sum(CASE WHEN dot > 0 THEN (1 << (p % 4)) ELSE 0 END) AS BIGINT) AS band_val
+        FROM dots GROUP BY vec_id, p // 4
+    ), cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM bands q JOIN bands c ON q.band = c.band AND q.band_val = c.band_val
+        WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+    ), scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_sum(list_transform(range(1, len(q.ve) + 1),
+                                             i -> q.ve[i] * c.ve[i]))
+                     / (q.nrm * c.nrm), 6) AS cosine_r6
+        FROM cand JOIN v q ON q.vec_id = cand.query_id
+                  JOIN v c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_r6, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_r6 DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.similarity import ann_topk_lsh
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    return ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 5))
+
+
 # IVF is approximate by construction: recall measured vs brute force in
 # tests; driver records a rows-only check.
 @query("ann_topk_ivf")
