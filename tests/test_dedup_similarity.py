@@ -314,3 +314,35 @@ def test_bmp_round_trip_real_decoder(spark):
     assert (got[3]["width"], got[3]["height"], got[3]["mean_intensity"]) == (15, 11, 3)
     # doc 260: gray=260%256=4, h=8+260%32=12, w=8+33%32=9
     assert (got[260]["width"], got[260]["height"], got[260]["mean_intensity"]) == (9, 12, 4)
+
+
+def test_avi_round_trip_real_decoder(spark):
+    """The video path round-trips a genuine RIFF/AVI container: magic,
+    chunk tree, avih metadata and per-frame DIB pixels decoded for
+    real, with every-2nd-frame sampling."""
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.multimodal import (
+        synthetic_avi_media,
+        video_frame_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(5, "a" * 7), (300, "b" * 21)], "doc_id long, text string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    media = synthetic_avi_media(docs)
+    payload = bytes(media.orderBy("media_id").first()["payload"])
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    rows = video_frame_features(media, step=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["media_id"], []).append(r)
+    # doc 5: n_frames=2+5%6=7 -> sampled frames 0,2,4,6; w=8+7=15 (odd
+    # stride), h=8+5=13; frame f gray=(5+17f)%256
+    f5 = sorted(by_doc[5], key=lambda r: r["frame_no"])
+    assert [r["frame_no"] for r in f5] == [0, 2, 4, 6]
+    assert all((r["width"], r["height"], r["n_frames"], r["fps"]) == (15, 13, 7, 10) for r in f5)
+    assert [r["intensity"] for r in f5] == [(5 + 17 * f) % 256 for f in (0, 2, 4, 6)]
+    # doc 300: n_frames=2+300%6=2 -> only frame 0; gray=300%256=44
+    f300 = by_doc[300]
+    assert len(f300) == 1 and f300[0]["frame_no"] == 0 and f300[0]["intensity"] == 44

@@ -981,6 +981,40 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synthetic_bmp_media(_tables(spark, sf_dir)["documents"]))
 
 
+@query(
+    "video_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(f AS INTEGER) AS frame_no,
+           CAST(8 + (n_chars % 16) AS INTEGER) AS width,
+           CAST(8 + (doc_id % 16) AS INTEGER) AS height,
+           CAST(2 + (doc_id % 6) AS INTEGER) AS n_frames,
+           10 AS fps,
+           CAST((doc_id + 17 * f) % 256 AS INTEGER) AS intensity
+    FROM (
+        SELECT doc_id, n_chars,
+               unnest(range(0, 2 + (doc_id % 6), 2)) AS f
+        FROM documents
+    )
+    """,
+)
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video round-trip: minimal standard RIFF/AVI bytes (struct-
+    packed avih/strh/strf headers + movi list of uncompressed DIB
+    frames) → binary payload → mapInPandas chunk-tree parse + per-frame
+    pixel decode, sampling every 2nd frame.  Solid-gray frames make each
+    sampled frame's decoded mean intensity integer-exact, so the oracle
+    derives all features from (doc_id, n_chars) independently."""
+    from userbehavioranalysis_spark.operators.multimodal import (
+        synthetic_avi_media,
+        video_frame_features,
+    )
+
+    return video_frame_features(
+        synthetic_avi_media(_tables(spark, sf_dir)["documents"]), step=2
+    )
+
+
 # --------------------------------------------------------------------------
 # Relational plans (bench headliners; TPC-H shapes)
 # --------------------------------------------------------------------------
