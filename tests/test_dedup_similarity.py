@@ -268,6 +268,52 @@ def test_dedup_clusters_matches_union_find_property(spark):
         assert got == expect, f"trial {trial}: {got} != {expect}"
 
 
+def test_pii_redact_counts_and_masking(spark):
+    import hashlib
+
+    from userbehavioranalysis_spark.operators.text_analysis import pii_redact
+
+    docs = _docs(
+        spark,
+        [
+            "mail bob.smith+x@corp.example.org or admin@sub.example.co now",
+            "server at 192.168.1.200 and 10.0.0.7 responded",
+            "nothing sensitive here",
+        ],
+    )
+    got = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert (got[0]["n_emails"], got[0]["n_ips"]) == (2, 0)
+    assert (got[1]["n_emails"], got[1]["n_ips"]) == (0, 2)
+    assert (got[2]["n_emails"], got[2]["n_ips"]) == (0, 0)
+    expect = "mail <EMAIL> or <EMAIL> now"
+    assert got[0]["redacted_md5"] == hashlib.md5(expect.encode()).hexdigest()
+    assert got[0]["redacted_len"] == len(expect)
+    assert got[1]["redacted_md5"] == hashlib.md5(
+        b"server at <IP> and <IP> responded"
+    ).hexdigest()
+
+
+def test_curate_sample_gate_and_cap(spark):
+    import hashlib
+
+    from userbehavioranalysis_spark.operators.text_analysis import curate_sample
+
+    texts = [f"word{i} " + "the a of and filler text here" for i in range(40)]
+    docs = _docs(spark, texts).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("fr")
+    )
+    rows = curate_sample(docs, hash_prefix_max="7f", per_lang=3).collect()
+    # gate: only md5-prefix <= 7f docs can appear (~half)
+    for r in rows:
+        assert hashlib.md5(texts[r["doc_id"]].encode()).hexdigest()[:2] <= "7f"
+    # cap: at most 3 per language, ranks 1..n contiguous
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["lang_rank"])
+    for ranks in by_lang.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
+
+
 def test_wav_round_trip_real_decoder(spark):
     """The audio path is NOT a stub: real RIFF/WAV bytes parsed back by
     the stdlib wave module must reproduce the synthesis parameters."""

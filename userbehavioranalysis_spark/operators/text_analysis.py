@@ -5,6 +5,10 @@ extension; the reference has no document processing).
 - ``quality_score``   length / punctuation / stopword-ratio scoring
 - ``token_counts``    whitespace + BPE-ish regex token counting
 - ``fingerprints``    min-k rolling document fingerprint (winnowing-style)
+- ``pii_redact``      count + mask email/IPv4 literals (regexp, all-matches)
+- ``curate_sample``   deterministic md5-prefix corpus sample with a
+  per-language quality-ranked cap — the "assemble a balanced training
+  slice" step of a curation pipeline
 
 Everything is Catalyst column expressions over the scan — per-document,
 embarrassingly parallel, no shuffle at all (these are map-only jobs at
@@ -100,6 +104,67 @@ def token_counts(documents: DataFrame) -> DataFrame:
             f"cast(size(regexp_extract_all(text, '{_BPE_REGEX}', 0)) as bigint)"
         ).alias("bpe_tokens"),
         F.expr("cast(length(text) as bigint)").alias("n_chars"),
+    )
+
+
+# PII patterns chosen for identical semantics under Java regex (Spark)
+# and RE2 (DuckDB): plain character classes, no lookaround/backrefs.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+
+def pii_redact(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and mask email / IPv4 literals in a text column.
+
+    The standard pre-training scrub step: all matches replaced
+    (``<EMAIL>`` / ``<IP>``), counts kept for audit.  Pure columnar
+    ``regexp_count``/``regexp_replace`` — map-only at any scale, and
+    the md5 of the redacted text makes the whole transform
+    hash-checkable, not just the counts.  Returns (doc_id, n_emails,
+    n_ips, redacted_len, redacted_md5).
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+    return documents.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("bigint").alias("n_ips"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+        F.md5(F.encode(redacted, "utf-8")).alias("redacted_md5"),
+    )
+
+
+def curate_sample(
+    documents: DataFrame, hash_prefix_max: str = "28", per_lang: int = 25
+) -> DataFrame:
+    """Deterministic curation sample: hash-gate then per-language cap.
+
+    Two standard curation moves composed: (1) a reproducible ~16 %
+    corpus sample via md5(text) hex-prefix ≤ ``hash_prefix_max`` — the
+    content-hash sampling used in corpus dedup/ablation studies (no
+    rand(), so every engine and every rerun selects the same docs);
+    (2) a per-language quality-ranked cap (``row_number ≤ per_lang`` by
+    quality score) for language balance.  Returns (doc_id, lang,
+    score_r4, lang_rank).
+
+    Scale: the hash gate is a pushable map-side filter that drops ~84 %
+    of the corpus *before* the only shuffle (the per-language rank);
+    language cardinality is tiny so the window never skews.
+    """
+    from pyspark.sql import Window
+
+    q = quality_score(documents).select("doc_id", "score_r4")
+    gated = documents.filter(
+        F.substring(F.md5(F.encode(F.col("text"), "utf-8")), 1, 2) <= hash_prefix_max
+    ).select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("score_r4"), F.asc("doc_id"))
+    return (
+        gated.join(q, on="doc_id")
+        .withColumn("lang_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("lang_rank") <= per_lang)
+        .select("doc_id", "lang", "score_r4", "lang_rank")
     )
 
 

@@ -789,6 +789,91 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pii_redact",
+    oracle="""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || CASE doc_id % 3
+                   WHEN 0 THEN ' contact: user' || doc_id::VARCHAR || '@example.com'
+                   WHEN 1 THEN ' from 10.0.' || (doc_id % 200)::VARCHAR || '.'
+                               || (doc_id % 250)::VARCHAR
+                   ELSE '' END AS text
+        FROM documents
+    ), red AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(text,
+                   '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS n_ips,
+               regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g') AS redacted
+        FROM seeded
+    )
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails, CAST(n_ips AS BIGINT) AS n_ips,
+           CAST(length(redacted) AS BIGINT) AS redacted_len,
+           md5(redacted) AS redacted_md5
+    FROM red
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub demo over a deterministically seeded dirty corpus: the
+    synthetic documents carry no natural PII, so every 3rd doc gets an
+    email and every 3rd an IPv4 appended (derived from doc_id — the
+    oracle seeds identically), then the generic redactor counts and
+    masks them.  Hash-checked down to the md5 of the redacted text."""
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.text_analysis import pii_redact
+
+    docs = _tables(spark, sf_dir)["documents"]
+    seeded = docs.withColumn(
+        "text",
+        F.expr(
+            "concat(text, CASE cast(doc_id % 3 AS int)"
+            " WHEN 0 THEN concat(' contact: user', doc_id, '@example.com')"
+            " WHEN 1 THEN concat(' from 10.0.', doc_id % 200, '.', doc_id % 250)"
+            " ELSE '' END)"
+        ),
+    )
+    return pii_redact(seeded)
+
+
+@query(
+    "curate_sample",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents
+    ), q AS (
+        SELECT doc_id,
+               round(least(len(tokens)::DOUBLE / 100, 1.0) * 0.5
+                     + (1.0 - len(list_filter(tokens, x -> x IN ('the','a','of','and')))::DOUBLE
+                              / len(tokens)) * 0.5, 4) AS score_r4
+        FROM t
+    ), g AS (
+        SELECT doc_id, lang FROM t WHERE substr(md5(text), 1, 2) <= '28'
+    )
+    SELECT doc_id, lang, score_r4, CAST(lang_rank AS INTEGER) AS lang_rank
+    FROM (
+        SELECT g.doc_id, g.lang, q.score_r4,
+               row_number() OVER (PARTITION BY g.lang
+                                  ORDER BY q.score_r4 DESC, g.doc_id ASC) AS lang_rank
+        FROM g JOIN q USING (doc_id)
+    ) WHERE lang_rank <= 25
+    """,
+)
+def q_curate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-slice assembly: reproducible md5-prefix ~16 %
+    sample gate (content-hash sampling, no rand()) then a per-language
+    quality-ranked cap of 25 docs."""
+    from userbehavioranalysis_spark.operators.text_analysis import curate_sample
+
+    return curate_sample(_tables(spark, sf_dir)["documents"])
+
+
+@query(
     "quality_score",
     oracle="""
     WITH t AS (
