@@ -168,6 +168,28 @@ def curate_sample(
     )
 
 
+def token_topk(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Exact corpus-wide top-k tokens by frequency.
+
+    The vocabulary/stop-word discovery pass of corpus analysis.  Token
+    frequency is the canonical skewed aggregation ('the' can be 10⁴×
+    the median) — handled entirely by Catalyst's partial aggregation:
+    map-side combine collapses each partition's counts before the
+    shuffle moves one row per distinct token per partition, so hot
+    tokens never concentrate rows on one reducer.  The final
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject (per-
+    partition heap + driver merge of k rows), not a global sort.
+    Deterministic total order: (n DESC, token ASC).  Returns (token, n).
+    """
+    return (
+        documents.select(F.explode(F.expr(T.TOKENS_SPARK)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def fingerprints(documents: DataFrame, shingle_k: int = 4, keep: int = 4) -> DataFrame:
     """Min-k document fingerprint over rolling word shingles.
 

@@ -874,6 +874,56 @@ def q_curate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_topk",
+    oracle="""
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+)
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from userbehavioranalysis_spark.operators.text_analysis import token_topk
+
+    return token_topk(_tables(spark, sf_dir)["documents"])
+
+
+@query(
+    "doc_embedding_stats",
+    oracle="""
+    SELECT e.label, d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+           round(CAST(sum(d.n_chars) AS DOUBLE) / count(*), 4) AS mean_chars_r4
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY e.label, d.lang
+    """,
+)
+def q_doc_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal equi-join: text metadata × embedding cluster labels,
+    aggregated per (label, lang).  The mean is derived from exact
+    integer sums (not a float avg) so partial-agg summation order can
+    never perturb the cross-engine hash."""
+    import pyspark.sql.functions as F
+
+    t = _tables(spark, sf_dir)
+    j = t["documents"].join(
+        t["embeddings"], t["documents"]["doc_id"] == t["embeddings"]["vec_id"]
+    )
+    return j.groupBy("label", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_chars_r4"),
+    )
+
+
+@query(
     "quality_score",
     oracle="""
     WITH t AS (
@@ -2101,3 +2151,65 @@ def q_streaming_order_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFr
     return _run_bounded(
         order_timeout_stateful(stream, timeout_seconds=21600), "uba_stream_ot", partitions=32
     )
+
+
+@query(
+    "streaming_dedup_replay",
+    oracle="""
+    SELECT md5(text) AS text_md5,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a RUNNING streaming aggregation — the incremental
+    form of ``dedup_exact`` a continuously-ingesting corpus needs: docs
+    arrive as a file stream, state keeps (n_docs, keeper_id) per
+    content hash, complete mode emits the final state.  No watermark:
+    dedup state is global (a duplicate may arrive arbitrarily late), so
+    at scale this state is the true cost of streaming dedup — it grows
+    with distinct documents, which is why production pipelines bound it
+    (TTL or periodic batch compaction).  min()/count() are
+    order-insensitive, so the result is deterministic regardless of
+    micro-batch slicing and equals the batch oracle exactly."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    key = (sf_dir, "docs")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="uba_docs_stream_")
+        os.symlink(
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(stage, "documents.parquet"),
+        )
+        _STREAM_STAGE_CACHE[key] = stage
+    raw = spark.readStream.format("parquet").schema(docs_schema).load(stage)
+    agg = (
+        raw.select(F.md5(F.encode("text", "utf-8")).alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )
+    return _run_bounded(agg, "uba_stream_dedup", output_mode="complete")
