@@ -28,6 +28,27 @@ def test_tumbling_window_boundary_inclusion(spark):
     assert res == {0: 1, 3600: 2}
 
 
+def test_uv_per_event_running_counts(spark):
+    # FIRE_AND_PURGE emission sequence: running distinct count per event,
+    # resetting at the window boundary (no carry-over = PURGE semantics)
+    from userbehavioranalysis_spark.operators.windowed_counts import uv_per_event
+
+    ev = _events(
+        spark,
+        [
+            (1, 10, "view", 1, 100),
+            (2, 20, "view", 1, 200),
+            (3, 10, "view", 1, 300),   # repeat user: count must not grow
+            (4, 30, "click", 1, 400),  # filtered out
+            (5, 10, "view", 1, 3700),  # next window: restarts at 1
+        ],
+    )
+    rows = sorted(uv_per_event(ev).collect(), key=lambda r: r["event_id"])
+    assert [(r["event_id"], r["window_end"], r["running_uv"]) for r in rows] == [
+        (1, 3600, 1), (2, 3600, 2), (3, 3600, 2), (5, 7200, 1)
+    ]
+
+
 def test_uv_counts_distinct_users_not_events(spark):
     ev = _events(
         spark,

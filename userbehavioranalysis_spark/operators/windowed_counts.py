@@ -200,6 +200,53 @@ def uv_approx(
     )
 
 
+def uv_per_event(
+    events: DataFrame,
+    window: str = "1 hour",
+    view_type: str = "view",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-event running UV — the batch twin of Win5's FIRE_AND_PURGE.
+
+    The reference's ``UvWithBloom`` trigger (`UvWithBloom.scala:30-59`)
+    fires on EVERY element, emitting the updated distinct count and
+    keeping no window buffer (state = bitmap + running count).  The
+    streaming mapping can only approximate that cadence (micro-batch
+    emission, SURVEY §7.3.3) — but the *sequence of emitted values* is
+    exactly expressible in batch: order events within each window by
+    (ts, event_id); the count after event i is the number of
+    first-occurrence flags at or before i.  Two stacked windows — a
+    per-(window, user) ``row_number`` marking first occurrences, then a
+    running sum per window — reproduce every (event, running_uv) pair
+    the per-element trigger would print, hash-checkable against SQL.
+
+    Scale: both window functions partition by the time window (and
+    user), so the sort is per-window-partition, never global;
+    cardinality of the output equals the filtered event count — this is
+    an audit/replay analytic, not something to materialize at 100 TB
+    without a window-range predicate first.
+    """
+    from pyspark.sql import Window as W
+
+    run = (
+        W.partitionBy("w")
+        .orderBy(ts_col, "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        events.filter(F.col("event_type") == view_type)
+        .withColumn("w", F.window(ts_col, window))
+        .withColumn("is_first", (F.row_number().over(
+            W.partitionBy("w", "user_id").orderBy(ts_col, "event_id")
+        ) == 1).cast("int"))
+        .select(
+            F.col("w.end").cast("long").alias("window_end"),
+            "event_id",
+            F.sum("is_first").over(run).cast("bigint").alias("running_uv"),
+        )
+    )
+
+
 def marketing_total(
     events: DataFrame,
     window: str = "1 hour",

@@ -100,6 +100,38 @@ def q_unique_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # HLL++ vs DuckDB approx differ by construction -> rows-only check (no oracle).
+@query(
+    "uv_per_event",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us,
+               (epoch_us(ts) // 3600000000) * 3600 + 3600 AS window_end
+        FROM events WHERE event_type = 'view'
+    ), f AS (
+        SELECT event_id, window_end, us,
+               CASE WHEN row_number() OVER (PARTITION BY window_end, user_id
+                                            ORDER BY us, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM v
+    )
+    SELECT window_end, event_id,
+           CAST(sum(is_first) OVER (PARTITION BY window_end
+                                    ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_uv
+    FROM f
+    """,
+)
+def q_uv_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Win5/A6's per-element FIRE_AND_PURGE emission sequence
+    (UvWithBloom.scala:30-59), reproduced exactly in batch: every view
+    event paired with the running distinct-visitor count at that point
+    in its hour window.  Upgrades the documented streaming-cadence
+    divergence to a hash-checked equivalence on the emitted values."""
+    from userbehavioranalysis_spark.operators.windowed_counts import uv_per_event
+
+    return uv_per_event(_tables(spark, sf_dir)["events"])
+
+
 @query("uv_approx")
 def q_uv_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wc.uv_approx(_tables(spark, sf_dir)["events"])
