@@ -49,6 +49,44 @@ def test_uv_per_event_running_counts(spark):
     ]
 
 
+def test_funnel_requires_stage_order(spark):
+    # user 1: view->click->purchase (all stages); user 2: click BEFORE
+    # view (click must not count); user 3: view only
+    from userbehavioranalysis_spark.operators.funnels import funnel_counts
+
+    ev = _events(
+        spark,
+        [
+            (1, 1, "view", 1, 100), (2, 1, "click", 1, 200), (3, 1, "purchase", 1, 300),
+            (4, 2, "click", 1, 100), (5, 2, "view", 1, 200),
+            (6, 3, "view", 1, 100),
+        ],
+    )
+    got = {r["stage"]: r["users"] for r in funnel_counts(ev).collect()}
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_retention_cohort_offsets(spark):
+    # user 1 first on day 0, active days 0 and 2; user 2 first on day 2
+    from userbehavioranalysis_spark.operators.funnels import retention_cohorts
+
+    d = 86400
+    ev = _events(
+        spark,
+        [
+            (1, 1, "view", 1, 10),
+            (2, 1, "view", 1, 2 * d + 50),
+            (3, 1, "view", 1, 2 * d + 60),  # same day twice: one retention row
+            (4, 2, "view", 1, 2 * d + 5),
+        ],
+    )
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {(0, 0): 1, (0, 2): 1, (2, 0): 1}
+
+
 def test_uv_counts_distinct_users_not_events(spark):
     ev = _events(
         spark,

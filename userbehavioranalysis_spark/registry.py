@@ -906,6 +906,68 @@ def q_curate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_conversion",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ), s0 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN us END) AS s0
+        FROM e GROUP BY user_id
+    ), s1 AS (
+        SELECT e.user_id, any_value(s0.s0) AS s0,
+               min(CASE WHEN event_type = 'click' AND us >= s0.s0 THEN us END) AS s1
+        FROM e JOIN s0 USING (user_id) GROUP BY e.user_id
+    ), s2 AS (
+        SELECT e.user_id,
+               min(CASE WHEN event_type = 'purchase' AND us >= s1.s1 THEN us END) AS s2
+        FROM e JOIN s1 USING (user_id) GROUP BY e.user_id
+    ), c AS (
+        SELECT (SELECT count(s0) FROM s0) AS n0,
+               (SELECT count(s1) FROM s1) AS n1,
+               (SELECT count(s2) FROM s2) AS n2
+    )
+    SELECT 0 AS stage_no, 'view' AS stage, CAST(n0 AS BIGINT) AS users FROM c
+    UNION ALL SELECT 1, 'click', CAST(n1 AS BIGINT) FROM c
+    UNION ALL SELECT 2, 'purchase', CAST(n2 AS BIGINT) FROM c
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel over the events stream: a
+    user reaches stage i only via an event at-or-after their stage-i-1
+    time.  All comparisons in integer microseconds — no session-TZ
+    dependence on either engine."""
+    from userbehavioranalysis_spark.operators.funnels import funnel_counts
+
+    return funnel_counts(_tables(spark, sf_dir)["events"])
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ), f AS (
+        SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id
+    )
+    SELECT f.cohort_day, CAST(ud.day - f.cohort_day AS INTEGER) AS day_offset,
+           CAST(count(DISTINCT ud.user_id) AS BIGINT) AS users
+    FROM ud JOIN f USING (user_id)
+    WHERE ud.day - f.cohort_day <= 30
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-0 cohort retention matrix: cohort = integer epoch-day of a
+    user's first event (exact long division, TZ-free), retained at
+    offset N iff any activity on cohort_day + N."""
+    from userbehavioranalysis_spark.operators.funnels import retention_cohorts
+
+    return retention_cohorts(_tables(spark, sf_dir)["events"])
+
+
+@query(
     "token_topk",
     oracle="""
     SELECT token, CAST(count(*) AS BIGINT) AS n
