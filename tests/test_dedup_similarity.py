@@ -362,6 +362,29 @@ def test_bmp_round_trip_real_decoder(spark):
     assert (got[260]["width"], got[260]["height"], got[260]["mean_intensity"]) == (9, 12, 4)
 
 
+def test_bmp_resize_real_downscale(spark):
+    """Resize is not a truncation stub: the output is a valid smaller
+    BMP whose decoded dims follow the integer-stride formula and whose
+    solid-gray content survives the resample exactly."""
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.multimodal import (
+        bmp_resize,
+        image_features,
+        synthetic_bmp_media,
+    )
+
+    # doc 25: w=8+33%32=9, h=8+25%32=33 -> step=ceil(33/8)=5 -> 2x7
+    docs = spark.createDataFrame(
+        [(25, "b" * 33)], "doc_id long, text string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    small = bmp_resize(synthetic_bmp_media(docs), max_side=8)
+    payload = bytes(small.first()["payload"])
+    assert payload[:2] == b"BM"
+    got = image_features(small).first()
+    assert (got["width"], got["height"], got["mean_intensity"]) == (2, 7, 25)
+
+
 def test_avi_round_trip_real_decoder(spark):
     """The video path round-trips a genuine RIFF/AVI container: magic,
     chunk tree, avih metadata and per-frame DIB pixels decoded for

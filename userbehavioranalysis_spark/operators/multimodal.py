@@ -305,6 +305,61 @@ def synthetic_bmp_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def bmp_resize(media: DataFrame, max_side: int = 8) -> DataFrame:
+    """REAL image resize: BMP → smaller BMP via nearest-neighbor.
+
+    Parses each 24-bit BMP, subsamples pixels with integer stride
+    ``step = ceil(max(w,h) / max_side)`` (new dims ``ceil(w/step)`` ×
+    ``ceil(h/step)`` — all integer math, so the oracle can derive the
+    output dimensions exactly), and re-encodes a valid BMP.  The
+    binary-in → binary-out mapInPandas shape composes with
+    ``image_features`` downstream; payload bytes shrink ~step², which
+    is the point of resizing before shuffling media at scale.
+    """
+    import struct
+
+    import numpy as np
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                magic, _, _, _, offset = struct.unpack("<2sIHHI", b[:14])
+                assert magic == b"BM", "not a BMP payload"
+                _, w, h, _, bpp = struct.unpack("<IiiHH", b[14:30])
+                assert bpp == 24, "only 24-bit BMP supported"
+                stride = (w * 3 + 3) // 4 * 4
+                px = np.frombuffer(
+                    b[offset : offset + stride * abs(h)], dtype=np.uint8
+                ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+                step = max(1, -(-max(w, abs(h)) // max_side))
+                small = px[::step, ::step, :]
+                nh, nw = small.shape[0], small.shape[1]
+                rows = small.reshape(nh, nw * 3)
+                pad = (4 - (nw * 3) % 4) % 4
+                pixels = b"".join(
+                    rows[r].tobytes() + b"\x00" * pad for r in range(nh)
+                )
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, nw, nh, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+                )
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40
+                )
+                payloads.append(header + info + pixels)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(shrink, schema=MEDIA_SCHEMA)
+
+
 # -- REAL video path (minimal RIFF/AVI, uncompressed DIB frames) -----------
 
 def _avi_chunk(fourcc: bytes, data: bytes) -> bytes:

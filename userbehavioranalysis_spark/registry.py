@@ -1211,6 +1211,43 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_resize",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               8 + (n_chars % 32) AS w,
+               8 + (doc_id % 32) AS h
+        FROM documents
+    ), s AS (
+        SELECT doc_id, w, h,
+               greatest(1, (greatest(w, h) + 7) // 8) AS step
+        FROM p
+    )
+    SELECT doc_id AS media_id,
+           CAST((w + step - 1) // step AS INTEGER) AS width,
+           CAST((h + step - 1) // step AS INTEGER) AS height,
+           CAST(doc_id % 256 AS INTEGER) AS mean_intensity
+    FROM s
+    """,
+)
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize round-trip: synth BMP → nearest-neighbor downscale to
+    max side 8 (integer stride, re-encoded as a valid BMP) → decode
+    features of the RESIZED payload.  Output dims are exact integer
+    ceil-divisions the oracle mirrors; solid-gray synthesis keeps the
+    mean intensity bit-exact through the resample."""
+    from userbehavioranalysis_spark.operators.multimodal import (
+        bmp_resize,
+        image_features,
+        synthetic_bmp_media,
+    )
+
+    return image_features(
+        bmp_resize(synthetic_bmp_media(_tables(spark, sf_dir)["documents"]), max_side=8)
+    )
+
+
+@query(
     "video_features",
     oracle="""
     SELECT doc_id AS media_id,
