@@ -1,0 +1,74 @@
+"""Curation operators: repetition filters, decontamination, mixture
+sampling, and the Q8-shape market-share plan."""
+
+import pyspark.sql.functions as F
+
+from userbehavioranalysis_spark.operators.text_analysis import (
+    decontaminate,
+    mixture_sample,
+    repetition_score,
+)
+from userbehavioranalysis_spark.plans import relational as rel
+from userbehavioranalysis_spark.sources.readers import load_testdata
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_repetition_flags_spam_not_prose(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "buy now buy now buy now buy now buy now", "s"),
+            (1, "the quick brown fox jumps over the lazy dog today", "s"),
+        ],
+    )
+    res = {r["doc_id"]: r for r in repetition_score(docs).collect()}
+    assert res[0]["flagged"] == 1
+    assert res[0]["dup_bigram_ratio_r4"] > 0.5  # 'buy now'/'now buy' repeat
+    assert res[1]["flagged"] == 0
+    assert res[1]["top_token_ratio_r4"] == 0.2  # 'the' is 2 of 10
+
+
+def test_decontaminate_flags_benchmark_overlap_only(spark):
+    # benchmark_mod=2 -> even doc_ids are the benchmark slice
+    docs = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma delta epsilon", "s"),  # benchmark
+            (1, "zzz alpha beta gamma yyy", "s"),  # shares 'alpha beta gamma'
+            (3, "one two three four five six", "s"),  # disjoint
+        ],
+    )
+    res = {r["doc_id"]: r for r in decontaminate(docs, benchmark_mod=2).collect()}
+    assert set(res) == {1, 3}  # benchmark docs excluded from output
+    assert res[1]["contaminated"] == 1 and res[1]["n_hit_shingles"] == 1
+    assert res[3]["contaminated"] == 0 and res[3]["n_hit_shingles"] == 0
+
+
+def test_mixture_sample_deterministic_and_gated(spark):
+    t = load_testdata(spark, SF_DIR)
+    a = mixture_sample(t["documents"]).collect()
+    b = mixture_sample(t["documents"]).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    assert all(r["bucket"] < r["permille"] for r in a)
+    assert all(100 <= r["permille"] < 900 for r in a)
+    assert 0 < len(a) < t["documents"].count()
+
+
+def test_market_share_shares_sum_to_one(spark):
+    t = load_testdata(spark, SF_DIR)
+    res = rel.market_share(
+        t["region"], t["nation"], t["customer"], t["supplier"],
+        t["orders"], t["lineitem"], t["part"],
+    ).collect()
+    assert res
+    by_year: dict[int, float] = {}
+    for r in res:
+        assert r["revenue_r4"] > 0
+        by_year[r["o_year"]] = by_year.get(r["o_year"], 0.0) + r["share_r6"]
+    for year, total in by_year.items():
+        assert abs(total - 1.0) < 1e-4, (year, total)

@@ -9,6 +9,12 @@ extension; the reference has no document processing).
 - ``curate_sample``   deterministic md5-prefix corpus sample with a
   per-language quality-ranked cap — the "assemble a balanced training
   slice" step of a curation pipeline
+- ``repetition_score`` Gopher-style intra-document repetition filters
+  (duplicate-bigram ratio, most-common-token fraction)
+- ``decontaminate``   benchmark n-gram overlap detection (test-set
+  contamination scrub) via a broadcast shingle-hash join
+- ``mixture_sample``  per-source hash-threshold sampling toward target
+  mixture weights (domain balancing without rand())
 
 Everything is Catalyst column expressions over the scan — per-document,
 embarrassingly parallel, no shuffle at all (these are map-only jobs at
@@ -187,6 +193,114 @@ def token_topk(documents: DataFrame, k: int = 20) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(k)
+    )
+
+
+def repetition_score(documents: DataFrame) -> DataFrame:
+    """Intra-document repetition filters (Gopher §A1.1-style).
+
+    Two standard repetition signals per document:
+
+    - ``dup_bigram_ratio``: 1 − distinct/total word bigrams — catches
+      boilerplate loops and copy-paste padding;
+    - ``top_token_ratio``: the most frequent token's share of all
+      tokens — catches keyword-stuffed or single-word-spam docs.
+
+    ``flagged`` = 1 when either exceeds its conventional threshold
+    (0.2 / 0.3).  All higher-order column functions over the scan —
+    map-only, zero shuffle at any scale.  The per-doc distinct×filter
+    token count is O(n²) in *document* length, which is bounded, not
+    in corpus size.  Returns (doc_id, dup_bigram_ratio_r4,
+    top_token_ratio_r4, flagged).
+    """
+    df = documents.withColumn("tokens", F.expr(T.TOKENS_SPARK)).withColumn(
+        "bigrams", F.expr(T.shingles_spark(2))
+    )
+    dup = (
+        "if(size(bigrams) = 0, cast(0.0 as double),"
+        " round(1.0 - cast(size(array_distinct(bigrams)) as double)"
+        " / size(bigrams), 4))"
+    )
+    top = (
+        "round(cast(array_max(transform(array_distinct(tokens),"
+        " t -> size(filter(tokens, x -> x = t)))) as double)"
+        " / size(tokens), 4)"
+    )
+    return df.select(
+        "doc_id",
+        F.expr(dup).alias("dup_bigram_ratio_r4"),
+        F.expr(top).alias("top_token_ratio_r4"),
+        F.expr(f"cast(({dup}) > 0.2 or ({top}) > 0.3 as int)").alias("flagged"),
+    )
+
+
+def decontaminate(
+    documents: DataFrame, benchmark_mod: int = 17, shingle_k: int = 3
+) -> DataFrame:
+    """Benchmark-contamination scrub: flag corpus docs sharing any word
+    k-gram with a held-out benchmark set.
+
+    The standard pre-training decontamination pass (n-gram overlap
+    against eval sets).  The "benchmark" here is the deterministic
+    slice ``doc_id % benchmark_mod == 0``; every other document is
+    scored by how many of its distinct shingle *hashes* appear in the
+    benchmark's shingle set.
+
+    Scale shape: shingling + hashing stay in whole-stage codegen over
+    the scan; the benchmark shingle set is small by nature (eval sets
+    are tiny vs a 100 TB corpus), so the membership test is a
+    **broadcast** hash join — the corpus side never shuffles for it.
+    The only corpus-keyed exchanges are the per-doc hit count and the
+    left join back, both over the (small) hit set and bare doc ids.
+    Returns (doc_id, n_hit_shingles, contaminated) for non-benchmark
+    docs.
+    """
+    sh = (
+        documents.withColumn("tokens", F.expr(T.TOKENS_SPARK))
+        .withColumn("sh", F.array_distinct(F.expr(T.shingles_spark(shingle_k))))
+        .select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", F.expr(T.h64_spark("s")).alias("h"))
+    )
+    bench = sh.filter(F.col("doc_id") % benchmark_mod == 0).select("h").distinct()
+    hits = (
+        sh.filter(F.col("doc_id") % benchmark_mod != 0)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    corpus = documents.filter(F.col("doc_id") % benchmark_mod != 0).select("doc_id")
+    return corpus.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hit_shingles"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
+def mixture_sample(documents: DataFrame, source_col: str = "source") -> DataFrame:
+    """Domain-mixture sampling: keep each doc with a per-source target
+    probability, deterministically.
+
+    Mixture re-weighting is how pipelines hit a target domain blend
+    (web 50 %, code 20 %, …) without materializing per-source splits.
+    Here each source's keep-rate in permille is itself derived from the
+    source id (100 + h(source) % 800 — stands in for a config map,
+    which at scale would be a broadcast dim), and a doc is kept iff
+    ``h(source#doc_id) % 1000 < permille``.  md5-based — no ``rand()``,
+    so the sample is identical on every engine, rerun and partitioning.
+    Pure map-side filter over the scan: zero shuffle at any scale.
+    Returns (doc_id, source, bucket, permille) for kept docs.
+    """
+    permille = f"cast(100 + {T.h64_spark(source_col)} % 800 as int)"
+    sel_hash = T.h64_spark(f"concat({source_col}, '#', doc_id)")
+    bucket = f"cast({sel_hash} % 1000 as int)"
+    return (
+        documents.select(
+            "doc_id",
+            source_col,
+            F.expr(bucket).alias("bucket"),
+            F.expr(permille).alias("permille"),
+        )
+        .filter(F.col("bucket") < F.col("permille"))
     )
 
 

@@ -130,6 +130,73 @@ def local_supplier_volume(
     return j.groupBy("n_name").agg(_dsum_disc().alias("revenue_r4"))
 
 
+def market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    region_name: str = "AMERICA",
+    part_type: str = "PROMO",
+) -> DataFrame:
+    """Q8-shape market share: each supplier nation's share of yearly
+    revenue for one part type sold into one customer region.
+
+    Exercises the nation dim in *two roles* (customer-side region
+    filter, supplier-side output label) plus a window over the yearly
+    totals.  Plan shape at scale: part/customer/supplier dims all
+    broadcast (the part filter drops most lineitems before anything
+    else), lineitem⋈orders is the one real shuffle, and the share
+    window repartitions only the tiny (year, nation) aggregate.
+    Revenue accumulates in exact decimals (`_dsum` rationale), so the
+    share division sees identical operands on every engine and
+    partitioning.
+    """
+    from pyspark.sql import Window
+
+    r = region.filter(F.col("r_name") == region_name)
+    cnat = nation.join(
+        F.broadcast(r), nation["n_regionkey"] == r["r_regionkey"]
+    ).select("n_nationkey")
+    c = customer.join(
+        F.broadcast(cnat), customer["c_nationkey"] == cnat["n_nationkey"]
+    ).select("c_custkey")
+    p = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    snat = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    s = supplier.join(
+        F.broadcast(snat), supplier["s_nationkey"] == F.col("sn_key")
+    ).select("s_suppkey", "nation")
+    ext = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    j = (
+        lineitem.join(F.broadcast(p), lineitem["l_partkey"] == p["p_partkey"])
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), lineitem["l_suppkey"] == s["s_suppkey"])
+    )
+    per = j.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year"), F.col("nation")
+    ).agg(F.sum((ext * disc).cast("decimal(30,12)")).alias("rev_dec"))
+    w = Window.partitionBy("o_year")
+    return per.select(
+        "o_year",
+        "nation",
+        F.round(F.col("rev_dec").cast("double"), 4).alias("revenue_r4"),
+        F.round(
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double"),
+            6,
+        ).alias("share_r6"),
+    )
+
+
 def pricing_rollup(lineitem: DataFrame, cutoff: str = "1995-06-17") -> DataFrame:
     """Hierarchical totals via ``rollup`` (grouping sets — absent from
     the reference, SURVEY §2.5; one scan, one shuffle for all levels).

@@ -986,6 +986,98 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_topk(_tables(spark, sf_dir)["documents"])
 
 
+_REP_DUP_DUCK = """CASE WHEN len(bigrams) = 0 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams), 4)
+           END"""
+_REP_TOP_DUCK = """round(list_max(list_transform(list_distinct(tokens),
+                     t2 -> len(list_filter(tokens, x -> x = t2))))::DOUBLE
+                 / len(tokens), 4)"""
+
+
+@query(
+    "repetition_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents
+    ), b AS (
+        SELECT doc_id, tokens, {_T.shingles_duck(2)} AS bigrams FROM t
+    ), m AS (
+        SELECT doc_id,
+               {_REP_DUP_DUCK} AS dup,
+               {_REP_TOP_DUCK} AS top
+        FROM b
+    )
+    SELECT doc_id, dup AS dup_bigram_ratio_r4, top AS top_token_ratio_r4,
+           CAST(CASE WHEN dup > 0.2 OR top > 0.3 THEN 1 ELSE 0 END AS INTEGER) AS flagged
+    FROM m
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition filters: duplicate-bigram
+    ratio + most-common-token fraction, flagged at the conventional
+    0.2/0.3 thresholds.  Map-only higher-order functions."""
+    from userbehavioranalysis_spark.operators.text_analysis import repetition_score
+
+    return repetition_score(_tables(spark, sf_dir)["documents"])
+
+
+@query(
+    "decontaminate",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents
+    ), s AS (
+        SELECT doc_id,
+               list_distinct(list_transform({_T.shingles_duck(3)},
+                                            x -> {_T.h64_duck('x')})) AS hs
+        FROM t
+    ), e AS (
+        SELECT doc_id, unnest(hs) AS h FROM s
+    ), b AS (
+        SELECT DISTINCT h FROM e WHERE doc_id % 17 = 0
+    ), hits AS (
+        SELECT e.doc_id, count(*) AS n FROM e JOIN b USING (h)
+        WHERE e.doc_id % 17 <> 0 GROUP BY 1
+    )
+    SELECT s.doc_id,
+           CAST(coalesce(hits.n, 0) AS BIGINT) AS n_hit_shingles,
+           CAST(CASE WHEN coalesce(hits.n, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS contaminated
+    FROM s LEFT JOIN hits ON s.doc_id = hits.doc_id
+    WHERE s.doc_id % 17 <> 0
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: corpus docs scored by distinct 3-gram
+    overlap with the held-out benchmark slice (doc_id % 17 == 0); the
+    benchmark shingle-hash set is broadcast, so the corpus side never
+    shuffles for the membership test."""
+    from userbehavioranalysis_spark.operators.text_analysis import decontaminate
+
+    return decontaminate(_tables(spark, sf_dir)["documents"])
+
+
+@query(
+    "mixture_sample",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT doc_id, source,
+               CAST({_T.h64_duck("source || '#' || doc_id::VARCHAR")} % 1000
+                    AS INTEGER) AS bucket,
+               CAST(100 + {_T.h64_duck('source')} % 800 AS INTEGER) AS permille
+        FROM documents
+    ) WHERE bucket < permille
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: per-source deterministic keep-rate
+    (md5 threshold, no rand()) — the zero-shuffle map-side filter that
+    re-weights a corpus toward a target domain blend."""
+    from userbehavioranalysis_spark.operators.text_analysis import mixture_sample
+
+    return mixture_sample(_tables(spark, sf_dir)["documents"])
+
+
 @query(
     "doc_embedding_stats",
     oracle="""
@@ -1351,6 +1443,40 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tables(spark, sf_dir)
     return _rel.local_supplier_volume(
         t["region"], t["nation"], t["customer"], t["supplier"], t["orders"], t["lineitem"]
+    )
+
+
+@query(
+    "market_share",
+    oracle="""
+    WITH per AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, n2.n_name AS nation,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                        AS DECIMAL(30,12))) AS rev_dec
+        FROM lineitem, orders, customer, supplier, part, nation n1, nation n2, region
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          AND r_name = 'AMERICA' AND l_partkey = p_partkey AND p_type = 'PROMO'
+          AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT o_year, nation,
+           round(CAST(rev_dec AS DOUBLE), 4) AS revenue_r4,
+           round(CAST(rev_dec AS DOUBLE)
+                 / CAST(sum(rev_dec) OVER (PARTITION BY o_year) AS DOUBLE), 6)
+               AS share_r6
+    FROM per
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shape: supplier-nation share of yearly PROMO revenue sold
+    into AMERICA — nation dim in two roles, exact-decimal revenue, a
+    window over the per-year totals."""
+    t = _tables(spark, sf_dir)
+    return _rel.market_share(
+        t["region"], t["nation"], t["customer"], t["supplier"],
+        t["orders"], t["lineitem"], t["part"],
     )
 
 
