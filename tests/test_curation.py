@@ -72,3 +72,41 @@ def test_market_share_shares_sum_to_one(spark):
         by_year[r["o_year"]] = by_year.get(r["o_year"], 0.0) + r["share_r6"]
     for year, total in by_year.items():
         assert abs(total - 1.0) < 1e-4, (year, total)
+
+
+def test_as_of_join_boundary_and_no_match(spark):
+    from userbehavioranalysis_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [("u1", 10), ("u1", 20), ("u2", 5)], "k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 1.0), ("u1", 15, 2.0), ("u2", 6, 9.0)],
+        "k string, ts long, v double",
+    )
+    res = {
+        (r["k"], r["ts"]): (r["ts_asof"], r["v_asof"])
+        for r in as_of_join(left, right, keys=["k"]).collect()
+    }
+    assert res[("u1", 10)] == (10, 1.0)  # equal ts matches (>= semantics)
+    assert res[("u1", 20)] == (15, 2.0)  # latest prior, not first
+    assert res[("u2", 5)] == (None, None)  # right row is later: no match
+
+
+def test_doc_rarity_rare_vs_common(spark):
+    from userbehavioranalysis_spark.operators.text_analysis import doc_rarity
+
+    docs = _docs(
+        spark,
+        [
+            (0, "common common filler", "s"),
+            (1, "common words here", "s"),
+            (2, "unique vocabulary entirely", "s"),
+        ],
+    )
+    res = {r["doc_id"]: r for r in doc_rarity(docs).collect()}
+    # doc 2's tokens appear in no other doc -> mean df 1.0
+    assert res[2]["mean_df_r4"] == 1.0
+    # 'common' df=2 lifts docs 0/1 above 1.0
+    assert res[0]["mean_df_r4"] > 1.0 and res[1]["mean_df_r4"] > 1.0
+    assert res[0]["n_distinct_tokens"] == 2  # distinct: common, filler

@@ -304,6 +304,45 @@ def mixture_sample(documents: DataFrame, source_col: str = "source") -> DataFram
     )
 
 
+def doc_rarity(documents: DataFrame) -> DataFrame:
+    """Two-pass rarity score: mean corpus document-frequency of each
+    doc's distinct tokens.
+
+    The distributed pattern behind TF-IDF-style quality signals: pass 1
+    builds the vocabulary DF table (explode distinct tokens → groupBy
+    token, fully partial-aggregated map-side); pass 2 joins it back and
+    re-aggregates per doc.  All integer sums — the mean is derived from
+    exact BIGINTs, so partial-agg order can never wobble the hash.
+
+    Scale: the token⋈vocab equi join shuffles on token, where partial
+    aggregation has already collapsed each partition to one row per
+    distinct token; hot tokens ('the') are single vocab rows, not skewed
+    row groups, and AQE handles the residual join skew.  Returns
+    (doc_id, n_distinct_tokens, sum_df, mean_df_r4) — low mean_df =
+    rare vocabulary.
+    """
+    toks = documents.withColumn(
+        "token", F.explode(F.array_distinct(F.expr(T.TOKENS_SPARK)))
+    ).select("doc_id", "token")
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        toks.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
+            F.sum("df").cast("bigint").alias("sum_df"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_tokens",
+            "sum_df",
+            F.round(
+                F.col("sum_df").cast("double") / F.col("n_distinct_tokens"), 4
+            ).alias("mean_df_r4"),
+        )
+    )
+
+
 def fingerprints(documents: DataFrame, shingle_k: int = 4, keep: int = 4) -> DataFrame:
     """Min-k document fingerprint over rolling word shingles.
 

@@ -1079,6 +1079,77 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_rarity",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, list_distinct({_T.TOKENS_DUCK}) AS toks FROM documents
+    ), e AS (
+        SELECT doc_id, unnest(toks) AS token FROM t
+    ), df AS (
+        SELECT token, count(*) AS df FROM e GROUP BY 1
+    ), agg AS (
+        SELECT e.doc_id, count(*) AS n, sum(df.df) AS sum_df
+        FROM e JOIN df USING (token) GROUP BY 1
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_distinct_tokens,
+           CAST(sum_df AS BIGINT) AS sum_df,
+           round(sum_df::DOUBLE / n, 4) AS mean_df_r4
+    FROM agg
+    """,
+)
+def q_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style rarity: corpus DF table joined back per doc, exact
+    integer sums both passes."""
+    from userbehavioranalysis_spark.operators.text_analysis import doc_rarity
+
+    return doc_rarity(_tables(spark, sf_dir)["documents"])
+
+
+@query(
+    "asof_click_purchase",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us, value FROM events
+    ), c AS (
+        SELECT user_id, us FROM e WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id, us, max(value) AS pay_value
+        FROM e WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.user_id, CAST(c.us AS BIGINT) AS click_us,
+           CAST(p.us AS BIGINT) AS pay_us, p.pay_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.us
+    """,
+)
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's latest purchase at
+    or before it (left-outer).  Spark lacks ASOF JOIN; this is the
+    union-trick window formulation (operators/asof.py) checked against
+    DuckDB's native ASOF LEFT JOIN.  All comparisons in integer
+    microseconds; the purchase side is pre-aggregated per (user, us) so
+    'latest' is well-defined in both engines."""
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.asof import as_of_join
+
+    e = _tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "us")
+    pays = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "us")
+        .agg(F.max("value").alias("pay_value"))
+    )
+    return as_of_join(clicks, pays, keys=["user_id"], ts_col="us").select(
+        "user_id",
+        F.col("us").alias("click_us"),
+        F.col("us_asof").alias("pay_us"),
+        F.col("pay_value_asof").alias("pay_value"),
+    )
+
+
+@query(
     "doc_embedding_stats",
     oracle="""
     SELECT e.label, d.lang,
