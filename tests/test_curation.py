@@ -110,3 +110,28 @@ def test_doc_rarity_rare_vs_common(spark):
     # 'common' df=2 lifts docs 0/1 above 1.0
     assert res[0]["mean_df_r4"] > 1.0 and res[1]["mean_df_r4"] > 1.0
     assert res[0]["n_distinct_tokens"] == 2  # distinct: common, filler
+
+
+def test_pack_shards_budget_invariant(spark):
+    from userbehavioranalysis_spark.operators.text_analysis import pack_shards
+
+    t = load_testdata(spark, SF_DIR)
+    rows = pack_shards(t["documents"], budget=500).collect()
+    assert rows
+    by_shard: dict[tuple, list] = {}
+    for r in rows:
+        assert r["shard"] == (r["cum_tokens"] - r["n_tokens"]) // 500
+        by_shard.setdefault((r["source"], r["shard"]), []).append(r["n_tokens"])
+    # every shard except possibly a source's last opened before budget
+    for (src, shard), toks in by_shard.items():
+        packed_before_last = sum(toks) - toks[-1]
+        assert packed_before_last < 500 + max(toks)
+
+
+def test_length_quantiles_orders_with_data(spark):
+    from userbehavioranalysis_spark.operators.text_analysis import length_quantiles
+
+    t = load_testdata(spark, SF_DIR)
+    for r in length_quantiles(t["documents"]).collect():
+        assert r["p50_r4"] <= r["p90_r4"] <= r["p99_r4"]
+        assert r["n_docs"] > 0

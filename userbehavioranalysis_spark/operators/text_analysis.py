@@ -343,6 +343,72 @@ def doc_rarity(documents: DataFrame) -> DataFrame:
     )
 
 
+def pack_shards(documents: DataFrame, budget: int = 2000) -> DataFrame:
+    """Token-budget shard packing: assign docs to fixed-budget training
+    shards by running token count, per source.
+
+    The "write ~N-token files" step before tokenizer/training ingestion.
+    A doc opens a new shard when the tokens packed before it cross the
+    budget — pure integer math over one running-sum window, so the
+    layout is identical on every engine and rerun (no greedy bin-packing
+    loop, which wouldn't distribute).  Partitioned by source: each
+    domain packs independently, so the window never funnels the corpus
+    through one reducer at scale.  Returns (doc_id, source, n_tokens,
+    cum_tokens, shard).
+    """
+    from pyspark.sql import Window
+
+    n = F.expr(
+        f"cast(size(regexp_extract_all(text, '{_BPE_REGEX}', 0)) as bigint)"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        documents.select("doc_id", "source", n.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "cum_tokens",
+            F.expr(f"cast((cum_tokens - n_tokens) div {budget} as int)").alias(
+                "shard"
+            ),
+        )
+    )
+
+
+def length_quantiles(documents: DataFrame) -> DataFrame:
+    """Exact per-language doc-length percentiles (p50/p90/p99).
+
+    The corpus profiling pass behind length-filter thresholds.  Uses
+    the *exact* ``percentile`` aggregate (linear interpolation over the
+    sorted group — ObjectHashAggregate buffers the group's values), so
+    the result is engine-checkable; at 100 TB you'd flip the same query
+    to ``approx_percentile`` (t-digest, mergeable partial aggs) and
+    lose only the hash-exactness.  Returns (lang, n_docs, p50_r4,
+    p90_r4, p99_r4).
+    """
+    pct = F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))")
+    return (
+        documents.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            pct.alias("pct"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("pct")[0], 4).alias("p50_r4"),
+            F.round(F.col("pct")[1], 4).alias("p90_r4"),
+            F.round(F.col("pct")[2], 4).alias("p99_r4"),
+        )
+    )
+
+
 def fingerprints(documents: DataFrame, shingle_k: int = 4, keep: int = 4) -> DataFrame:
     """Min-k document fingerprint over rolling word shingles.
 

@@ -1106,6 +1106,52 @@ def q_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_shards",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text,
+                   '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+           CAST((cum - n_tokens) // 2000 AS INTEGER) AS shard
+    FROM (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+        FROM t
+    )
+    """,
+)
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing via per-source running sums — the
+    deterministic, distributable form of pre-training file packing."""
+    from userbehavioranalysis_spark.operators.text_analysis import pack_shards
+
+    return pack_shards(_tables(spark, sf_dir)["documents"])
+
+
+@query(
+    "length_quantiles",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50_r4,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90_r4,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99_r4
+    FROM documents GROUP BY lang
+    """,
+)
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles (linear interpolation in
+    both engines; approx_percentile is the stated 100 TB variant)."""
+    from userbehavioranalysis_spark.operators.text_analysis import length_quantiles
+
+    return length_quantiles(_tables(spark, sf_dir)["documents"])
+
+
+@query(
     "asof_click_purchase",
     oracle="""
     WITH e AS (
