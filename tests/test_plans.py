@@ -152,3 +152,29 @@ def test_pane_sliding_count_has_two_aggregations_no_row_expand(spark):
     gen_pos = plan.find("Generate")
     assert gen_pos != -1
     assert "HashAggregate" in plan[gen_pos:], plan
+
+
+def test_range_join_broadcasts_tier_dim_no_fact_shuffle(spark):
+    from userbehavioranalysis_spark.plans.relational import revenue_by_quantity_tier
+
+    t = load_testdata(spark, SF)
+    plan = _plan(revenue_by_quantity_tier(t["lineitem"]))
+    # non-equi band lookup must be a broadcast nested loop, never a
+    # cartesian or a sort-merge that shuffles the fact side
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_market_share_all_dims_broadcast(spark):
+    from userbehavioranalysis_spark.plans.relational import market_share
+
+    t = load_testdata(spark, SF)
+    plan = _plan(
+        market_share(
+            t["region"], t["nation"], t["customer"], t["supplier"],
+            t["orders"], t["lineitem"], t["part"],
+        )
+    )
+    assert "PushedFilters: [IsNotNull(p_type), EqualTo(p_type,PROMO)" in plan
+    assert "SortMergeJoin" not in plan  # dims broadcast at this SF

@@ -197,6 +197,42 @@ def market_share(
     )
 
 
+DEFAULT_TIERS: list[tuple[str, float, float]] = [
+    ("low", 0.0, 10.0),
+    ("mid", 10.0, 25.0),
+    ("high", 25.0, 60.0),
+]
+
+
+def revenue_by_quantity_tier(
+    lineitem: DataFrame, tiers: list[tuple[str, float, float]] | None = None
+) -> DataFrame:
+    """Range join: lineitems banded into [lo, hi) quantity tiers.
+
+    The generic range-join shape (value BETWEEN dim.lo AND dim.hi —
+    as in IP→geo, price→band, time→calendar lookups) that Spark has no
+    native operator for.  With a broadcast dim, Catalyst plans a
+    BroadcastNestedLoopJoin: each fact row tests the handful of ranges
+    in memory — a map-only pass at any scale, no shuffle of the fact
+    side at all.  (For a *large* range table the standard play is
+    prefix-bucketing both sides to an equi key + range residual; the
+    tier table here is definitionally tiny, so broadcast is the right
+    plan at 100 TB too.)  Returns (tier, n_items, revenue_r4).
+    """
+    spark = lineitem.sparkSession
+    t = spark.createDataFrame(
+        tiers or DEFAULT_TIERS, "tier string, lo double, hi double"
+    )
+    j = lineitem.join(
+        F.broadcast(t),
+        (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+    )
+    return j.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        _dsum_disc().alias("revenue_r4"),
+    )
+
+
 def pricing_rollup(lineitem: DataFrame, cutoff: str = "1995-06-17") -> DataFrame:
     """Hierarchical totals via ``rollup`` (grouping sets — absent from
     the reference, SURVEY §2.5; one scan, one shuffle for all levels).

@@ -1586,6 +1586,26 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per
     """,
 )
+@query(
+    "quantity_tiers",
+    oracle="""
+    WITH tiers(tier, lo, hi) AS (
+        VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0), ('high', 25.0, 60.0)
+    )
+    SELECT tier, CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                               * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                               AS DECIMAL(30,12))) AS DOUBLE), 4) AS revenue_r4
+    FROM lineitem JOIN tiers ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY tier
+    """,
+)
+def q_quantity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (value ∈ [lo, hi) band lookup): broadcast nested-loop
+    against the tiny tier dim — the IP-geo/price-band join shape."""
+    return _rel.revenue_by_quantity_tier(_tables(spark, sf_dir)["lineitem"])
+
+
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8-shape: supplier-nation share of yearly PROMO revenue sold
     into AMERICA — nation dim in two roles, exact-decimal revenue, a
