@@ -135,3 +135,25 @@ def test_length_quantiles_orders_with_data(spark):
     for r in length_quantiles(t["documents"]).collect():
         assert r["p50_r4"] <= r["p90_r4"] <= r["p99_r4"]
         assert r["n_docs"] > 0
+
+
+def test_partitioned_corpus_sink_prunes_on_read(spark, tmp_path):
+    from userbehavioranalysis_spark.sources.writers import write_partitioned_corpus
+
+    t = load_testdata(spark, SF_DIR)
+    out = str(tmp_path / "corpus")
+    write_partitioned_corpus(t["documents"], out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == t["documents"].count()
+
+    en = back.filter(F.col("lang") == "en")
+    assert en.count() == t["documents"].filter(F.col("lang") == "en").count()
+    plan = en._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan  # pruned, not scanned
+
+    # one file per partition value (no small-file explosion)
+    import glob
+    for d in glob.glob(out + "/lang=*"):
+        files = [f for f in glob.glob(d + "/*.parquet")]
+        assert len(files) == 1, d

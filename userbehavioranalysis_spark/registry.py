@@ -1998,6 +1998,109 @@ def _run_bounded(sdf, name: str, partitions: int = 8, output_mode: str = "append
     return spark.table(name)
 
 
+def _run_bounded_foreach(sdf, name: str, batch_fn, partitions: int = 8):
+    """Bounded foreachBatch replay: apply ``batch_fn`` per micro-batch,
+    append results to parquet (no driver-side collect — the sink is
+    distributed), return the accumulated frame.
+
+    The staging dir is keyed per query name and wiped at each call —
+    repeated driver runs reuse one path instead of leaking tempdirs.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession as _S
+
+    spark = _S.getActiveSession()
+    stage = _STREAM_STAGE_CACHE.get(("foreach-out", name))
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix=f"uba_fb_{name}_")
+        _STREAM_STAGE_CACHE[("foreach-out", name)] = stage
+    out = os.path.join(stage, "out")
+    shutil.rmtree(out, ignore_errors=True)
+
+    def _handle(batch_df, _bid):
+        batch_fn(batch_df).write.mode("append").parquet(out)
+
+    ckpt = tempfile.mkdtemp(prefix=f"uba_{name}_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(_handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(f"streaming replay {name!r} failed") from q.exception()
+        if not finished:
+            q.stop()
+            raise TimeoutError(f"streaming replay {name!r} exceeded 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out)
+
+
+@query(
+    "streaming_asof_replay",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us, value FROM events
+    ), c AS (
+        SELECT user_id, us FROM e WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id, us, max(value) AS pay_value
+        FROM e WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.user_id, CAST(c.us AS BIGINT) AS click_us,
+           CAST(p.us AS BIGINT) AS pay_us, p.pay_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.us
+    """,
+)
+def q_streaming_asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (as-of) enrichment of a stream against a static table —
+    Flink's temporal table join, Spark-first: each micro-batch of
+    clicks runs the batch union-trick as-of join against the static
+    purchase table inside foreachBatch, appending to a distributed
+    parquet sink (no driver collect).  Each click's match depends only
+    on the static side, so the appended union is batch-equivalent by
+    construction regardless of micro-batch boundaries — the oracle is
+    the SAME DuckDB ASOF LEFT JOIN as the batch query."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.asof import as_of_join
+
+    static = _tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "value"
+    )
+    pays = (
+        static.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "us")
+        .agg(F.max("value").alias("pay_value"))
+    )
+    stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros("ts").alias("us"))
+    )
+
+    def _asof_batch(batch_df):
+        return as_of_join(batch_df, pays, keys=["user_id"], ts_col="us").select(
+            "user_id",
+            F.col("us").alias("click_us"),
+            F.col("us_asof").alias("pay_us"),
+            F.col("pay_value_asof").alias("pay_value"),
+        )
+
+    return _run_bounded_foreach(clicks, "streaming_asof_replay", _asof_batch)
+
+
 @query(
     "streaming_page_view_replay",
     oracle="""
