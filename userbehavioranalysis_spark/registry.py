@@ -1586,6 +1586,17 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per
     """,
 )
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shape: supplier-nation share of yearly PROMO revenue sold
+    into AMERICA — nation dim in two roles, exact-decimal revenue, a
+    window over the per-year totals."""
+    t = _tables(spark, sf_dir)
+    return _rel.market_share(
+        t["region"], t["nation"], t["customer"], t["supplier"],
+        t["orders"], t["lineitem"], t["part"],
+    )
+
+
 @query(
     "quantity_tiers",
     oracle="""
@@ -1604,17 +1615,6 @@ def q_quantity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (value ∈ [lo, hi) band lookup): broadcast nested-loop
     against the tiny tier dim — the IP-geo/price-band join shape."""
     return _rel.revenue_by_quantity_tier(_tables(spark, sf_dir)["lineitem"])
-
-
-def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q8-shape: supplier-nation share of yearly PROMO revenue sold
-    into AMERICA — nation dim in two roles, exact-decimal revenue, a
-    window over the per-year totals."""
-    t = _tables(spark, sf_dir)
-    return _rel.market_share(
-        t["region"], t["nation"], t["customer"], t["supplier"],
-        t["orders"], t["lineitem"], t["part"],
-    )
 
 
 @query(
