@@ -1,0 +1,34 @@
+"""Registry integrity — cheap invariants over the driver contract.
+
+A misplaced ``@query`` decorator can silently bind one query's name to
+another's function (stacked decorators both register the same callable)
+— the kind of bug that only surfaces as a wrong-oracle mismatch in the
+driver's correctness gate.  Pin the naming convention instead.
+"""
+
+from userbehavioranalysis_spark.registry import ORACLES, QUERIES
+
+
+def test_every_query_bound_to_its_own_function():
+    mismatched = {
+        name: fn.__name__
+        for name, fn in QUERIES.items()
+        if fn.__name__ != f"q_{name}"
+    }
+    assert not mismatched, f"name->function mismatches: {mismatched}"
+
+
+def test_no_function_registered_twice():
+    by_fn: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        by_fn.setdefault(fn.__name__, []).append(name)
+    dupes = {k: v for k, v in by_fn.items() if len(v) > 1}
+    assert not dupes, f"functions registered under multiple names: {dupes}"
+
+
+def test_oracles_cover_all_but_documented_rows_only():
+    assert set(ORACLES) <= set(QUERIES)
+    rows_only = set(QUERIES) - set(ORACLES)
+    # the three approximate/stub-backed queries, each justified in its
+    # docstring — additions to this set need the same justification
+    assert rows_only == {"uv_approx", "ann_topk_ivf", "media_features"}

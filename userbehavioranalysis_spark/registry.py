@@ -2187,7 +2187,7 @@ def q_streaming_page_view_late_replay(spark: SparkSession, sf_dir: str) -> DataF
                          WHERE event_type = 'view')
     """,
 )
-def q_streaming_uv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_streaming_unique_visitors_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct UV as a streaming windowed agg (append mode emits
     watermark-closed windows; the watermark is defined by the filtered
     view stream, so the oracle bounds on max *view* event time)."""
