@@ -2651,6 +2651,42 @@ def q_streaming_order_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "streaming_dedup_watermark_replay",
+    oracle="""
+    SELECT event_id, user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+    FROM events
+    """,
+)
+def q_streaming_dedup_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup via ``dropDuplicatesWithinWatermark``
+    — the production answer to `streaming_dedup_replay`'s global-state
+    caveat: per-key state lives only until the watermark passes the
+    event's time + delay, so state is O(events within the lateness
+    horizon), not O(all distinct keys ever).  The input is the event
+    stream unioned with itself (every row a genuine duplicate); exact
+    recovery of each event once proves the dedup, hash-checked against
+    a plain scan.  Emission is append-on-first-sight, so micro-batch
+    slicing cannot affect the output set."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    doubled = stream.unionAll(stream)
+    dedup = (
+        doubled.withWatermark("ts", "5 seconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
+    )
+    return _run_bounded(dedup, "uba_stream_ddw", partitions=8)
+
+
+@query(
     "streaming_dedup_replay",
     oracle="""
     SELECT md5(text) AS text_md5,
