@@ -151,3 +151,41 @@ def test_order_timeout_classification_matches_python(spark, events):
         want = "already payed but not found create log"
     assert len(rows) == 1 and rows[0].result_msg == want
     assert rows[0].is_timeout == (want != "payed successfully")
+
+
+# --- as-of join vs brute-force python oracle ---------------------------
+
+_AKEY = st.sampled_from(["k1", "k2"])
+_ATS = st.integers(min_value=0, max_value=50)
+
+
+@given(
+    lefts=st.lists(st.tuples(_AKEY, _ATS), min_size=1, max_size=25),
+    rights=st.lists(st.tuples(_AKEY, _ATS, st.integers(0, 99)), max_size=25),
+)
+@settings(max_examples=10, deadline=None)
+def test_as_of_join_matches_bruteforce(spark, lefts, rights):
+    from userbehavioranalysis_spark.operators.asof import as_of_join
+
+    # unique right (key, ts) so 'latest' is well-defined (operator contract)
+    rmap = {}
+    for k, ts, v in rights:
+        rmap[(k, ts)] = max(v, rmap.get((k, ts), -1))
+    rrows = [(k, ts, v) for (k, ts), v in rmap.items()]
+
+    left = spark.createDataFrame(lefts, "k string, ts long")
+    right = spark.createDataFrame(
+        rrows or [("zz", -10**6, -1)], "k string, ts long, v long"
+    )
+    got = sorted(
+        (r["k"], r["ts"], r["ts_asof"], r["v_asof"])
+        for r in as_of_join(left, right, keys=["k"]).collect()
+    )
+    exp = []
+    for k, ts in lefts:
+        cands = [(rts, v) for (rk, rts), v in rmap.items() if rk == k and rts <= ts]
+        if not rrows:
+            cands = []
+        best = max(cands) if cands else (None, None)
+        exp.append((k, ts, best[0], best[1]))
+    assert got == sorted(exp)
