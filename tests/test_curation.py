@@ -157,3 +157,22 @@ def test_partitioned_corpus_sink_prunes_on_read(spark, tmp_path):
     for d in glob.glob(out + "/lang=*"):
         files = [f for f in glob.glob(d + "/*.parquet")]
         assert len(files) == 1, d
+
+
+def test_split_assign_duplicates_share_split(spark):
+    from userbehavioranalysis_spark.operators.text_analysis import split_assign
+
+    dup = "identical content lands in the same split always"
+    docs = spark.createDataFrame(
+        [(i, dup, "en") for i in range(50)], "doc_id long, text string, lang string"
+    )
+    splits = {r["split"] for r in split_assign(docs).collect()}
+    assert len(splits) == 1  # content-hash: all duplicates together
+
+    t = load_testdata(spark, SF_DIR)
+    res = split_assign(t["documents"]).collect()
+    counts = {}
+    for r in res:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert counts.get("train", 0) > counts.get("val", 0)
+    assert all(0 <= r["bucket"] < 1000 for r in res)

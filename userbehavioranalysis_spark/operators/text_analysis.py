@@ -409,6 +409,34 @@ def length_quantiles(documents: DataFrame) -> DataFrame:
     )
 
 
+def split_assign(
+    documents: DataFrame, val_permille: int = 10, test_permille: int = 10
+) -> DataFrame:
+    """Deterministic train/val/test split assignment by content hash.
+
+    The standard leak-proof split: bucket = h(doc content) % 1000, so
+    (1) assignment is reproducible across engines/reruns with no
+    rand(); (2) exact duplicates land in the SAME split (hashing the
+    text, not the id — id-hash splits leak duplicated content across
+    splits); (3) re-running after corpus growth never moves an existing
+    doc between splits.  Map-only, zero shuffle at any scale.  Returns
+    (doc_id, lang, bucket, split).
+    """
+    h = T.h64_spark("text")
+    val_hi = val_permille
+    test_hi = val_permille + test_permille
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.expr(f"cast({h} % 1000 as int)").alias("bucket"),
+        F.expr(
+            f"CASE WHEN {h} % 1000 < {val_hi} THEN 'val' "
+            f"WHEN {h} % 1000 < {test_hi} THEN 'test' "
+            f"ELSE 'train' END"
+        ).alias("split"),
+    )
+
+
 def fingerprints(documents: DataFrame, shingle_k: int = 4, keep: int = 4) -> DataFrame:
     """Min-k document fingerprint over rolling word shingles.
 

@@ -1079,6 +1079,25 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_assign",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST({_T.h64_duck('text')} % 1000 AS INTEGER) AS bucket,
+           CASE WHEN {_T.h64_duck('text')} % 1000 < 10 THEN 'val'
+                WHEN {_T.h64_duck('text')} % 1000 < 20 THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-proof train/val/test assignment: content-hash buckets, so
+    exact duplicates share a split and reruns never reshuffle docs."""
+    from userbehavioranalysis_spark.operators.text_analysis import split_assign
+
+    return split_assign(_tables(spark, sf_dir)["documents"])
+
+
+@query(
     "doc_rarity",
     oracle=f"""
     WITH t AS (
