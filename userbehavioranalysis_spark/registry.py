@@ -1900,10 +1900,12 @@ _STREAM_STAGE_CACHE: dict[str, str] = {}
 
 
 def _replay_events_stream(spark: SparkSession, sf_dir: str):
-    """events.parquet as a bounded stream (ts stored as ns-epoch long)."""
+    """events.parquet as a bounded stream (ts read as a raw epoch long;
+    unit normalized by magnitude — see readers.epoch_any_to_ts)."""
     import pyspark.sql.functions as F
 
     from userbehavioranalysis_spark import schemas as _schemas
+    from userbehavioranalysis_spark.sources.readers import epoch_any_to_ts
 
     # the file source needs a directory: stage a symlink dir around the
     # single events.parquet file (read-only testdata stays untouched)
@@ -1921,7 +1923,7 @@ def _replay_events_stream(spark: SparkSession, sf_dir: str):
         .load(stage)
         .where(F.col("event_id").isNotNull())
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", epoch_any_to_ts("ts"))
 
 
 def _replay_events_stream_late(spark: SparkSession, sf_dir: str):
@@ -1941,6 +1943,7 @@ def _replay_events_stream_late(spark: SparkSession, sf_dir: str):
     import pyspark.sql.functions as F
 
     from userbehavioranalysis_spark import schemas as _schemas
+    from userbehavioranalysis_spark.sources.readers import epoch_any_to_ts
 
     key = (sf_dir, "late-split")
     stage = _STREAM_STAGE_CACHE.get(key)
@@ -1970,7 +1973,7 @@ def _replay_events_stream_late(spark: SparkSession, sf_dir: str):
         .load(stage)
         .where(F.col("event_id").isNotNull())
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", epoch_any_to_ts("ts"))
 
 
 def _run_bounded(sdf, name: str, partitions: int = 8, output_mode: str = "append"):
@@ -2407,7 +2410,14 @@ def q_streaming_hot_items_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, state = run_topn_foreachBatch(
         views, "item_id", 3, "1 hour", "5 minutes", watermark="0 seconds"
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if q.exception() is not None:
+        raise RuntimeError(
+            "streaming replay 'hot_items' failed"
+        ) from q.exception()
+    if not finished:
+        q.stop()
+        raise RuntimeError("streaming replay 'hot_items' timed out after 300s")
     rows = [
         (ws, ws + 3600, item, cnt, rank)
         for ws, items in state.topn().items()

@@ -91,9 +91,11 @@ RECEIPT_EVENT = _struct(
 # Driver testdata `events` table (TESTDATA.md) — the generic behavior
 # stream the batch analytics run on: event_id, ts(timestamp), user_id,
 # event_type(view|click|purchase|signup|error), value(double), props(json).
-# The parquet stores ts as timestamp[ns]; EVENTS_RAW types it LongType so
-# the scan works on ANY session (no nanosAsLong legacy conf), with the
-# nano→micro normalization done in the reader (sources/readers.py).
+# The parquet stores ts as an INT64 timestamp whose unit has varied
+# across driver testdata generations (ns, then us); EVENTS_RAW types it
+# LongType so the scan works on ANY session (no nanosAsLong legacy conf),
+# with unit-agnostic epoch→micro normalization done in the reader
+# (sources/readers.epoch_any_to_ts).
 EVENTS_RAW = StructType(
     [
         StructField("event_id", LongType()),

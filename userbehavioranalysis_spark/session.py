@@ -36,9 +36,10 @@ _DEFAULTS: dict[str, str] = {
     # stay broadcast even at large SF; fact-fact joins shuffle.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.sql.shuffle.partitions": "32",
-    # The testdata events table stores timestamp[ns], which Spark's
-    # parquet reader rejects; read nanos as raw longs and normalize to
-    # TimestampType in the loader (sources/readers.py).
+    # Belt-and-braces for ns-typed parquet on sessions that DON'T read
+    # through load_testdata (the loader itself is session-independent:
+    # explicit LongType schema + unit-agnostic normalization,
+    # sources/readers.epoch_any_to_ts).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",

@@ -25,29 +25,50 @@ from userbehavioranalysis_spark import schemas
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# ``events.ts`` is INT64 on disk, but the epoch UNIT has varied across
+# driver testdata generations (nanoseconds in one build, microseconds in
+# the next).  Rather than pin a unit and break when the data is
+# regenerated, normalize by magnitude, per-row, entirely JVM-side:
+# epoch-second values for years 2001-2286 lie in [1e9, 1e10), and each
+# finer unit is a clean 1e3 beyond that, so thresholds at the geometric
+# gaps (1e11 / 1e14 / 1e17) classify s/ms/us/ns unambiguously for any
+# plausible timestamp.  Integer arithmetic throughout — float division
+# of nano-epochs loses the last microsecond.
+_EPOCH_ANY_CASE = (
+    "timestamp_micros(CASE"
+    " WHEN abs({c}) >= 100000000000000000 THEN {c} div 1000"
+    " WHEN abs({c}) >= 100000000000000 THEN {c}"
+    " WHEN abs({c}) >= 100000000000 THEN {c} * 1000"
+    " ELSE {c} * 1000000 END)"
+)
+
+
+def epoch_any_to_ts(col: str = "ts") -> F.Column:
+    """Microsecond TimestampType from an epoch long of any unit (s/ms/us/ns)."""
+    return F.expr(_EPOCH_ANY_CASE.format(c=col))
+
 
 def load_testdata(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
 ) -> dict[str, DataFrame]:
     """Load every driver testdata table as a DataFrame keyed by name.
 
-    ``events.ts`` is stored as parquet timestamp[ns], which Spark's
-    parquet reader rejects outright on a vanilla session
-    (PARQUET_TYPE_ILLEGAL).  Reading with an explicit schema that types
-    ``ts`` as LongType makes the scan session-independent — the INT64
-    physical values come through as raw nano-epoch longs on ANY session,
-    no ``spark.sql.legacy.parquet.nanosAsLong`` conf required — and we
-    normalize to microsecond TimestampType here (UTC session) so every
-    analytic sees a typed event-time column.
+    ``events.ts`` is read with an explicit schema that types it LongType,
+    which makes the scan session-independent regardless of the parquet
+    logical annotation: TIMESTAMP(NANOS) files (which a vanilla session
+    rejects outright with PARQUET_TYPE_ILLEGAL, no
+    ``spark.sql.legacy.parquet.nanosAsLong`` conf needed here) and
+    TIMESTAMP(MICROS) files alike surface their physical INT64 values,
+    and :func:`epoch_any_to_ts` normalizes whatever unit arrived to
+    microsecond TimestampType (UTC session) so every analytic sees the
+    same typed event-time column.
     """
     out = {}
     for name in schemas.TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if name == "events":
             df = spark.read.schema(schemas.EVENTS_RAW).parquet(path)
-            # integer div, not /1000: nano-epochs exceed double's exact
-            # integer range, so float division loses the last microsecond
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn("ts", epoch_any_to_ts("ts"))
         else:
             df = spark.read.parquet(path)
         out[name] = df
