@@ -178,3 +178,33 @@ def test_market_share_all_dims_broadcast(spark):
     )
     assert "PushedFilters: [IsNotNull(p_type), EqualTo(p_type,PROMO)" in plan
     assert "SortMergeJoin" not in plan  # dims broadcast at this SF
+
+
+def test_large_volume_orders_aggregates_before_join(spark):
+    from userbehavioranalysis_spark.plans.relational import large_volume_orders
+
+    t = load_testdata(spark, SF)
+    plan = _plan(large_volume_orders(t["customer"], t["orders"], t["lineitem"]))
+    # the HAVING set is built by a partial-then-final aggregate over
+    # lineitem alone, and joins back via broadcast — the fact table is
+    # never multiplied before reduction
+    assert plan.count("HashAggregate") >= 2, plan
+    first_join = min(
+        i for i in (plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
+        if i != -1
+    )
+    assert plan.find("HashAggregate", first_join) != -1, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_top_return_customers_take_ordered_no_global_sort(spark):
+    from userbehavioranalysis_spark.plans.relational import top_return_customers
+
+    t = load_testdata(spark, SF)
+    plan = _plan(
+        top_return_customers(t["customer"], t["nation"], t["orders"], t["lineitem"])
+    )
+    # ORDER BY ... LIMIT n must be a per-task top-n heap, not a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+    # returnflag filter reaches the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan, plan

@@ -295,3 +295,94 @@ def parts_never_shipped(
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("part_count"))
     )
+
+
+def large_volume_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 250.0,
+) -> DataFrame:
+    """Q18-shape HAVING-subquery join-back: orders whose total lineitem
+    quantity exceeds ``min_qty``, annotated with their customer.
+
+    The scale-critical ordering: aggregate lineitem FIRST (partial
+    HashAggregate combines map-side, the shuffle carries one row per
+    order), apply the HAVING filter on the aggregate, and only then
+    join.  The surviving order set is tiny by construction (the filter
+    is in the distribution's tail), so it broadcasts into orders and
+    the orders⋈customer join stays the only real shuffle.  The naive
+    plan — join everything, then aggregate — shuffles the full
+    multiplied fact join; this one shuffles lineitem once, reduced.
+
+    Quantity sums accumulate in exact decimals (`_dsum` rationale) so
+    the HAVING boundary cannot wobble with partition order.
+    """
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > F.lit(min_qty).cast("decimal(18,6)"))
+        .select("l_orderkey", F.round(F.col("qty_dec").cast("double"), 2).alias("total_qty"))
+    )
+    return (
+        orders.join(F.broadcast(qty), orders["o_orderkey"] == qty["l_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_date"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("o_totalprice_r2"),
+            "total_qty",
+        )
+    )
+
+
+def top_return_customers(
+    customer: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    n: int = 20,
+) -> DataFrame:
+    """Q10-shape returned-revenue ranking: the ``n`` customers who
+    returned the most revenue, with their nation.
+
+    Plan shape at scale: the returnflag filter pushes into the lineitem
+    scan, orders⋈lineitem is the one fact-fact shuffle, nation
+    broadcasts into customer, and the rev⋈customer join runs on the
+    already-aggregated per-customer side — deliberately NOT a forced
+    broadcast, because customer is the second-largest dim and won't fit
+    a broadcast at 100 TB (AQE still converts it at small SF).  The
+    final ``ORDER BY revenue DESC LIMIT n`` compiles to
+    TakeOrderedAndProject — each task keeps a local top-n heap and the
+    driver merges n·tasks rows, never a global sort.  Ties break on
+    c_custkey so the cut is deterministic cross-engine.
+    """
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    nat = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("nation")
+    )
+    cust = customer.join(
+        F.broadcast(nat), customer["c_nationkey"] == F.col("cn_key")
+    ).select("c_custkey", "c_name", "c_acctbal", "nation")
+    rev = (
+        returned.join(
+            orders.select("o_orderkey", "o_custkey"),
+            returned["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(_dsum_disc().alias("returned_rev_r4"))
+    )
+    return (
+        rev.join(cust, rev["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal_r2"),
+            "returned_rev_r4",
+        )
+        .orderBy(F.col("returned_rev_r4").desc(), F.col("c_custkey").asc())
+        .limit(n)
+    )

@@ -1685,6 +1685,63 @@ def q_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rel.parts_never_shipped(t["part"], t["lineitem"])
 
 
+@query(
+    "large_volume_orders",
+    oracle="""
+    WITH q AS (
+        SELECT l_orderkey,
+               sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty_dec
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS o_date,
+           round(CAST(o.o_totalprice AS DOUBLE), 2) AS o_totalprice_r2,
+           round(CAST(q.qty_dec AS DOUBLE), 2) AS total_qty
+    FROM q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shape: aggregate lineitem first, HAVING-filter the per-order
+    quantity, broadcast the surviving key set back into orders⋈customer."""
+    t = _tables(spark, sf_dir)
+    return _rel.large_volume_orders(t["customer"], t["orders"], t["lineitem"])
+
+
+@query(
+    "top_return_customers",
+    oracle="""
+    WITH rev AS (
+        SELECT o.o_custkey,
+               round(CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                                   * (CAST(1 AS DECIMAL(18,6))
+                                      - CAST(l.l_discount AS DECIMAL(18,6)))
+                                   AS DECIMAL(30,12))) AS DOUBLE), 4) AS returned_rev_r4
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           round(CAST(c.c_acctbal AS DOUBLE), 2) AS acctbal_r2,
+           rev.returned_rev_r4
+    FROM rev
+    JOIN customer c ON rev.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY returned_rev_r4 DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shape: returned-revenue per customer, top 20 via
+    TakeOrderedAndProject with a deterministic custkey tie-break."""
+    t = _tables(spark, sf_dir)
+    return _rel.top_return_customers(
+        t["customer"], t["nation"], t["orders"], t["lineitem"]
+    )
+
+
 # --------------------------------------------------------------------------
 # Reference-fixture parity queries: each reference job with its exact
 # parameters on the fixture CSV bundled with the reference (read-only).
