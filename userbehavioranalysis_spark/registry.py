@@ -1711,6 +1711,36 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize",
+    oracle="""
+    WITH t AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS v,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS maxabs
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN maxabs = 0.0 THEN 0.0 ELSE 127.0 / maxabs END AS q_scale,
+           list_transform(
+               v, x -> CAST(floor(x * (CASE WHEN maxabs = 0.0 THEN 0.0
+                                        ELSE 127.0 / maxabs END) + 0.5)
+                            AS TINYINT)) AS q_vec
+    FROM t
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    pure higher-order-function expressions, IEEE-identical on any
+    engine, so even the quantized ARRAYS hash-match the oracle."""
+    from userbehavioranalysis_spark.operators.embeddings import quantize_int8
+
+    return quantize_int8(_tables(spark, sf_dir)["embeddings"]).select(
+        "vec_id", "q_scale", "q_vec"
+    )
+
+
+@query(
     "top_return_customers",
     oracle="""
     WITH rev AS (
