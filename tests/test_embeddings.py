@@ -58,3 +58,25 @@ def test_quantize_plan_is_udf_free(spark):
         quantize_int8(emb)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quantized_ann_recall_vs_exact(spark):
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.embeddings import ann_topk_quantized
+    from userbehavioranalysis_spark.operators.similarity import ann_topk_brute
+
+    emb = load_testdata(spark, SF)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = ann_topk_brute(emb, qs, k=10).collect()
+    quant = ann_topk_quantized(emb, qs, k=10).collect()
+    truth, got = {}, {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in quant:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(truth) == set(got)
+    recalls = [len(truth[q] & got[q]) / len(truth[q]) for q in truth]
+    # int8 on 64-dim vectors: quantization noise may swap near-ties at
+    # the top-10 boundary but must preserve the neighborhood
+    assert sum(recalls) / len(recalls) >= 0.8, recalls

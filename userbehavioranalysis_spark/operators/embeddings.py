@@ -89,3 +89,71 @@ def dequantize_int8(
             f"ELSE transform({qvec_col}, x -> cast(x as double) / {scale_col}) END"
         ),
     )
+
+
+def ann_topk_quantized(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-QUANTIZED vectors — the
+    compressed form of `similarity.ann_topk_brute`, demonstrating that
+    the quantized column is directly searchable.
+
+    The score is computed entirely from INTEGER dot products
+    (``zip_with`` + ``aggregate`` over bigint, exact by construction):
+    ``cos ≈ dot(qa,qb) / sqrt(dot(qa,qa) * dot(qb,qb))`` — the scales
+    cancel in the cosine, so no float rescaling enters until the final
+    division, which is IEEE-identical on any engine.  At scale the int8
+    corpus moves 4× less memory bandwidth per scan than float32 and 8×
+    less than the float64 Spark would shuffle; recall loss vs exact
+    cosine is bounded by the per-lane quantization error (see the
+    recall test).
+
+    Plan: query side quantized and broadcast, corpus side quantized
+    inline in the same codegen'd stage as the scan — one window rank
+    on (query_id), no other shuffle.  Zero vectors (self-dot 0) are
+    excluded from both sides to keep the division total.
+    """
+    idot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as bigint) * cast(y as bigint)),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    def _qside(df: DataFrame, role: str) -> DataFrame:
+        out = quantize_int8(df, vec_col=vec_col, prefix=f"_{role}")
+        return out.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(f"_{role}_vec").alias(f"{role}v"),
+            F.expr(idot.format(a=f"_{role}_vec", b=f"_{role}_vec")).alias(
+                f"{role}_self"
+            ),
+        ).filter(F.col(f"{role}_self") > 0)
+
+    q = _qside(queries, "query")
+    c = _qside(embeddings, "neighbor")
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.expr(idot.format(a="queryv", b="neighborv"))
+            / F.sqrt(F.col("query_self").cast("double") * F.col("neighbor_self")),
+            6,
+        ).alias("qcosine_r6"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qcosine_r6"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "qcosine_r6",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

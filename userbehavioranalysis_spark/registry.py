@@ -1741,6 +1741,56 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_topk_quantized",
+    oracle="""
+    WITH t AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS v,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS maxabs
+        FROM embeddings
+    ), qz AS (
+        SELECT vec_id,
+               list_transform(
+                   v, x -> CAST(floor(x * (CASE WHEN maxabs = 0.0 THEN 0.0
+                                            ELSE 127.0 / maxabs END) + 0.5)
+                                AS BIGINT)) AS qv
+        FROM t
+    ), s AS (
+        SELECT vec_id, qv,
+               list_sum(list_transform(qv, x -> x * x)) AS self_dot
+        FROM qz
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_sum(list_transform(range(1, len(q.qv) + 1),
+                                             i -> q.qv[i] * c.qv[i]))
+                     / sqrt(CAST(q.self_dot AS DOUBLE) * c.self_dot),
+                     6) AS qcosine_r6
+        FROM s c JOIN (SELECT * FROM s WHERE vec_id < 5) q
+          ON q.vec_id <> c.vec_id
+        WHERE c.self_dot > 0 AND q.self_dot > 0
+    )
+    SELECT query_id, neighbor_id, qcosine_r6, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY qcosine_r6 DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors: integer dot products
+    (scales cancel in the cosine), same query set as ann_topk_brute so
+    the two rankings are directly comparable."""
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.embeddings import ann_topk_quantized
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    return ann_topk_quantized(emb, emb.filter(F.col("vec_id") < 5))
+
+
+@query(
     "top_return_customers",
     oracle="""
     WITH rev AS (
