@@ -103,8 +103,13 @@ def login_fail_stateful(
             columns=["user_id", "first_fail_ts_us", "last_fail_ts_us", "warning_msg"]
         )
 
+    # project to the columns the kernel reads BEFORE the state exchange:
+    # the events stream carries a fat JSON `props` string (and `value`)
+    # that would otherwise ride through Arrow into every pandas group
+    keep = [c for c in ("user_id", "ts", "event_type", "event_id") if c in events.columns]
     return (
-        events.withWatermark("ts", watermark)
+        events.select(*keep)
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn, LOGIN_WARN_SCHEMA, _LOGIN_STATE, "append", GroupStateTimeout.NoTimeout
@@ -238,16 +243,25 @@ def order_timeout_stateful(
 
         create_ts, pay_ts = state.get if state.exists else (None, None)
         out = []
-        max_ts = None
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # vectorized "first create / first pay in ts order" — the
+            # iterrows() equivalent is per-row Python and dominates the
+            # replay's runtime at thousands of keyed groups
+            import numpy as np
+
             pdf = pdf.sort_values("ts")
-            for _, row in pdf.iterrows():
-                ts_us = int(row["ts"].value // 1000)
-                max_ts = ts_us if max_ts is None else max(max_ts, ts_us)
-                if row["event_type"] == create_type and create_ts is None:
-                    create_ts = ts_us
-                elif row["event_type"] == pay_type and pay_ts is None:
-                    pay_ts = ts_us
+            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            et = pdf["event_type"].to_numpy()
+            if create_ts is None:
+                idx = np.flatnonzero(et == create_type)
+                if idx.size:
+                    create_ts = int(ts_us[idx[0]])
+            if pay_ts is None:
+                idx = np.flatnonzero(et == pay_type)
+                if idx.size:
+                    pay_ts = int(ts_us[idx[0]])
         if create_ts is not None and pay_ts is not None:
             ok = pay_ts <= create_ts + timeout_us
             out.append(
@@ -272,8 +286,12 @@ def order_timeout_stateful(
             state.setTimeoutTimestamp(max(timer_ms, wm_ms + 1))
         yield pd.DataFrame(out, columns=["order_id", "result_msg", "is_timeout"])
 
+    # kernel reads only (key, ts, event_type) — drop everything else
+    # before the state exchange (see login_fail_stateful note)
+    keep = [c for c in (key_col, "ts", "event_type") if c in events.columns]
     return (
-        events.withWatermark("ts", watermark)
+        events.select(*keep)
+        .withWatermark("ts", watermark)
         .groupBy(key_col)
         .applyInPandasWithState(
             fn,
@@ -383,8 +401,12 @@ def blacklist_stateful(
             columns=["user_id", "event_id", "seq", "is_warning"]
         )
 
+    # kernel reads only (user_id, ts, event_id) — drop everything else
+    # before the state exchange (see login_fail_stateful note)
+    keep = [c for c in ("user_id", "ts", "event_id") if c in events.columns]
     return (
-        events.withWatermark("ts", watermark)
+        events.select(*keep)
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn, BLACKLIST_SCHEMA, _BL_STATE, "append", GroupStateTimeout.NoTimeout
