@@ -208,3 +208,29 @@ def test_top_return_customers_take_ordered_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan
     # returnflag filter reaches the lineitem scan
     assert "EqualTo(l_returnflag,R)" in plan, plan
+
+
+def test_exploded_arrays_never_clone_into_scan_filters(spark):
+    # InferFiltersFromGenerate clones the generator expression into an
+    # interpreted scan-level DataFilter (measured ~10x on the shingle
+    # chain); functions/arrays.exploded must keep scans clean
+    from userbehavioranalysis_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+    from userbehavioranalysis_spark.operators.text_analysis import token_topk
+
+    t = load_testdata(spark, SF)
+    for df in (
+        ngram_jaccard_pairs(t["documents"]),
+        minhash_lsh_pairs(t["documents"]),
+        simhash_pairs(t["documents"]),
+        token_topk(t["documents"]),
+    ):
+        plan = _plan(df)
+        for scan_filters in [
+            seg.split("]", 1)[0]
+            for seg in plan.split("DataFilters: [")[1:]
+        ]:
+            assert "split(trim(" not in scan_filters, scan_filters[:300]

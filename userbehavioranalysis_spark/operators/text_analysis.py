@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from userbehavioranalysis_spark.functions import text as T
+from userbehavioranalysis_spark.functions.arrays import exploded
 
 # marker stopwords per language — tiny fixed sets keep the heuristic
 # deterministic and SQL-expressible in both engines
@@ -188,7 +189,7 @@ def token_topk(documents: DataFrame, k: int = 20) -> DataFrame:
     Deterministic total order: (n DESC, token ASC).  Returns (token, n).
     """
     return (
-        documents.select(F.explode(F.expr(T.TOKENS_SPARK)).alias("token"))
+        exploded(documents, F.expr(T.TOKENS_SPARK), "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
@@ -255,12 +256,11 @@ def decontaminate(
     Returns (doc_id, n_hit_shingles, contaminated) for non-benchmark
     docs.
     """
-    sh = (
+    sh = exploded(
         documents.withColumn("tokens", F.expr(T.TOKENS_SPARK))
-        .withColumn("sh", F.array_distinct(F.expr(T.shingles_spark(shingle_k))))
-        .select("doc_id", F.explode("sh").alias("s"))
-        .select("doc_id", F.expr(T.h64_spark("s")).alias("h"))
-    )
+        .withColumn("sh", F.array_distinct(F.expr(T.shingles_spark(shingle_k)))),
+        "sh", "s", "doc_id",
+    ).select("doc_id", F.expr(T.h64_spark("s")).alias("h"))
     bench = sh.filter(F.col("doc_id") % benchmark_mod == 0).select("h").distinct()
     hits = (
         sh.filter(F.col("doc_id") % benchmark_mod != 0)
@@ -321,9 +321,9 @@ def doc_rarity(documents: DataFrame) -> DataFrame:
     (doc_id, n_distinct_tokens, sum_df, mean_df_r4) — low mean_df =
     rare vocabulary.
     """
-    toks = documents.withColumn(
-        "token", F.explode(F.array_distinct(F.expr(T.TOKENS_SPARK)))
-    ).select("doc_id", "token")
+    toks = exploded(
+        documents, F.array_distinct(F.expr(T.TOKENS_SPARK)), "token", "doc_id"
+    )
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     return (
         toks.join(vocab, "token")

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from userbehavioranalysis_spark.functions.arrays import exploded
 from userbehavioranalysis_spark.functions.time import duration_seconds, window_bounds
 
 # Above this window/slide ratio, sliding counts switch from F.window's
@@ -88,10 +89,10 @@ def sliding_counts(
         .alias("pane_start"),
         *keys,
     ).agg(F.count(F.lit(1)).alias("pane_count"))
-    expanded = panes.select(
-        F.explode(
-            F.expr(f"transform(sequence(0, {k - 1}), i -> pane_start - i * {slide_s})")
-        ).alias("window_start"),
+    expanded = exploded(
+        panes,
+        F.expr(f"transform(sequence(0, {k - 1}), i -> pane_start - i * {slide_s})"),
+        "window_start",
         *keys,
         "pane_count",
     )
