@@ -273,14 +273,18 @@ def _lsh_bands(df: DataFrame, id_col: str, n_planes: int, band_bits: int) -> Dat
         f"if(element_at(sig, b * {band_bits} + {j} + 1), {1 << j}, 0)"
         for j in range(band_bits)
     )
+    # posexplode_OUTER + null filter, not posexplode: otherwise
+    # InferFiltersFromGenerate clones the whole hyperplane fold into an
+    # interpreted scan DataFilter (see functions/arrays.exploded)
     return (
         df.withColumn("sig", F.expr(bits))
         .select(
             F.col("vec_id").alias(id_col),
-            F.posexplode(
+            F.posexplode_outer(
                 F.expr(f"transform(sequence(0, {n_bands - 1}), b -> {band_val})")
             ).alias("band", "band_val"),
         )
+        .filter(F.col("band").isNotNull())
     )
 
 
