@@ -415,3 +415,20 @@ def test_avi_round_trip_real_decoder(spark):
     # doc 300: n_frames=2+300%6=2 -> only frame 0; gray=300%256=44
     f300 = by_doc[300]
     assert len(f300) == 1 and f300[0]["frame_no"] == 0 and f300[0]["intensity"] == 44
+
+
+def test_minhash_bucket_cap_subset_and_bound(spark):
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.dedup import minhash_lsh_pairs
+    from userbehavioranalysis_spark.sources.readers import load_testdata
+
+    docs = load_testdata(spark, "/root/testdata/sf0.001")["documents"]
+    full = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    capped = minhash_lsh_pairs(docs, max_bucket=32).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in capped}
+    # dropping buckets can only remove candidates, never invent them
+    assert got <= full
+    assert len(got) < len(full)  # the dup-dense corpus must trip the cap

@@ -538,7 +538,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.exact_dedup(_tables(spark, sf_dir)["documents"])
 
 
-_MINHASH_ORACLE = f"""
+def _minhash_oracle(max_bucket: int | None = None) -> str:
+    """MinHash-LSH oracle, optionally with the hot-bucket cap the Spark
+    operator applies (identical windowed bucket-size filter)."""
+    if max_bucket is None:
+        kept = "SELECT * FROM buckets"
+    else:
+        kept = f"""SELECT doc_id, band_id, band_sig FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_id, band_sig) AS bsz
+            FROM buckets
+        ) WHERE bsz <= {max_bucket}"""
+    return f"""
     WITH toks AS (
         SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents
     ), sigs AS (
@@ -548,11 +558,13 @@ _MINHASH_ORACLE = f"""
         SELECT doc_id, b.band_id,
                array_to_string(sig[b.band_id * 3 + 1 : b.band_id * 3 + 3], '-') AS band_sig
         FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
+    ), kept AS (
+        {kept}
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM buckets a
-        JOIN buckets b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
-                      AND a.doc_id < b.doc_id
+        FROM kept a
+        JOIN kept b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id
     )
     SELECT cand.doc_a, cand.doc_b,
            CAST(len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) AS INTEGER)
@@ -563,9 +575,24 @@ _MINHASH_ORACLE = f"""
 """
 
 
+_MINHASH_ORACLE = _minhash_oracle()
+
+
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_lsh_pairs(_tables(spark, sf_dir)["documents"])
+
+
+@query("dedup_minhash_capped", oracle=_minhash_oracle(max_bucket=32))
+def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with the production hot-bucket cap (max 32 docs per
+    band bucket): mega-buckets of near-identical boilerplate are dropped
+    as low-information, bounding candidates at O(corpus · cap) instead
+    of O(hottest-bucket²) — the guard that keeps banded LSH viable on a
+    dup-dense 100 TB corpus."""
+    return _dedup.minhash_lsh_pairs(
+        _tables(spark, sf_dir)["documents"], max_bucket=32
+    )
 
 
 _SIMHASH_ORACLE = f"""
