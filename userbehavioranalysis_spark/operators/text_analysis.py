@@ -455,3 +455,32 @@ def fingerprints(documents: DataFrame, shingle_k: int = 4, keep: int = 4) -> Dat
             ).alias("fingerprint"),
         )
     )
+
+
+def quality_gate(documents: DataFrame, q: float = 0.1) -> DataFrame:
+    """Per-language percentile quality gate: drop each language's bottom
+    ``q`` tail by length (the simplest robust quality proxy; swap the
+    metric column for a model score in production).
+
+    Per-GROUP cutoffs matter: a global cutoff silently deletes compact
+    languages (e.g. CJK chars-per-word) — the standard multilingual
+    curation mistake.  Plan: the per-lang exact ``percentile`` reduces
+    to one row per language, broadcasts back, and the gate evaluates
+    map-side — one tiny aggregation exchange, the corpus never
+    shuffles.  At 100 TB swap ``percentile`` for ``approx_percentile``
+    (same plan shape, sketch-mergeable).
+
+    The cutoff is rounded to 4 decimals BEFORE comparing so the
+    boundary decision is identical on any engine (linear-interpolation
+    percentiles agree cross-engine at that precision; raw-float >=
+    at an exact integer boundary is last-ulp-fragile).  Returns kept
+    rows as (doc_id, lang, n_chars, cut_r4).
+    """
+    cuts = documents.groupBy("lang").agg(
+        F.round(F.expr(f"percentile(n_chars, {q})"), 4).alias("cut_r4")
+    )
+    return (
+        documents.join(F.broadcast(cuts), "lang")
+        .filter(F.col("n_chars") >= F.col("cut_r4"))
+        .select("doc_id", "lang", "n_chars", "cut_r4")
+    )

@@ -1768,6 +1768,64 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "latest_state",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS last_us,
+           round(value, 4) AS last_value_r4,
+           event_id AS last_event_id
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style event-log compaction: newest row per (user, event_type)
+    via max_by aggregation — map-side partial reduction instead of a
+    full-log window sort (operators/compaction.py)."""
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.compaction import latest_state
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", "ts", "value", "event_id"
+    )
+    out = latest_state(
+        ev, keys=["user_id", "event_type"], ts_col="ts", tie_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("last_us"),
+        F.round("value", 4).alias("last_value_r4"),
+        F.col("event_id").alias("last_event_id"),
+    )
+
+
+@query(
+    "quality_gate",
+    oracle="""
+    WITH cuts AS (
+        SELECT lang, round(quantile_cont(n_chars, 0.1), 4) AS cut_r4
+        FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, c.cut_r4
+    FROM documents d JOIN cuts c USING (lang)
+    WHERE d.n_chars >= c.cut_r4
+    """,
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile quality gate: each language's bottom
+    decile by length is dropped against its OWN cutoff (broadcast of a
+    one-row-per-language aggregate; the corpus never shuffles)."""
+    from userbehavioranalysis_spark.operators.text_analysis import quality_gate
+
+    return quality_gate(_tables(spark, sf_dir)["documents"])
+
+
+@query(
     "ann_topk_quantized",
     oracle="""
     WITH t AS (
