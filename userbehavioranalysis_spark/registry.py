@@ -2938,6 +2938,53 @@ def q_streaming_dedup_watermark_replay(spark: SparkSession, sf_dir: str) -> Data
 
 
 @query(
+    "streaming_latest_state_replay",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS last_us,
+           round(value, 4) AS last_value_r4,
+           event_id AS last_event_id
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_streaming_latest_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained current-state table: the streaming twin
+    of ``latest_state`` (operators/compaction.py).  A running
+    ``max_by(payload, (ts, tie))`` aggregation in complete mode keeps
+    exactly one row of state per key — the CDC materialized-view shape.
+    State is O(distinct keys) by construction (each key stores only its
+    winning struct, not history), and max over a struct is
+    order-insensitive, so the result is independent of micro-batch
+    slicing and equals the batch oracle exactly."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = (
+        stream.select("user_id", "event_type", "ts", "value", "event_id")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max_by(
+                F.struct("ts", "value", "event_id"), F.struct("ts", "event_id")
+            ).alias("_l")
+        )
+    )
+    out = agg.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("_l.ts").alias("last_us"),
+        F.round("_l.value", 4).alias("last_value_r4"),
+        F.col("_l.event_id").alias("last_event_id"),
+    )
+    return _run_bounded(out, "uba_stream_ls", partitions=8, output_mode="complete")
+
+
+@query(
     "streaming_dedup_replay",
     oracle="""
     SELECT md5(text) AS text_md5,
