@@ -122,17 +122,37 @@ def ann_topk_quantized(
         " cast(0 as bigint), (acc, x) -> acc + x)"
     )
     def _qside(df: DataFrame, role: str) -> DataFrame:
-        out = quantize_int8(df, vec_col=vec_col, prefix=f"_{role}")
+        # zero-vector guard on the RAW column, before quantization: a
+        # predicate on the computed self-dot would be pushdown-cloned
+        # into the scan as an interpreted re-evaluation of the whole
+        # quantize chain per row (same trap as InferFiltersFromGenerate,
+        # via plain filter pushdown).  any-nonzero-element is exactly
+        # self_dot > 0: the max-|x| lane always quantizes to ±127.
+        nz = df.filter(
+            F.expr(f"exists({_DVEC.format(c=vec_col)}, x -> x != 0.0d)")
+        )
+        out = quantize_int8(nz, vec_col=vec_col, prefix=f"_{role}")
         return out.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(f"_{role}_vec").alias(f"{role}v"),
             F.expr(idot.format(a=f"_{role}_vec", b=f"_{role}_vec")).alias(
                 f"{role}_self"
             ),
-        ).filter(F.col(f"{role}_self") > 0)
+        )
+
+    # materialize the quantized corpus side: without the cache barrier
+    # CollapseProject inlines the quantization transform INTO the
+    # per-pair dot expression, re-quantizing every corpus vector once
+    # per query (measured ~5x on the sf0.1 bench).  The broadcast
+    # exchange already materializes the (tiny) query side.
+    from userbehavioranalysis_spark.operators.cachepool import (
+        pooled_cache,
+        release_pooled,
+    )
 
     q = _qside(queries, "query")
-    c = _qside(embeddings, "neighbor")
+    release_pooled()
+    c = pooled_cache(_qside(embeddings, "neighbor"))
     scored = c.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
     ).select(
