@@ -1,12 +1,18 @@
 """Benchmark runner — wall-clock per registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-    {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {...}, "sf": <sf>}
+Output contract (driver tail-capture safe — BENCH_r02 recorded
+``parsed: null`` because an 89-query single-line JSON outgrew the
+capture window):
 
-Each query executes to completion (count + a cheap checksum collect) so
-lazy plans actually run; one warm-up of the flagship query primes the
-JVM/codegen before timing.
+- the full per-query timing map is written to ``BENCH_DETAIL.json``
+  next to this script (and printed FIRST, for humans);
+- the FINAL stdout line is one compact JSON summary
+  ``{"metric", "value", "unit", "queries", "sf"}`` whose ``queries``
+  map holds only the reference-parity subset, keeping the line short
+  enough for any tail capture.
+
+Each query executes to completion (count) so lazy plans actually run;
+one warm-up of the flagship query primes the JVM/codegen before timing.
 """
 
 from __future__ import annotations
@@ -16,10 +22,32 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 from userbehavioranalysis_spark import get_spark  # noqa: E402
 from userbehavioranalysis_spark.registry import QUERIES  # noqa: E402
+
+# The published-baseline subset (BASELINE.md round-1 table, 21.8 s at
+# sf0.1): the reference's own analytics.  These are the only per-query
+# numbers in the summary line; everything else lives in BENCH_DETAIL.json.
+PARITY_15 = [
+    "page_view",
+    "unique_visitors",
+    "uv_approx",
+    "marketing_total",
+    "marketing_by_channel",
+    "ad_clicks_by_geo",
+    "hot_items",
+    "hot_pages",
+    "login_fail_strict",
+    "login_fail_relaxed",
+    "order_timeout",
+    "blacklist_warnings",
+    "blacklist_filtered",
+    "tx_match_interval",
+    "tx_match_reconcile",
+]
 
 
 def main() -> None:
@@ -38,13 +66,27 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    parity = {n: timings[n] for n in PARITY_15 if n in timings}
+    detail = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "parity_15_total": round(sum(parity.values()), 3),
+        "queries": timings,
+    }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # humans first, machine line LAST
+    print(json.dumps(detail["queries"], sort_keys=True))
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": parity,
                 "sf": sf,
             }
         )

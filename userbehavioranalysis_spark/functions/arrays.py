@@ -10,12 +10,12 @@ whole chain per row outside codegen.  Measured on the sf0.1 documents
 table this made a 0.8 s explode take ~9 s — the silent dominant cost of
 every shingle-based dedup operator.
 
-The rule skips ``outer`` generates, so the equivalent
-``explode_outer + isnotnull(output)`` keeps the plan clean: the null
-filter sits ABOVE the Generate on the generated attribute and cannot be
-pushed into anything.  Semantics match ``explode`` exactly as long as
-the array itself contains no null ELEMENTS (ours never do — shingles,
-tokens, bands and signature lanes are all built non-null).
+The rule skips ``outer`` generates, so an outer generate plus a filter
+on a GENERATED attribute keeps the plan clean: the filter sits ABOVE
+the Generate and cannot be pushed into anything.  Filtering on the
+``posexplode_outer`` POSITION column (null only for empty/null arrays,
+never for null elements) makes the rewrite exactly equivalent to plain
+``explode`` even when arrays contain null elements.
 
 At 100 TB this matters more, not less: the cloned scan filter would
 re-run the tokenizer chain over every row of every file, roughly
@@ -36,5 +36,8 @@ def exploded(df: DataFrame, array: Column | str, alias: str, *keep) -> DataFrame
     ``keep`` entries may be column names or Column expressions; they are
     projected alongside the exploded column.
     """
-    out = df.select(*keep, F.explode_outer(array).alias(alias))
-    return out.filter(F.col(alias).isNotNull())
+    pos = f"__{alias}_pos"
+    out = df.select(*keep, F.posexplode_outer(array).alias(pos, alias))
+    # position is null ONLY for empty/null input arrays — unlike the
+    # element column, which a null array ELEMENT would also null out
+    return out.filter(F.col(pos).isNotNull()).drop(pos)

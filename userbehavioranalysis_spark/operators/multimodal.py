@@ -546,3 +546,91 @@ def image_features(media: DataFrame) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(
         decode, schema=IMAGE_FEATURE_SCHEMA
     )
+
+
+# -- Generic media path: magic-byte dispatch to the real codecs ------------
+
+MEDIA_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("detected_kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("intensity", LongType()),
+    ]
+)
+
+
+def synthetic_mixed_media(documents: DataFrame) -> DataFrame:
+    """A mixed-kind REAL media table: one payload per document, format
+    chosen by ``doc_id % 3`` (0 → BMP image, 1 → WAV audio, 2 → AVI
+    video), each via the genuine encoders above.  Three map-only
+    branches over disjoint filters unioned back — no shuffle, the
+    filters push to the parquet scan on all three branches."""
+    m = F.pmod("doc_id", F.lit(3))
+    return (
+        synthetic_bmp_media(documents.where(m == 0))
+        .unionByName(synthetic_wav_media(documents.where(m == 1)))
+        .unionByName(synthetic_avi_media(documents.where(m == 2)))
+    )
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Generic media feature extraction: sniff each payload's MAGIC
+    BYTES and dispatch to the matching real decoder — ``BM`` → BMP,
+    ``RIFF…WAVE`` → stdlib ``wave``, ``RIFF…AVI `` → the AVI chunk
+    walker.  Only a payload no codec claims falls through to the
+    clearly-marked deterministic stub (``detected_kind='unknown'``),
+    mirroring how a production pipeline routes by content-type with a
+    quarantine lane for undecodable media.
+
+    Unified feature row: (width, height) for visual media (0 for
+    audio), ``n_frames`` (1 for stills, PCM frames for audio),
+    ``intensity`` = mean pixel for image, RMS amplitude for audio,
+    frame-0 mean for video.  All integer-exact for the synthetic
+    payloads, so the full known-format set is hash-checkable against a
+    SQL oracle — the stub lane never fires on it."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    def _decode_one(b: bytes):
+        if b[:2] == b"BM":
+            _, _, _, _, offset = struct.unpack("<2sIHHI", b[:14])
+            _, w, h, _, bpp = struct.unpack("<IiiHH", b[14:30])
+            stride = (w * 3 + 3) // 4 * 4
+            rows = np.frombuffer(
+                b[offset : offset + stride * abs(h)], dtype=np.uint8
+            ).reshape(abs(h), stride)[:, : w * 3]
+            return "image", w, abs(h), 1, int(round(float(rows.mean())))
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            with wave.open(io.BytesIO(b), "rb") as wv:
+                n = wv.getnframes()
+                pcm = np.frombuffer(wv.readframes(n), dtype="<i2").astype("float64")
+            rms = int(round(float(np.sqrt(np.mean(pcm**2))))) if n else 0
+            return "audio", 0, 0, n, rms
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            w, h, _, frames = _avi_parse(b)
+            stride = (w * 3 + 3) // 4 * 4
+            px = np.frombuffer(frames[0], dtype=np.uint8).reshape(h, stride)[:, : w * 3]
+            return "video", w, h, len(frames), int(round(float(px.mean())))
+        sw, sh, smean = _decode_stub(b)
+        return "unknown", sw, sh, 1, int(round(smean * 255))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in MEDIA_FEATURE_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                kind, w, h, n, inten = _decode_one(bytes(payload))
+                out["media_id"].append(mid)
+                out["detected_kind"].append(kind)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(n)
+                out["intensity"].append(inten)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, schema=MEDIA_FEATURE_SCHEMA)

@@ -310,10 +310,16 @@ def large_volume_orders(
     HashAggregate combines map-side, the shuffle carries one row per
     order), apply the HAVING filter on the aggregate, and only then
     join.  The surviving order set is tiny by construction (the filter
-    is in the distribution's tail), so it broadcasts into orders and
-    the orders⋈customer join stays the only real shuffle.  The naive
-    plan — join everything, then aggregate — shuffles the full
-    multiplied fact join; this one shuffles lineitem once, reduced.
+    is in the distribution's tail), so it is small enough to broadcast
+    into orders and the orders⋈customer join stays the only real
+    shuffle.  The naive plan — join everything, then aggregate —
+    shuffles the full multiplied fact join; this one shuffles lineitem
+    once, reduced.  The broadcast is deliberately NOT forced: the
+    surviving set's size depends entirely on the caller's ``min_qty``
+    (a low threshold keeps most orders), so a hint would bypass the
+    autoBroadcastJoinThreshold guard and can OOM the driver at scale —
+    AQE converts the join to broadcast at runtime whenever the
+    filtered aggregate actually is small.
 
     Quantity sums accumulate in exact decimals (`_dsum` rationale) so
     the HAVING boundary cannot wobble with partition order.
@@ -325,7 +331,7 @@ def large_volume_orders(
         .select("l_orderkey", F.round(F.col("qty_dec").cast("double"), 2).alias("total_qty"))
     )
     return (
-        orders.join(F.broadcast(qty), orders["o_orderkey"] == qty["l_orderkey"])
+        orders.join(qty, orders["o_orderkey"] == qty["l_orderkey"])
         .join(customer, orders["o_custkey"] == customer["c_custkey"])
         .select(
             "c_custkey",

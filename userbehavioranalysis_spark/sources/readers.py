@@ -43,9 +43,38 @@ _EPOCH_ANY_CASE = (
 )
 
 
-def epoch_any_to_ts(col: str = "ts") -> F.Column:
-    """Microsecond TimestampType from an epoch long of any unit (s/ms/us/ns)."""
-    return F.expr(_EPOCH_ANY_CASE.format(c=col))
+def epoch_any_to_ts(col: str = "ts", check_range: bool = True) -> F.Column:
+    """Microsecond TimestampType from an epoch long of any unit (s/ms/us/ns).
+
+    Magnitude classification is unambiguous only inside its design
+    window (ms epochs before ~1973-03 or s epochs after 2286 would
+    mis-decode), so by default the decode carries a loud guard: any
+    non-null value landing outside [1980, 2200) raises with the raw
+    value in the message — a future unit shift in regenerated testdata
+    fails at the first scan rather than silently skewing event time.
+    One timestamp comparison per row, JVM-side; ``check_range=False``
+    opts out for data legitimately outside the window.
+    """
+    decoded = F.expr(_EPOCH_ANY_CASE.format(c=col))
+    if not check_range:
+        return decoded
+    lo = F.lit("1980-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("2200-01-01 00:00:00").cast("timestamp")
+    return (
+        F.when(F.col(col).isNull(), F.lit(None).cast("timestamp"))
+        .when((decoded >= lo) & (decoded < hi), decoded)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"epoch decode of {col!r} outside plausible range "
+                        "[1980, 2200): raw value "
+                    ),
+                    F.col(col).cast("string"),
+                )
+            )
+        )
+    )
 
 
 def load_testdata(

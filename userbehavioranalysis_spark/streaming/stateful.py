@@ -77,7 +77,7 @@ def login_fail_stateful(
             # to the batch operator's window ORDER BY (ts, event_id)
             by = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
             pdf = pdf.sort_values(by)
-            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            ts_us = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000).to_numpy()
             etype = pdf["event_type"].to_numpy()
             # vectorized lag: row 0 compares against carried state
             prev_t = np.concatenate(([prev_type or ""], etype[:-1]))
@@ -152,7 +152,7 @@ def login_fail_tws(
                     continue
                 by = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
                 pdf = pdf.sort_values(by)
-                ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+                ts_us = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000).to_numpy()
                 etype = pdf["event_type"].to_numpy()
                 prev_t = np.concatenate(([prev_type or ""], etype[:-1]))
                 prev_u = np.concatenate(
@@ -252,7 +252,7 @@ def order_timeout_stateful(
             import numpy as np
 
             pdf = pdf.sort_values("ts")
-            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            ts_us = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000).to_numpy()
             et = pdf["event_type"].to_numpy()
             if create_ts is None:
                 idx = np.flatnonzero(et == create_type)
@@ -357,7 +357,8 @@ def blacklist_stateful(
                 continue
             pdf = pdf.sort_values(["ts", "event_id"])
             days = (
-                pdf["ts"].astype("int64") // (86_400 * 10**9) * 86_400
+                pdf["ts"].astype("datetime64[ns]").astype("int64")
+                // (86_400 * 10**9) * 86_400
             ).to_numpy()
             eids = pdf["event_id"].to_numpy()
             cuts = np.flatnonzero(np.diff(days)) + 1
