@@ -277,49 +277,3 @@ def test_streaming_reconcile_outer_tags(spark, tmp_path):
     assert unmatched["receipt_event_id"] is None
 
 
-def test_login_fail_transformWithState_matches_batch(spark, tmp_path):
-    """Spark 4 native stateful API (transformWithStateInPandas) variant
-    must match the batch operator — same fixture as the
-    applyInPandasWithState test, state split across micro-batches."""
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithStateInPandas state protocol needs protobuf",
-    )
-    from userbehavioranalysis_spark.streaming.stateful import login_fail_tws
-
-    batches = [
-        [(1, 1, "error", 0, 100), (2, 1, "error", 0, 101)],
-        [(3, 1, "error", 0, 103), (4, 2, "error", 0, 200), (5, 2, "view", 0, 201)],
-        [(6, 2, "error", 0, 202), (7, 9, "view", 0, 9_999)],
-    ]
-    path, batch_df = _write_files(spark, str(tmp_path), batches)
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
-    try:
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        )
-        stream = file_replay(spark, path, batch_df.schema)
-        res = _run_to_memory(
-            spark, login_fail_tws(stream, 2, fail_type="error"), "lf_tws", str(tmp_path)
-        )
-        got = {
-            (r["user_id"], r["first_fail_ts_us"], r["last_fail_ts_us"])
-            for r in res.collect()
-        }
-    finally:
-        if prev:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
-        else:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    want = {
-        (r["user_id"], r["first_fail_ts_us"], r["last_fail_ts_us"])
-        for r in login_fail_warnings(
-            batch_df, 2, strict=True, fail_type="error", ts_col="ts"
-        ).collect()
-    }
-    assert got == want
-    assert (1, 100_000_000, 101_000_000) in got  # pair within batch 0
-    assert (1, 101_000_000, 103_000_000) in got  # pair ACROSS batches
-    # user 2: success at 201 breaks strict contiguity -> no pair
-    assert not any(u == 2 for u, _, _ in got)

@@ -3074,6 +3074,91 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Formatted Top-N reports (presentation layer, HotItems.scala:139-152 /
+# NetworkFlow.scala:104-114 output fidelity)
+# --------------------------------------------------------------------------
+
+@query(
+    "hot_items_report",
+    oracle="""
+    WITH w AS (
+        SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - g.i) * 300 AS window_start,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS item_id
+        FROM events e CROSS JOIN generate_series(0, 11) g(i)
+        WHERE e.event_type = 'view'
+    ), counts AS (
+        SELECT window_start, item_id, CAST(count(*) AS BIGINT) AS view_count
+        FROM w GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY view_count DESC, item_id ASC) AS rank
+        FROM counts
+    )
+    SELECT window_start + 3600 AS window_end,
+           '时间:' || strftime(epoch_ms((window_start + 3600) * 1000),
+                               '%Y-%m-%d %H:%M:%S') || '.0' || chr(10) ||
+           string_agg('No' || rank || ': 商品ID=' || item_id ||
+                      ' 浏览量=' || view_count || chr(10), '' ORDER BY rank) ||
+           repeat('=', 32) AS report
+    FROM ranked WHERE rank <= 3
+    GROUP BY window_start
+    """,
+)
+def q_hot_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual OUTPUT for its flagship job: one formatted
+    ranked-report string per window (HotItems.scala:139-152), rendered
+    from the structured top-3 rows by pure Catalyst string expressions.
+    The oracle rebuilds the byte-identical string in DuckDB, so the
+    printed format itself is hash-checked."""
+    from userbehavioranalysis_spark.functions.reports import hot_items_report
+
+    return hot_items_report(topn.hot_items(_tables(spark, sf_dir)["events"]))
+
+
+@query(
+    "ref_network_flow_report",
+    oracle=f"""
+    WITH ev AS (
+        SELECT CAST(epoch(strptime(column3, '%d/%m/%Y:%H:%M:%S')) AS BIGINT) AS ts,
+               column6 AS url
+        FROM read_csv('{_jobs.FIXTURES["apache_log"]}', header=false, sep=' ')
+    ), w AS (
+        SELECT (CAST(floor(ts / 5) AS BIGINT) - g.i) * 5 AS window_start, url
+        FROM ev CROSS JOIN generate_series(0, 119) g(i)
+    ), counts AS (
+        SELECT window_start, url, CAST(count(*) AS BIGINT) AS url_count
+        FROM w GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY url_count DESC, url ASC) AS rank
+        FROM counts
+    )
+    SELECT window_start + 600 AS window_end,
+           '时间：' || strftime(epoch_ms((window_start + 600) * 1000),
+                                '%Y-%m-%d %H:%M:%S') || '.0' || chr(10) ||
+           string_agg('NO' || rank || ': URL=' || url ||
+                      ' 访问量=' || url_count || chr(10), '' ORDER BY rank) ||
+           repeat('=', 29) AS report
+    FROM ranked WHERE rank <= 5
+    GROUP BY window_start
+    """,
+)
+def q_ref_network_flow_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetworkFlow's formatted top-5 report (NetworkFlow.scala:104-114
+    — full-width colon, 'NO' rank prefix, 29-char bar) over the literal
+    apache.log fixture; byte-level output parity, hash-checked."""
+    from userbehavioranalysis_spark.functions.reports import network_flow_report
+
+    return network_flow_report(
+        _jobs.network_flow_job(
+            _jobs.read_apache_log(spark, _jobs.FIXTURES["apache_log"])
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window ordering + rotation plan
 # --------------------------------------------------------------------------
 # The correctness driver records oracle results for the FIRST 50 registry
@@ -3106,6 +3191,9 @@ _DRIVER_WINDOW = [
     "ref_ad_province_counts",
     "ref_ad_blacklist_warnings",
     "ref_network_flow_top5",
+    # formatted-report fidelity over the same apache.log fixture
+    # (NetworkFlow.scala:104-114 byte-level output parity)
+    "ref_network_flow_report",
     # Structured Streaming replays (W1-W4 watermarks, C1-C5 stateful)
     "streaming_page_view_replay",
     "streaming_page_view_late_replay",
@@ -3153,7 +3241,6 @@ _DRIVER_WINDOW = [
     "order_timeout",
     "tx_match_interval",
     "tx_match_reconcile",
-    "blacklist_warnings",
 ]
 
 

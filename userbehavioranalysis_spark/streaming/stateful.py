@@ -117,82 +117,6 @@ def login_fail_stateful(
     )
 
 
-def login_fail_tws(
-    events: DataFrame,
-    max_gap_seconds: int,
-    fail_type: str = "error",
-    watermark: str = "10 seconds",
-) -> DataFrame:
-    """Streaming strict login-fail detection on transformWithStateInPandas.
-
-    Same semantics as ``login_fail_stateful`` (the applyInPandasWithState
-    form); requires the RocksDB state store provider
-    (``spark.sql.streaming.stateStore.providerClass``) and the
-    ``protobuf`` package (the TWS state-server protocol runs over it —
-    absent in this build environment, so the matching test skips there;
-    ``login_fail_stateful`` is the always-available path).
-    """
-    import numpy as np
-    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
-
-    gap_us = max_gap_seconds * 1_000_000
-
-    class P(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._prev = handle.getValueState(
-                "prev", "prev_type string, prev_ts_us long"
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            prev = self._prev.get() if self._prev.exists() else None
-            prev_type, prev_ts = prev if prev else (None, None)
-            frames = []
-            for pdf in rows:
-                if len(pdf) == 0:
-                    continue
-                by = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
-                pdf = pdf.sort_values(by)
-                ts_us = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000).to_numpy()
-                etype = pdf["event_type"].to_numpy()
-                prev_t = np.concatenate(([prev_type or ""], etype[:-1]))
-                prev_u = np.concatenate(
-                    ([prev_ts if prev_ts is not None else -(10**15)], ts_us[:-1])
-                )
-                hit = (
-                    (etype == fail_type)
-                    & (prev_t == fail_type)
-                    & (ts_us - prev_u <= gap_us)
-                )
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "user_id": key[0],
-                            "first_fail_ts_us": prev_u[hit],
-                            "last_fail_ts_us": ts_us[hit],
-                            "warning_msg": "login fail!",
-                        }
-                    )
-                )
-                prev_type, prev_ts = str(etype[-1]), int(ts_us[-1])
-            self._prev.update((prev_type, prev_ts))
-            if frames:
-                yield from iter(frames)
-
-        def close(self) -> None:
-            pass
-
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy("user_id")
-        .transformWithStateInPandas(
-            statefulProcessor=P(),
-            outputStructType=LOGIN_WARN_SCHEMA,
-            outputMode="append",
-            timeMode="EventTime",
-        )
-    )
-
-
 ORDER_RESULT_SCHEMA = StructType(
     [
         StructField("order_id", LongType()),
