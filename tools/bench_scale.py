@@ -1,0 +1,73 @@
+"""Scaling measurement for the heavy operator family.
+
+Times each heavy query at two scale factors (default sf0.1 and the
+synthesized sf1 from tools/make_scale_data.py) and prints the per-query
+ratio.  Linear-ish scaling (ratio ≈ the 10× data growth, and certainly
+< 10× wall-clock for queries with fixed overheads) is the empirical
+backing for the 100 TB design claims in SCALE.md.
+
+    python tools/bench_scale.py [sf_small] [sf_big] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from userbehavioranalysis_spark import get_spark
+from userbehavioranalysis_spark.registry import QUERIES
+
+HEAVY = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_capped",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "ann_topk_brute",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "ann_topk_quantized",
+    "embedding_quantize",
+    "language_id",
+    "quality_gate",
+    "pipeline_clean_corpus",
+]
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/sf1"
+    names = sys.argv[3:] or HEAVY
+
+    spark = get_spark("uba-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up primes JVM/codegen against both dirs
+    QUERIES["dedup_exact"](spark, small).count()
+    QUERIES["dedup_exact"](spark, big).count()
+
+    out = {}
+    for name in names:
+        row = {}
+        for key, sf_dir in (("small", small), ("big", big)):
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, sf_dir).count()
+            row[key] = round(time.perf_counter() - t0, 2)
+            row[f"{key}_rows"] = n
+        row["ratio"] = round(row["big"] / row["small"], 1) if row["small"] else None
+        out[name] = row
+        print(
+            f"{name:26s} {row['small']:7.2f}s -> {row['big']:7.2f}s "
+            f"ratio {row['ratio']:5.1f}  rows {row['small_rows']} -> {row['big_rows']}",
+            flush=True,
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

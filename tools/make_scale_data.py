@@ -1,0 +1,152 @@
+"""Synthesize a larger scale factor from sf0.1 for scaling measurements.
+
+The driver provides testdata only up to sf0.1; the 100 TB story needs
+empirical evidence that the heavy operators scale linearly, so this
+tool builds an ``N×`` corpus whose WORK grows exactly N× — naive
+duplication would not do that (10 exact copies of every document give
+every LSH bucket 10× the members and the pair stage 100× the work,
+which measures a *different* data distribution, not scale).
+
+Construction (deterministic, structure-preserving):
+
+- **documents**: N replicas of the sf0.1 corpus, each with a bijective
+  vocabulary rotation applied to its tokens.  The corpus has a closed
+  31-word vocabulary; the rotation cycles the 30 non-marker words by
+  ``r`` positions and FIXES the language-marker word ``'a'``, so
+  language-ID, stopword ratio, and quality score are preserved exactly
+  per replica, while shingles/minhashes/simhashes never collide across
+  replicas (different shifts map every non-marker word differently).
+  Result: per-replica duplicate/near-duplicate structure identical to
+  sf0.1, candidate pairs scale exactly N×.
+- **embeddings**: N replicas with a per-replica deterministic ±1 sign
+  pattern applied element-wise.  Norms (hence IVF/LSH bucket balance
+  and quantization ranges) are preserved; cross-replica cosine
+  collapses to noise, so nearest-neighbor structure per replica
+  matches sf0.1.
+- remaining tables are symlinked from the source sf dir (the heavy
+  family under test only reads documents/embeddings).
+
+Usage::
+
+    python tools/make_scale_data.py [out_dir] [N] [src_sf_dir]
+
+Defaults: out_dir=/root/repo/.scale/sf1, N=10, src=/root/testdata/sf0.1.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from userbehavioranalysis_spark import get_spark
+from userbehavioranalysis_spark import schemas
+
+ID_STRIDE = 1_000_000  # doc_id/vec_id offset per replica
+
+
+def _vocab(spark, src):
+    rows = (
+        spark.read.parquet(os.path.join(src, "documents.parquet"))
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .distinct()
+        .collect()
+    )
+    words = sorted(r["w"] for r in rows)
+    fixed = [w for w in words if w == "a"]
+    rotating = [w for w in words if w != "a"]
+    return fixed, rotating
+
+
+def _rotated_docs(docs, fixed, rotating, r: int):
+    mapping = {w: rotating[(i + r) % len(rotating)] for i, w in enumerate(rotating)}
+    for w in fixed:
+        mapping[w] = w
+    if r == 0:
+        out = docs
+    else:
+        kv = []
+        for k, v in mapping.items():
+            kv += [F.lit(k), F.lit(v)]
+        m = F.create_map(*kv)
+        toks = F.split(F.trim("text"), r"\s+")
+        out = docs.withColumn(
+            "text", F.array_join(F.transform(toks, lambda t: m[t]), " ")
+        )
+    return out.select(
+        (F.col("doc_id") + F.lit(r * ID_STRIDE)).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def _signed_embeddings(emb, r: int, dim: int):
+    # deterministic ±1 per (replica, dimension): splitmix-style bit spray
+    if r == 0:
+        out = emb
+    else:
+        x = r * 0x9E3779B97F4A7C15
+        signs = [
+            1.0 if ((x >> (i % 61)) ^ (x * (i + 1))) & 2 else -1.0
+            for i in range(dim)
+        ]
+        sarr = F.array(*[F.lit(s) for s in signs])
+        out = emb.withColumn(
+            "embedding",
+            F.zip_with("embedding", sarr, lambda e, s: (e * s).cast("float")),
+        )
+    return out.select(
+        (F.col("vec_id") + F.lit(r * ID_STRIDE)).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    os.makedirs(out_dir, exist_ok=True)
+
+    spark = get_spark("make-scale-data")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    fixed, rotating = _vocab(spark, src)
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    replicas = [_rotated_docs(docs, fixed, rotating, r) for r in range(n)]
+    union = replicas[0]
+    for rep in replicas[1:]:
+        union = union.unionByName(rep)
+    union.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()["embedding"])
+    ereps = [_signed_embeddings(emb, r, dim) for r in range(n)]
+    eunion = ereps[0]
+    for rep in ereps[1:]:
+        eunion = eunion.unionByName(rep)
+    eunion.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+    for t in schemas.TESTDATA_TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        link = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(src, f"{t}.parquet"), link)
+
+    nd = spark.read.parquet(os.path.join(out_dir, "documents.parquet")).count()
+    ne = spark.read.parquet(os.path.join(out_dir, "embeddings.parquet")).count()
+    print(f"wrote {out_dir}: documents={nd} embeddings={ne} (N={n} from {src})")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,7 @@ def clean_corpus(
     min_score: float = 0.5,
     lang: str = "en",
     near_dup_min_matches: int = 9,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cleaned-corpus keep list: (doc_id, n_tokens, score_r4).
 
@@ -42,6 +43,13 @@ def clean_corpus(
     usual near-dup cut; exact-dup groups keep their lowest doc_id, and
     of every near-dup pair the higher doc_id drops (transitively: a doc
     survives iff it is not doc_b of any qualifying pair).
+
+    ``max_bucket`` is the production-scale knob: it forwards to
+    ``minhash_lsh_pairs``'s hot-bucket cap, bounding the near-dup pair
+    stage to O(corpus · cap) on dup-dense data at a recall cost only in
+    mega-buckets (see dedup.minhash_lsh_pairs).  The registered
+    ``pipeline_clean_corpus`` query keeps the exact uncapped semantics;
+    tools/bench_scale.py measures the capped form as the 100 TB path.
     """
     quality_ok = text_analysis.quality_score(documents).filter(
         F.col("score_r4") >= min_score
@@ -53,7 +61,11 @@ def clean_corpus(
         F.col("keeper_id").alias("doc_id")
     )
     near_losers = (
-        minhash_lsh_pairs(documents, min_matching_hashes=near_dup_min_matches)
+        minhash_lsh_pairs(
+            documents,
+            min_matching_hashes=near_dup_min_matches,
+            max_bucket=max_bucket,
+        )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

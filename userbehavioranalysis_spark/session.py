@@ -42,7 +42,11 @@ _DEFAULTS: dict[str, str] = {
     # sources/readers.epoch_any_to_ts).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": "8g",
+    # local[!] runs driver + all 32 executor threads in ONE JVM, so this
+    # is the whole rig's heap — 8g suits the sf0.1 tests; scale runs
+    # (tools/bench_scale.py at 10x data) override via SPARK_GRAFT_DRIVER_MEM.
+    # On a real cluster executors size their own heaps instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 
