@@ -176,3 +176,46 @@ def test_split_assign_duplicates_share_split(spark):
         counts[r["split"]] = counts.get(r["split"], 0) + 1
     assert counts.get("train", 0) > counts.get("val", 0)
     assert all(0 <= r["bucket"] < 1000 for r in res)
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    from userbehavioranalysis_spark.operators.text_analysis import unigram_logprob
+
+    # 'common' appears 9x in the corpus, 'xyzzy'/'plugh' once each
+    docs = _docs(
+        spark,
+        [
+            (0, "common common common", "s"),
+            (1, "common common common", "s"),
+            (2, "common common common", "s"),
+            (3, "xyzzy plugh", "s"),
+        ],
+    )
+    res = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert res[3]["xent_r4"] > res[0]["xent_r4"]
+    # doc 0: total=11 tokens, p(common)=9/11 -> xent = log2(11) - log2(9)
+    import math
+
+    want = round(math.log2(11) - math.log2(9), 4)
+    assert abs(res[0]["xent_r4"] - want) < 1e-9
+
+
+def test_pack_sequences_straddles_and_offsets(spark):
+    from userbehavioranalysis_spark.operators.text_analysis import pack_sequences
+
+    # 3-token docs packed into 4-token sequences: doc 1 straddles the
+    # first cut (tokens 3..5 -> seqs 0..1), doc 2 starts mid-seq 1
+    docs = _docs(
+        spark,
+        [
+            (0, "w w w", "s"),
+            (1, "w w w", "s"),
+            (2, "w w w", "s"),
+        ],
+    )
+    res = {
+        r["doc_id"]: r for r in pack_sequences(docs, seq_len=4).collect()
+    }
+    assert (res[0]["seq_first"], res[0]["seq_last"], res[0]["seq_offset"]) == (0, 0, 0)
+    assert (res[1]["seq_first"], res[1]["seq_last"], res[1]["seq_offset"]) == (0, 1, 3)
+    assert (res[2]["seq_first"], res[2]["seq_last"], res[2]["seq_offset"]) == (1, 2, 2)

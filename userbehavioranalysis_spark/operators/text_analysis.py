@@ -484,3 +484,91 @@ def quality_gate(documents: DataFrame, q: float = 0.1) -> DataFrame:
         .filter(F.col("n_chars") >= F.col("cut_r4"))
         .select("doc_id", "lang", "n_chars", "cut_r4")
     )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Unigram cross-entropy per document — the CCNet/Gopher-style
+    language-model quality proxy: documents whose tokens are improbable
+    under the corpus' own unigram distribution score high (gibberish,
+    boilerplate ids), formulaic documents score low.
+
+    ``xent = log2(total_tokens) - avg_t(log2(count(t)))`` — identical
+    to ``-avg_t(log2(p(t)))`` but needs no per-row division.  Two
+    aggregations: token frequencies (map-side partial combine, shuffle
+    one row per distinct token) and the per-doc average over a
+    frequency equi-join.  The frequency table is vocabulary-sized, so
+    Catalyst broadcasts it into the per-token join and the corpus
+    itself shuffles once, on doc_id — at 100 TB a web-scale vocabulary
+    (~1e8 rows) still broadcasts at int-pair width, and the all-table
+    window computing the total collapses to a metadata-sized exchange
+    because it runs on the AGGREGATED frequency table, never the
+    corpus.  Returns (doc_id, n_tokens, xent_r4); rounding to 4
+    decimals absorbs float-sum ordering across engines.
+    """
+    from pyspark.sql import Window
+
+    tok = exploded(
+        documents.withColumn("toks", F.expr(T.TOKENS_SPARK)),
+        "toks",
+        "t",
+        "doc_id",
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    freq = freq.withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy())
+    )
+    return (
+        tok.join(F.broadcast(freq), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.first(F.log2("total")) - F.avg(F.log2("cnt")), 4
+            ).alias("xent_r4"),
+        )
+    )
+
+
+def pack_sequences(documents: DataFrame, seq_len: int = 512) -> DataFrame:
+    """Continuous-concatenation sequence packing: map each document onto
+    the fixed-length training sequences its tokens land in.
+
+    The GPT-style packing step AFTER shard layout: tokens concatenate
+    continuously per source and cut every ``seq_len``, documents
+    straddling a cut span multiple sequences.  Emits per doc the span
+    (first/last sequence index, offset within the first sequence) a
+    loader needs to materialize attention-boundary metadata — all from
+    one running-sum window partitioned by source, same distribution
+    properties as ``pack_shards`` (no per-source funnel of the corpus;
+    the window carries two longs per doc).  Returns (doc_id, source,
+    n_tokens, seq_first, seq_last, seq_offset).
+    """
+    from pyspark.sql import Window
+
+    n = F.expr(
+        f"cast(size(regexp_extract_all(text, '{_BPE_REGEX}', 0)) as bigint)"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        documents.select("doc_id", "source", n.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            # integer div, not double floor — exact at any corpus size
+            F.expr(f"cast((cum_tokens - n_tokens) div {seq_len} as bigint)").alias(
+                "seq_first"
+            ),
+            F.expr(f"cast((cum_tokens - 1) div {seq_len} as bigint)").alias(
+                "seq_last"
+            ),
+            F.expr(f"cast((cum_tokens - n_tokens) % {seq_len} as bigint)").alias(
+                "seq_offset"
+            ),
+        )
+    )

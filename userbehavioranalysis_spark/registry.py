@@ -1180,6 +1180,38 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text,
+                   '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_first,
+           CAST((cum - 1) // 512 AS BIGINT) AS seq_last,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset
+    FROM (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+        FROM t
+    )
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style continuous-concatenation sequence packing: map each doc
+    onto the fixed-length training sequences its tokens land in (docs
+    straddle cuts), per source — the loader-metadata step after shard
+    layout.  Same one-window shape as pack_shards."""
+    from userbehavioranalysis_spark.operators.text_analysis import pack_sequences
+
+    return pack_sequences(_tables(spark, sf_dir)["documents"])
+
+
+@query(
     "length_quantiles",
     oracle="""
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1295,6 +1327,34 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from userbehavioranalysis_spark.operators.text_analysis import quality_score
 
     return quality_score(_tables(spark, sf_dir)["documents"])
+
+
+@query(
+    "unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+        FROM documents
+    ), f AS (
+        SELECT t, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY 1
+    ), tot AS (
+        SELECT sum(cnt) AS total FROM f
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(log2((SELECT total FROM tot)) - avg(log2(f.cnt)), 4) AS xent_r4
+    FROM tok JOIN f USING (t)
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/Gopher-style unigram cross-entropy quality proxy — the
+    LM-perplexity stand-in a cleaning pipeline ranks documents by when
+    no trained model is available.  Exact double math both engines;
+    4-decimal rounding absorbs summation-order wobble."""
+    from userbehavioranalysis_spark.operators.text_analysis import unigram_logprob
+
+    return unigram_logprob(_tables(spark, sf_dir)["documents"])
 
 
 @query(
