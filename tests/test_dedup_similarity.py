@@ -432,3 +432,24 @@ def test_minhash_bucket_cap_subset_and_bound(spark):
     # dropping buckets can only remove candidates, never invent them
     assert got <= full
     assert len(got) < len(full)  # the dup-dense corpus must trip the cap
+
+
+def test_substring_spans_flags_verbatim_boilerplate(spark):
+    from userbehavioranalysis_spark.operators.dedup import substring_spans
+
+    boiler = "all rights reserved contact us terms of service apply here"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, boiler + " unique tail zero", "en", "s", 0),
+            (1, boiler + " different ending one", "en", "s", 0),
+            (2, "totally unrelated content with no shared span at all ok", "en", "s", 0),
+            (3, "too short", "en", "s", 0),  # < 8 tokens -> no spans
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    res = {r["doc_id"]: r for r in substring_spans(docs, span_k=8).collect()}
+    # docs 0/1 share the 8-token spans inside the boilerplate prefix
+    assert res[0]["n_shared_spans"] > 0 and res[1]["n_shared_spans"] > 0
+    assert res[0]["flagged"] == 1
+    assert res[2]["n_shared_spans"] == 0 and res[2]["flagged"] == 0
+    assert (res[3]["n_spans"], res[3]["flagged"]) == (0, 0)

@@ -3133,6 +3133,48 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_bounded(agg, "uba_stream_dedup", output_mode="complete")
 
 
+_SUBSTRING_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents
+    ), sp AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   {_T.shingles_duck(8)},
+                   x -> {_T.h64_duck('x')}))) AS span_h
+        FROM tok
+    ), df AS (
+        SELECT span_h, CAST(count(*) AS BIGINT) AS span_df FROM sp GROUP BY 1
+    ), per_doc AS (
+        SELECT sp.doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN df.span_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared_spans
+        FROM sp JOIN df USING (span_h)
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_spans, 0) AS n_spans,
+           coalesce(p.n_shared_spans, 0) AS n_shared_spans,
+           coalesce(round(p.n_shared_spans / p.n_spans, 4), 0.0)
+               AS dup_span_ratio_r4,
+           CAST(coalesce(round(p.n_shared_spans / p.n_spans, 4) >= 0.5, false)
+                AS INTEGER) AS flagged
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@query("dedup_substring_spans", oracle=_SUBSTRING_ORACLE)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span duplication (Lee et al. method family):
+    flags documents sharing verbatim 8-token spans with the rest of the
+    corpus — catches boilerplate/quotation that whole-doc similarity
+    sketches miss."""
+    from userbehavioranalysis_spark.operators.dedup import substring_spans
+
+    return substring_spans(_tables(spark, sf_dir)["documents"])
+
+
 # --------------------------------------------------------------------------
 # Formatted Top-N reports (presentation layer, HotItems.scala:139-152 /
 # NetworkFlow.scala:104-114 output fidelity)
