@@ -3260,6 +3260,46 @@ def q_ref_network_flow_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_hot_items_report_replay",
+    oracle="""
+    WITH w AS (
+        SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - g.i) * 300 AS window_start,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS item_id
+        FROM events e CROSS JOIN generate_series(0, 11) g(i)
+        WHERE e.event_type = 'view'
+    ), counts AS (
+        SELECT window_start, item_id, CAST(count(*) AS BIGINT) AS view_count
+        FROM w GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY view_count DESC, item_id ASC) AS rank
+        FROM counts
+    )
+    SELECT window_start + 3600 AS window_end,
+           '时间:' || strftime(epoch_ms((window_start + 3600) * 1000),
+                               '%Y-%m-%d %H:%M:%S') || '.0' || chr(10) ||
+           string_agg('No' || rank || ': 商品ID=' || item_id ||
+                      ' 浏览量=' || view_count || chr(10), '' ORDER BY rank) ||
+           repeat('=', 32) AS report
+    FROM ranked WHERE rank <= 3
+    GROUP BY window_start
+    """,
+)
+def q_streaming_hot_items_report_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's complete streaming output path, end to end: a
+    Structured Streaming replay drives the update-mode counts +
+    foreachBatch top-N (exactly ``streaming_hot_items_replay``), and
+    the converged ranking renders through the byte-exact report layer
+    (HotItems.scala:139-152).  Hash-equality against the BATCH report
+    oracle proves the streamed, formatted output a console sink would
+    print matches the reference's printed format and values."""
+    from userbehavioranalysis_spark.functions.reports import hot_items_report
+
+    return hot_items_report(q_streaming_hot_items_replay(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering + rotation plan
 # --------------------------------------------------------------------------
@@ -3314,6 +3354,8 @@ _DRIVER_WINDOW = [
     "streaming_dedup_watermark_replay",
     "streaming_latest_state_replay",
     "streaming_dedup_replay",
+    # streaming end-to-end through the byte-exact report render
+    "streaming_hot_items_report_replay",
     # relational/extension queries past the r2 window
     "video_features",
     "pricing_summary",
@@ -3341,7 +3383,6 @@ _DRIVER_WINDOW = [
     "login_fail_strict",
     "login_fail_relaxed",
     "order_timeout",
-    "tx_match_interval",
     "tx_match_reconcile",
 ]
 
