@@ -392,3 +392,168 @@ def top_return_customers(
         .orderBy(F.col("returned_rev_r4").desc(), F.col("c_custkey").asc())
         .limit(n)
     )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame, part: DataFrame, promo_type: str = "PROMO"
+) -> DataFrame:
+    """Q14-shape conditional-aggregate ratio: the share of revenue from
+    parts of one type, computed in a single pass.
+
+    Plan shape: part broadcasts into lineitem (the only join), then ONE
+    aggregation produces both the conditional numerator and the total —
+    no second scan, no self-join.  At 100 TB the fact scans once, the
+    conditional ``sum(CASE …)`` partial-aggregates map-side, and the
+    exchange carries exactly one row per partition.  Revenue
+    accumulates in exact decimals (`_dsum` rationale) so the ratio is
+    bit-stable across engines and partitionings.
+    """
+    ext = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    rev = (ext * disc).cast("decimal(30,12)")
+    agg = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            lineitem["l_partkey"] == F.col("p_partkey"),
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type") == promo_type, rev).otherwise(
+                F.lit(0).cast("decimal(30,12)"))).alias("promo_dec"),
+            F.sum(rev).alias("total_dec"),
+        )
+    )
+    return agg.select(
+        F.round(F.col("promo_dec").cast("double"), 4).alias("promo_revenue_r4"),
+        F.round(F.col("total_dec").cast("double"), 4).alias("total_revenue_r4"),
+        F.round(
+            F.col("promo_dec").cast("double") / F.col("total_dec").cast("double"), 6
+        ).alias("promo_share_r6"),
+    )
+
+
+def customers_without_recent_orders(
+    customer: DataFrame, orders: DataFrame, since: str = "2000-01-01"
+) -> DataFrame:
+    """Q22-shape anti-join with a scalar-subquery threshold: customers
+    whose balance exceeds the average positive balance but who placed
+    no order since ``since`` — the lapsed-high-value-customer report —
+    summarized per market segment.
+
+    Plan shape: the scalar average is a one-row aggregate broadcast
+    into the customer scan (a literal-like cross join, no shuffle);
+    the no-recent-orders test is a LEFT ANTI join against a
+    date-filtered one-column projection of orders (the date predicate
+    pushes to the parquet scan).  At scale the anti-join shuffles
+    customer against that pruned projection — or flips to broadcast
+    when either filtered side is small enough for AQE to convert.
+    """
+    bal = F.col("c_acctbal").cast("decimal(18,6)")
+    # exact decimal sum, ONE double division: both engines see identical
+    # operands, so the resulting threshold double (and the boundary set)
+    # is bit-identical regardless of partition order
+    threshold = customer.where(bal > 0).agg(
+        (F.sum(bal).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(threshold))
+        .where(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp_ntz")
+    ).select("o_custkey")
+    no_orders = rich.join(
+        recent, rich["c_custkey"] == F.col("o_custkey"), "left_anti"
+    )
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("total_acctbal_r2"),
+    )
+
+
+def top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Q15-shape argmax join-back: the supplier(s) with maximum revenue.
+
+    Plan shape: one aggregation builds per-supplier revenue, a one-row
+    max over it broadcasts back, and the equality join keeps the
+    argmax rows — no global sort, no window over an unpartitioned
+    frame (the classic Q15 view-max formulation).  The max comparison
+    happens on the EXACT decimal revenue, never the rounded double, so
+    cross-engine ties cannot be manufactured by rounding.  Supplier
+    names arrive via a broadcast dim join at the very end, on the
+    (tiny) argmax set only.
+    """
+    ext = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    revs = lineitem.groupBy("l_suppkey").agg(
+        F.sum((ext * disc).cast("decimal(30,12)")).alias("rev_dec")
+    )
+    mx = revs.agg(F.max("rev_dec").alias("mx_dec"))
+    return (
+        revs.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_dec") == F.col("mx_dec"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_dec").cast("double"), 4).alias("revenue_r4"),
+        )
+    )
+
+
+def nation_trade_volume(
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """Q7-shape bidirectional trade volume: yearly revenue shipped
+    between two nations, in both directions, keyed by (supplier
+    nation, customer nation, year).
+
+    Plan shape: the nation dim enters TWICE under different roles
+    (supplier side / customer side); each side pre-filters to the two
+    nations before joining its fact, so lineitem⋈orders stays the
+    single real shuffle and the cross-direction predicate
+    (``supp_nation != cust_nation``) is evaluated before the
+    aggregation.  Only the 25-row nation dim carries an explicit
+    broadcast hint: filtered customer/supplier are 2/25 of their
+    tables — small here, but at 100 TB still far beyond driver memory,
+    so their joins are left to AQE to convert when actually small
+    (the `large_volume_orders` forced-broadcast lesson).
+    """
+    pair = (nation_a, nation_b)
+    n_s = nation.where(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = nation.where(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = supplier.join(
+        F.broadcast(n_s), supplier["s_nationkey"] == F.col("sn_key")
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.join(
+        F.broadcast(n_c), customer["c_nationkey"] == F.col("cn_key")
+    ).select("c_custkey", "cust_nation")
+    o = orders.join(
+        cust, orders["o_custkey"] == F.col("c_custkey")
+    ).select("o_orderkey", "o_orderdate", "cust_nation")
+    return (
+        lineitem.join(supp, lineitem["l_suppkey"] == F.col("s_suppkey"))
+        .join(o, lineitem["l_orderkey"] == F.col("o_orderkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("integer").alias("o_year"),
+        )
+        .agg(_dsum_disc().alias("revenue_r4"))
+    )

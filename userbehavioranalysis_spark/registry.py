@@ -3301,6 +3301,190 @@ def q_streaming_hot_items_report_replay(spark: SparkSession, sf_dir: str) -> Dat
 
 
 # --------------------------------------------------------------------------
+# Round-3 relational shapes (Q14/Q22/Q15/Q7) + event-sequence analytics
+# --------------------------------------------------------------------------
+from userbehavioranalysis_spark.operators import sequences as _seq  # noqa: E402
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    WITH agg AS (
+        SELECT sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                                  * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                                  AS DECIMAL(30,12))
+                        ELSE CAST(0 AS DECIMAL(30,12)) END) AS promo_dec,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                        AS DECIMAL(30,12))) AS total_dec
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT round(CAST(promo_dec AS DOUBLE), 4) AS promo_revenue_r4,
+           round(CAST(total_dec AS DOUBLE), 4) AS total_revenue_r4,
+           round(CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE), 6)
+               AS promo_share_r6
+    FROM agg
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shape conditional-aggregate ratio: PROMO-part revenue share,
+    one broadcast join + one pass."""
+    t = _tables(spark, sf_dir)
+    return _rel.promo_revenue_share(t["lineitem"], t["part"])
+
+
+@query(
+    "customers_without_recent_orders",
+    oracle="""
+    WITH threshold AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS avg_bal
+        FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,6)) > 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2)
+               AS total_acctbal_r2
+    FROM customer, threshold
+    WHERE CAST(c_acctbal AS DOUBLE) > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+    """,
+)
+def q_customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shape scalar-subquery threshold + anti-join: above-average
+    balance, no order since 2000 (lapsed high-value customers)."""
+    t = _tables(spark, sf_dir)
+    return _rel.customers_without_recent_orders(t["customer"], t["orders"])
+
+
+@query(
+    "top_supplier",
+    oracle="""
+    WITH revs AS (
+        SELECT l_suppkey,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                        AS DECIMAL(30,12))) AS rev_dec
+        FROM lineitem GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, round(CAST(rev_dec AS DOUBLE), 4) AS revenue_r4
+    FROM revs JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_dec = (SELECT max(rev_dec) FROM revs)
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shape argmax join-back: max-revenue supplier(s), exact-decimal
+    max comparison, no global sort."""
+    t = _tables(spark, sf_dir)
+    return _rel.top_supplier(t["supplier"], t["lineitem"])
+
+
+@query(
+    "nation_trade_volume",
+    oracle="""
+    SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                               * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                               AS DECIMAL(30,12))) AS DOUBLE), 4) AS revenue_r4
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shape bidirectional two-nation trade volume by year; nation
+    dim in two roles."""
+    t = _tables(spark, sf_dir)
+    return _rel.nation_trade_volume(
+        t["nation"], t["customer"], t["supplier"], t["orders"], t["lineitem"]
+    )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev_type
+        FROM events
+    ),
+    counts AS (
+        SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, event_type, n_transitions,
+           round(n_transitions
+                 / CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE),
+                 6) AS transition_prob_r6
+    FROM counts
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences — one
+    user-keyed lag window, then tiny |types|^2 aggregates."""
+    return _seq.event_transitions(_tables(spark, sf_dir)["events"])
+
+
+@query(
+    "rolling_active_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day_no,
+               user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day_no FROM du)
+    SELECT days.day_no AS day_no,
+           CAST(count(DISTINCT du.user_id) AS BIGINT) AS n_active
+    FROM days JOIN du ON du.day_no BETWEEN days.day_no - 6 AND days.day_no
+    GROUP BY 1
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct actives per day.  The oracle uses the
+    quadratic range self-join; the Spark plan fans the deduped
+    (day, user) set out by a constant factor instead — same result,
+    linear work."""
+    return _seq.rolling_active_users(_tables(spark, sf_dir)["events"])
+
+
+@query(
+    "event_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_with_key,
+           CAST(sum(v) AS BIGINT) AS sum_v,
+           round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS mean_v_r4
+    FROM (
+        SELECT event_type,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+        FROM events
+    )
+    WHERE v IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed aggregation over the JSON props column via
+    get_json_object — JVM-side extraction, no Python row path."""
+    return _seq.event_props_stats(_tables(spark, sf_dir)["events"])
+
+
+# --------------------------------------------------------------------------
 # Driver-window ordering + rotation plan
 # --------------------------------------------------------------------------
 # The correctness driver records oracle results for the FIRST 50 registry
@@ -3357,21 +3541,26 @@ _DRIVER_WINDOW = [
     # streaming end-to-end through the byte-exact report render
     "streaming_hot_items_report_replay",
     # relational/extension queries past the r2 window
-    "video_features",
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
     "market_share",
     "quantity_tiers",
-    "pricing_rollup",
-    "order_priority_checking",
-    "parts_never_shipped",
     "large_volume_orders",
-    "embedding_quantize",
-    "latest_state",
-    "quality_gate",
     "ann_topk_quantized",
     "top_return_customers",
+    # new this round — never driver-checked, so they take window slots
+    # from r2-judge-green extension queries (video_features,
+    # pricing_rollup, order_priority_checking, parts_never_shipped,
+    # embedding_quantize, latest_state, quality_gate rotate out; the
+    # sampled oracle-check pytest still covers them)
+    "promo_revenue_share",
+    "customers_without_recent_orders",
+    "top_supplier",
+    "nation_trade_volume",
+    "event_transitions",
+    "rolling_active_users",
+    "event_props_stats",
     # newly hash-checkable this round (magic-byte codec dispatch)
     "media_features",
     # parity-set anchors: keep the reference's headline analytics
