@@ -177,3 +177,210 @@ def test_nation_trade_volume_bidirectional(spark):
     dirs = {(r.supp_nation, r.cust_nation) for r in rows}
     assert dirs == {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
     assert all(r.supp_nation != r.cust_nation for r in rows)
+
+
+# --- round-3 continuation: attribution / sessions / anomalies / lags ------
+
+
+def test_attribution_last_touch_credits_prior_click_only(spark):
+    # user 1: click(k=7) -> purchase -> click(k=9) -> purchase ;
+    # user 2: purchase with no prior click -> NULL campaign bucket
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "click", 0.0, '{"k": 7}'),
+            (2, dt.datetime(2024, 1, 1, 0, 0, 5), 1, "purchase", 10.0, "{}"),
+            (3, dt.datetime(2024, 1, 1, 0, 0, 9), 1, "click", 0.0, '{"k": 9}'),
+            (4, dt.datetime(2024, 1, 1, 0, 0, 12), 1, "purchase", 5.0, "{}"),
+            (5, dt.datetime(2024, 1, 1, 0, 0, 1), 2, "purchase", 3.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from userbehavioranalysis_spark.operators.sequences import (
+        attribution_last_touch,
+    )
+
+    got = {
+        r.campaign: (r.n_conversions, r.attributed_value_r2)
+        for r in attribution_last_touch(ev).collect()
+    }
+    assert got == {7: (1, 10.0), 9: (1, 5.0), None: (1, 3.0)}
+
+
+def test_attribution_tied_timestamp_uses_event_id_order(spark):
+    # click and purchase at the SAME timestamp: event_id order decides —
+    # click (id 1) precedes purchase (id 2), so the purchase attributes
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1), 1, "click", 0.0, '{"k": 4}'),
+            (2, dt.datetime(2024, 1, 1), 1, "purchase", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from userbehavioranalysis_spark.operators.sequences import (
+        attribution_last_touch,
+    )
+
+    [row] = attribution_last_touch(ev).collect()
+    assert row.campaign == 4 and row.n_conversions == 1
+
+
+def test_session_paths_gap_split_and_cap(spark):
+    rows = [(i, i * 10, 1, "a", "{}") for i in range(12)]  # one long session
+    rows.append((100, 10_000, 1, "b", "{}"))  # >30 min later: new session
+    ev = _events(spark, rows)
+    from userbehavioranalysis_spark.operators.sequences import session_paths
+
+    got = {r.path: (r.rank, r.n_sessions) for r in session_paths(ev).collect()}
+    # 12-event session capped at 8 'a's; the lone 'b' is its own session
+    assert got == {">".join(["a"] * 8): (1, 1), "b": (2, 1)}
+
+
+def test_anomaly_zscore_integer_algebra(spark):
+    # 24 calm hours (count 2 each) then one 12x spike for type 'a'
+    rows = []
+    eid = 0
+    for h in range(25):
+        n = 24 if h == 24 else 2
+        for i in range(n):
+            rows.append((eid, h * 3600 + i, 1000 + eid, "a", "{}"))
+            eid += 1
+    ev = _events(spark, rows)
+    from userbehavioranalysis_spark.operators.sequences import anomaly_zscore
+
+    [row] = anomaly_zscore(ev).collect()  # only hour 24 has a full window
+    assert row.hour_no is not None and row.n_events == 24
+    # all-equal trailing counts -> variance 0 -> NULL z, not inf
+    assert row.zscore_r4 is None and not row.is_anomaly
+
+
+def test_anomaly_zscore_flags_spike(spark):
+    # alternating 1/3 baseline (variance > 0), then a 50-count spike
+    rows = []
+    eid = 0
+    for h in range(25):
+        n = 50 if h == 24 else (1 if h % 2 == 0 else 3)
+        for i in range(n):
+            rows.append((eid, h * 3600 + i, 1000 + eid, "a", "{}"))
+            eid += 1
+    ev = _events(spark, rows)
+    from userbehavioranalysis_spark.operators.sequences import anomaly_zscore
+
+    [row] = anomaly_zscore(ev).collect()
+    assert row.is_anomaly and row.zscore_r4 > 3
+
+
+def test_time_to_convert_first_click_then_first_purchase(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 0, 1, "click", "{}"),
+            (2, 60, 1, "purchase", "{}"),
+            (3, 600, 1, "purchase", "{}"),  # later purchase ignored (min)
+            (4, 100, 2, "purchase", "{}"),  # purchase BEFORE any click
+            (5, 200, 2, "click", "{}"),
+            (6, 500, 2, "purchase", "{}"),  # 300 s after first click
+            (7, 0, 3, "click", "{}"),  # never converts
+        ],
+    )
+    from userbehavioranalysis_spark.operators.sequences import time_to_convert
+
+    [row] = time_to_convert(ev).collect()
+    assert row.n_converted == 2
+    assert row.p50_r4 == 180.0  # interp between 60 and 300
+    assert row.mean_r4 == 180.0
+
+
+def test_small_quantity_revenue_division_free_boundary(spark):
+    part = spark.createDataFrame(
+        [(1, "part_1"), (2, "part_1x")], "p_partkey long, p_name string"
+    )
+    li = spark.createDataFrame(
+        [
+            # part 1: avg qty = 10; only qty < 2 qualifies
+            (1, 1.0, 100.0),
+            (1, 19.0, 100.0),
+            (1, 10.0, 100.0),
+            # boundary: exactly 20% of avg must NOT qualify (strict <)
+            (2, 2.0, 70.0),
+            (2, 10.0, 70.0),
+            (2, 18.0, 70.0),
+        ],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    from userbehavioranalysis_spark.plans.relational import (
+        small_quantity_revenue,
+    )
+
+    [row] = small_quantity_revenue(part, li).collect()
+    assert row.n_small_lines == 1
+    assert row.avg_yearly_r4 == round(100.0 / 7.0, 4)
+
+
+def test_sole_returning_supplier_requires_other_suppliers(spark):
+    sup = spark.createDataFrame(
+        [(1, "s1"), (2, "s2"), (3, "s3")], "s_suppkey long, s_name string"
+    )
+    li = spark.createDataFrame(
+        [
+            # order 10: two suppliers, only supplier 1 returned -> counts
+            (10, 1, "R"),
+            (10, 2, "N"),
+            # order 11: single-supplier order -> excluded (n_supp < 2)
+            (11, 1, "R"),
+            # order 12: both suppliers returned -> excluded (n_ret != 1)
+            (12, 1, "R"),
+            (12, 3, "R"),
+        ],
+        "l_orderkey long, l_suppkey long, l_returnflag string",
+    )
+    from userbehavioranalysis_spark.plans.relational import (
+        sole_returning_supplier,
+    )
+
+    got = {r.s_suppkey: r.n_sole_return_orders for r in
+           sole_returning_supplier(sup, li).collect()}
+    assert got == {1: 1}
+
+
+def test_min_cost_supplier_keeps_all_ties(spark):
+    region = spark.createDataFrame([(1, "ASIA")], "r_regionkey long, r_name string")
+    nation = spark.createDataFrame(
+        [(1, "N1", 1)], "n_nationkey long, n_name string, n_regionkey long"
+    )
+    sup = spark.createDataFrame(
+        [(1, "s1", 1), (2, "s2", 1)],
+        "s_suppkey long, s_name string, s_nationkey long",
+    )
+    part = spark.createDataFrame([(5, "p5")], "p_partkey long, p_name string")
+    li = spark.createDataFrame(
+        [(5, 1, 40.0), (5, 1, 99.0), (5, 2, 40.0)],
+        "l_partkey long, l_suppkey long, l_extendedprice double",
+    )
+    from userbehavioranalysis_spark.plans.relational import min_cost_supplier
+
+    rows = min_cost_supplier(part, sup, nation, region, li).collect()
+    assert sorted(r.s_suppkey for r in rows) == [1, 2]
+    assert all(r.min_cost_r2 == 40.0 for r in rows)
+
+
+def test_important_supply_values_threshold_exact(spark):
+    nation = spark.createDataFrame(
+        [(1, "NATION_1", 1)], "n_nationkey long, n_name string, n_regionkey long"
+    )
+    sup = spark.createDataFrame(
+        [(1, "s1", 1)], "s_suppkey long, s_name string, s_nationkey long"
+    )
+    # part 1 carries ~99.99% of value, part 2 is below the 0.001% bar
+    li = spark.createDataFrame(
+        [(1, 1, 1_000_000.0, 0.0), (2, 1, 0.5, 0.0)],
+        "l_partkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    from userbehavioranalysis_spark.plans.relational import (
+        important_supply_values,
+    )
+
+    got = {r.l_partkey: r.value_r4 for r in
+           important_supply_values(sup, nation, li).collect()}
+    assert got == {1: 1_000_000.0}

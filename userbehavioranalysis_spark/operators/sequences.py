@@ -139,3 +139,204 @@ def event_props_stats(events: DataFrame, key: str = "k") -> DataFrame:
             ),
         )
     )
+
+
+def attribution_last_touch(events: DataFrame, key: str = "k") -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the
+    campaign (the integer ``props.$key`` of the user's most recent
+    *click* strictly before the purchase); campaigns are scored by
+    conversions and attributed revenue.  Purchases with no preceding
+    click fall into the NULL-campaign bucket — surfacing unattributed
+    conversions instead of silently dropping them.
+
+    Plan shape: ONE user-keyed exchange carries everything — the
+    carry-forward is ``last(campaign, ignorenulls) OVER (user ROWS
+    UNBOUNDED PRECEDING TO 1 PRECEDING)``, evaluated JVM-side over the
+    same sort the lag-based operators reuse; the per-campaign rollup
+    then aggregates a tiny |campaigns| frame.  'Strictly before' is the
+    1-PRECEDING frame bound, so a click and purchase sharing a
+    timestamp attribute by (ts, event_id) order — the engine's one
+    total order, identical in the oracle.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    campaign = F.when(
+        F.col("event_type") == "click",
+        F.get_json_object("props", f"$.{key}").try_cast("long"),
+    )
+    attributed = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.last(campaign, ignorenulls=True).over(w).alias("campaign"),
+    ).where(F.col("event_type") == "purchase")
+    return attributed.groupBy("campaign").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("attributed_value_r2"),
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    max_events: int = 8,
+    top: int = 20,
+) -> DataFrame:
+    """Top-``top`` session journey shapes: sessionize each user's
+    events at ``gap_minutes`` of inactivity, render each session's
+    first ``max_events`` event types as a '>'-joined path, and count
+    sessions per path.
+
+    Plan shape: the session assignment (gap flag + running sum) and
+    the per-session collect ride ONE user-keyed exchange; the path cap
+    (``slice`` after ``array_sort``) bounds both the carried array and
+    the path-string domain, so the final count aggregates a small
+    grouped frame and the rank window sees |paths| rows, not |events|.
+    At 100 TB the cap is the load-bearing guard: an uncapped
+    collect_list over a bot session is the classic skew OOM.  Sort
+    keys are (us, event_id), so tied timestamps cannot flip path
+    strings between engines.
+    """
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    gap_us = gap_minutes * 60 * 1_000_000
+    sessionized = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("us"),
+        F.when(
+            (us - F.lag(us).over(w)) > F.lit(gap_us), F.lit(1)
+        ).otherwise(F.lit(0)).alias("is_new"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    sessionized = sessionized.withColumn("sess_no", F.sum("is_new").over(w2))
+    paths = (
+        sessionized.groupBy("user_id", "sess_no")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("us", "event_id", "event_type"))
+            ).alias("seq")
+        )
+        .select(
+            F.array_join(
+                F.slice(F.col("seq.event_type"), 1, max_events), ">"
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    ranked = counted.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= top).select("rank", "path", "n_sessions")
+
+
+def anomaly_zscore(events: DataFrame, trailing_hours: int = 24) -> DataFrame:
+    """Volume-anomaly detection: per event type, each hour's event
+    count scored against the trailing ``trailing_hours`` observed
+    hours.  Emits only hours with a FULL trailing window, with the
+    z-score and a ±3σ anomaly flag.
+
+    The z-score algebra is integer until the last step:
+    ``z = (n·x − Σ) / sqrt(n·Σx² − Σ²)`` over exact integer counts —
+    no running float mean/variance, so the score is bit-identical on
+    any engine and partition order (and the sqrt operand cannot go
+    negative through float cancellation, a real hazard of the
+    mean/variance form).  Degenerate windows (all counts equal →
+    variance 0) emit a NULL z rather than ±inf.
+
+    Plan shape: the hourly rollup is one groupBy over (type, hour);
+    the trailing stats are ONE window over the tiny hourly frame —
+    |types|·|hours| rows, thousands at most even for 100 TB of raw
+    events, so the window cost is nil and the heavy exchange is only
+    the first rollup (partial-agg combined map-side).
+    """
+    hour_no = F.expr("unix_micros(ts) div 3600000000")
+    hourly = (
+        events.select(hour_no.alias("hour_no"), "event_type")
+        .groupBy("event_type", "hour_no")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hour_no").asc())
+        .rowsBetween(-trailing_hours, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour_no",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.sum("n_events").over(w).alias("sum_prev"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("sumsq_prev"),
+    ).where(F.col("n_prev") == trailing_hours)
+    var_num = F.col("n_prev") * F.col("sumsq_prev") - F.col("sum_prev") * F.col(
+        "sum_prev"
+    )
+    z = F.when(
+        var_num > 0,
+        (F.col("n_prev") * F.col("n_events") - F.col("sum_prev")).cast("double")
+        / F.sqrt(var_num.cast("double")),
+    )
+    return stats.select(
+        "event_type",
+        "hour_no",
+        "n_events",
+        F.round(z, 4).alias("zscore_r4"),
+        (F.abs(F.coalesce(z, F.lit(0.0))) >= 3.0).alias("is_anomaly"),
+    )
+
+
+def time_to_convert(events: DataFrame) -> DataFrame:
+    """Click→purchase conversion-lag distribution: per user, the lag
+    from FIRST click to the first purchase at-or-after it; summarized
+    as exact percentiles over the per-user lags (seconds).
+
+    Plan shape: the conversion time needs ``min(purchase ≥ first
+    click)``, which no single aggregate pass can know — so the clean
+    two-step: aggregate first-click per user (tiny), join it back onto
+    the purchase rows only, and take the conditional min per user.
+    Both exchanges move per-user rows, not raw events; the
+    final percentile runs on ONE row per converted user.  Lags are
+    integer seconds (``div``), percentiles linear-interpolated —
+    matching the oracle's quantile_cont exactly (length_quantiles
+    precedent).
+    """
+    us = F.unix_micros("ts")
+    first_click = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("fc_us"))
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), us.alias("p_us")
+    )
+    lags = (
+        purchases.join(first_click, F.col("p_user") == F.col("user_id"))
+        .where(F.col("p_us") >= F.col("fc_us"))
+        .groupBy("user_id")
+        .agg(
+            F.expr("min(p_us - fc_us) div 1000000").alias("lag_sec")
+        )
+    )
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(lag_sec, 0.5)"), 4).alias("p50_r4"),
+        F.round(F.expr("percentile(lag_sec, 0.9)"), 4).alias("p90_r4"),
+        F.round(F.expr("percentile(lag_sec, 0.99)"), 4).alias("p99_r4"),
+        F.round(
+            F.sum("lag_sec").cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_r4"),
+    )

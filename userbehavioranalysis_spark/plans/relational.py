@@ -557,3 +557,211 @@ def nation_trade_volume(
         )
         .agg(_dsum_disc().alias("revenue_r4"))
     )
+
+
+def small_quantity_revenue(
+    part: DataFrame, lineitem: DataFrame, name_token: str = "1"
+) -> DataFrame:
+    """Q17-shape correlated-average join-back: yearly-averaged revenue
+    lost to small orders — lineitems whose quantity is below 20% of
+    that part's average order quantity, for parts whose name contains
+    ``name_token`` (stand-in for TPC-H's brand/container predicate —
+    the testdata part table has no container column).
+
+    Plan shape: the part filter broadcasts into lineitem FIRST, so the
+    per-part average aggregates only the filtered fact (TPC-H's
+    correlated scalar subquery = aggregate-then-join-back; computing
+    the average after the part restriction is equivalent because the
+    average is per part).  The per-part aggregate is one row per
+    surviving part — AQE broadcasts it back into the same filtered
+    scan, so lineitem shuffles once (partial agg on l_partkey) and the
+    final global aggregate is a single row.
+
+    The 20%-of-average comparison never divides: ``qty * 5 * n_lines <
+    sum_qty`` in exact decimals, so the boundary set is bit-identical
+    across engines and partition orders.
+    """
+    p = part.where(F.col("p_name").contains(name_token)).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(p), lineitem["l_partkey"] == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    stats = li.groupBy(F.col("l_partkey").alias("sq_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sum_qty_dec"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    qty5n = (
+        F.col("l_quantity").cast("decimal(18,6)")
+        * F.lit(5).cast("decimal(3,0)")
+        * F.col("n_lines").cast("decimal(12,0)")
+    )
+    return (
+        li.join(stats, F.col("l_partkey") == F.col("sq_partkey"))
+        .where(qty5n < F.col("sum_qty_dec"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            F.round(
+                (
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                        "double"
+                    )
+                    / F.lit(7.0)
+                ),
+                4,
+            ).alias("avg_yearly_r4"),
+        )
+    )
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """Q2-shape min-cost-supplier argmin join-back, adapted to the
+    testdata schema: there is no partsupp table, so the supply relation
+    is DERIVED from observed trade — per (part, supplier) the minimum
+    extended price ever charged is the supply cost.
+
+    Plan shape mirrors Q15's argmax: build the supply relation with one
+    lineitem aggregate (partial agg on the composite key — the only
+    fact shuffle), restrict suppliers to the region via broadcast
+    nation⋈region dims, take the per-part min cost with a second (tiny,
+    per-part) aggregate, and join back on exact-decimal cost equality
+    to recover the argmin supplier(s).  No window over an unpartitioned
+    frame, no global sort; ties (two suppliers at the same min cost)
+    are all kept, which is what join-back-on-equality means and what
+    the oracle's correlated-min formulation returns.
+    """
+    r = region.where(F.col("r_name") == region_name).select("r_regionkey")
+    n = nation.join(
+        F.broadcast(r), nation["n_regionkey"] == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = supplier.join(
+        F.broadcast(n), supplier["s_nationkey"] == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "n_name")
+    supply = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice").cast("decimal(18,6)")).alias("cost_dec")
+        )
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
+    )
+    best = supply.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("cost_dec").alias("min_cost_dec")
+    )
+    return (
+        supply.join(
+            best,
+            (supply["l_partkey"] == F.col("mc_partkey"))
+            & (supply["cost_dec"] == F.col("min_cost_dec")),
+        )
+        .join(
+            part.select("p_partkey", "p_name"),
+            supply["l_partkey"] == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+            F.round(F.col("cost_dec").cast("double"), 2).alias("min_cost_r2"),
+        )
+    )
+
+
+def important_supply_values(
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    nation_name: str = "NATION_1",
+    fraction_bp100: int = 10,
+) -> DataFrame:
+    """Q11-shape important-stock report, adapted (no partsupp): per
+    part, the traded value ``sum(extendedprice * (1 - discount))``
+    supplied by ``nation_name``'s suppliers, keeping parts whose value
+    exceeds ``fraction_bp100`` / 1 000 000 of the nation's total (10 →
+    0.001%, Q11's scaled fraction).
+
+    Plan shape: suppliers restrict via a broadcast nation dim, the
+    filtered fact aggregates per part (one shuffle, partial agg), and
+    the global total is a ONE-ROW aggregate broadcast back — the
+    scalar-subquery pattern (Q22's threshold) on an aggregate input.
+    The threshold comparison multiplies by an integer instead of
+    dividing (``value * 1_000_000 > total * fraction_bp100``).  Both
+    sides first settle onto scale-6 decimals — a rounding BOTH engines
+    perform half-away-from-zero on the same exact operand — because a
+    scale-12 value times 10^6 needs precision 40 and Spark's
+    precision-loss rule would silently re-round ONE side only; at
+    (26,6)×(7,0) → (34,6) every product stays exact in both engines and
+    the boundary cannot wobble.
+    """
+    n = nation.where(F.col("n_name") == nation_name).select("n_nationkey")
+    s = supplier.join(
+        F.broadcast(n), supplier["s_nationkey"] == F.col("n_nationkey")
+    ).select("s_suppkey")
+    ext = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    vals = (
+        lineitem.join(F.broadcast(s), lineitem["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum((ext * disc).cast("decimal(30,12)"))
+            .cast("decimal(26,6)")
+            .alias("value_dec")
+        )
+    )
+    total = vals.agg(F.sum("value_dec").cast("decimal(30,6)").alias("total_dec"))
+    keep = (
+        F.col("value_dec") * F.lit(1_000_000).cast("decimal(7,0)")
+        > F.col("total_dec") * F.lit(fraction_bp100).cast("decimal(3,0)")
+    )
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(keep)
+        .select(
+            "l_partkey",
+            F.round(F.col("value_dec").cast("double"), 4).alias("value_r4"),
+        )
+    )
+
+
+def sole_returning_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Q21-shape sole-failing-supplier report, adapted: the testdata
+    lineitem has no commit/receipt dates, so 'failed delivery' is
+    ``l_returnflag = 'R'`` — suppliers who were the ONLY supplier with
+    returned lines on a multi-supplier order, counted per supplier.
+
+    Q21's EXISTS / NOT EXISTS pair collapses into one grouped pass:
+    per (order, supplier) compute a returned flag, per order count
+    suppliers and returning suppliers (EXISTS another supplier ⇔
+    ``n_supp >= 2``; NOT EXISTS another returning supplier ⇔
+    ``n_ret = 1``), then join the qualifying orders back to their
+    single returning supplier.  Two aggregates ride ONE exchange (both
+    key on l_orderkey; the second is a near-no-op after the first),
+    versus the four correlated-subquery scans of the literal SQL.
+    """
+    per_os = (
+        lineitem.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("returned"))
+    )
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("ro_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("returned").alias("n_ret"),
+    )
+    culprits = (
+        per_os.where(F.col("returned") == 1)
+        .join(
+            per_o.where((F.col("n_supp") >= 2) & (F.col("n_ret") == 1)),
+            F.col("l_orderkey") == F.col("ro_orderkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_sole_return_orders"))
+    )
+    return culprits.join(
+        F.broadcast(supplier.select("s_suppkey", "s_name")),
+        culprits["l_suppkey"] == F.col("s_suppkey"),
+    ).select("s_suppkey", "s_name", "n_sole_return_orders")

@@ -3484,6 +3484,273 @@ def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _seq.event_props_stats(_tables(spark, sf_dir)["events"])
 
 
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type = 'click'
+                               THEN TRY_CAST(json_extract_string(props, '$.k')
+                                             AS BIGINT) END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS campaign
+        FROM events
+    )
+    SELECT campaign,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+               AS attributed_value_r2
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: purchases credit the user's most recent
+    prior click's campaign — one user-keyed carry-forward window."""
+    return _seq.attribution_last_touch(_tables(spark, sf_dir)["events"])
+
+
+@query(
+    "session_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                    ) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT *, sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess_no
+        FROM seq
+    ),
+    paths AS (
+        SELECT array_to_string(
+                   list_slice(array_agg(event_type ORDER BY us, event_id),
+                              1, 8), '>') AS path
+        FROM sess GROUP BY user_id, sess_no
+    ),
+    counted AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+                AS INTEGER) AS rank,
+           path, n_sessions
+    FROM counted
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journey shapes: 30-min-gap sessionization, paths
+    capped at 8 events (the bot-session skew guard), one user-keyed
+    exchange."""
+    return _seq.session_paths(_tables(spark, sf_dir)["events"])
+
+
+@query(
+    "anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_no,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, hour_no, n_events,
+               count(*) OVER w AS n_prev,
+               sum(n_events) OVER w AS sum_prev,
+               sum(n_events * n_events) OVER w AS sumsq_prev
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_no
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_no, n_events,
+           round(CASE WHEN n_prev * sumsq_prev - sum_prev * sum_prev > 0
+                      THEN CAST(n_prev * n_events - sum_prev AS DOUBLE)
+                           / sqrt(CAST(n_prev * sumsq_prev
+                                       - sum_prev * sum_prev AS DOUBLE))
+                 END, 4) AS zscore_r4,
+           coalesce(abs(CASE WHEN n_prev * sumsq_prev - sum_prev * sum_prev > 0
+                             THEN CAST(n_prev * n_events - sum_prev AS DOUBLE)
+                                  / sqrt(CAST(n_prev * sumsq_prev
+                                              - sum_prev * sum_prev AS DOUBLE))
+                        END) >= 3.0, FALSE) AS is_anomaly
+    FROM stats WHERE n_prev = 24
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomalies per event type: trailing-24h z-score in
+    integer algebra (n·x−Σ)/sqrt(n·Σx²−Σ²) — bit-stable across
+    engines."""
+    return _seq.anomaly_zscore(_tables(spark, sf_dir)["events"])
+
+
+@query(
+    "time_to_convert",
+    oracle="""
+    WITH fc AS (
+        SELECT user_id, min(epoch_us(ts)) AS fc_us
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    lags AS (
+        SELECT e.user_id,
+               min(epoch_us(e.ts) - fc.fc_us) // 1000000 AS lag_sec
+        FROM events e JOIN fc ON e.user_id = fc.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fc.fc_us
+        GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(lag_sec, 0.5), 4) AS p50_r4,
+           round(quantile_cont(lag_sec, 0.9), 4) AS p90_r4,
+           round(quantile_cont(lag_sec, 0.99), 4) AS p99_r4,
+           round(CAST(sum(lag_sec) AS DOUBLE) / count(*), 4) AS mean_r4
+    FROM lags
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-click→first-subsequent-purchase lag distribution: exact
+    interpolated percentiles over per-user integer-second lags."""
+    return _seq.time_to_convert(_tables(spark, sf_dir)["events"])
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH p AS (SELECT p_partkey FROM part WHERE p_name LIKE '%1%'),
+    li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN p ON l_partkey = p_partkey
+    ),
+    stats AS (
+        SELECT l_partkey AS k,
+               sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+               count(*) AS n
+        FROM li GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / 7.0, 4) AS avg_yearly_r4
+    FROM li JOIN stats ON l_partkey = k
+    WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * n < sum_qty
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shape correlated-average join-back: revenue in lineitems
+    below 20% of their part's average quantity; division-free exact
+    boundary (qty*5*n < sum)."""
+    t = _tables(spark, sf_dir)
+    return _rel.small_quantity_revenue(t["part"], t["lineitem"])
+
+
+@query(
+    "min_cost_supplier",
+    oracle="""
+    WITH n AS (
+        SELECT n_nationkey, n_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+    ),
+    s AS (
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN n ON s_nationkey = n_nationkey
+    ),
+    supply AS (
+        SELECT l_partkey, l_suppkey, s_name, n_name,
+               min(CAST(l_extendedprice AS DECIMAL(18,6))) AS cost_dec
+        FROM lineitem JOIN s ON l_suppkey = s_suppkey
+        GROUP BY 1, 2, 3, 4
+    ),
+    best AS (
+        SELECT l_partkey AS bk, min(cost_dec) AS min_cost
+        FROM supply GROUP BY 1
+    )
+    SELECT p_partkey, p_name, l_suppkey AS s_suppkey, s_name,
+           n_name AS supp_nation,
+           round(CAST(cost_dec AS DOUBLE), 2) AS min_cost_r2
+    FROM supply
+    JOIN best ON l_partkey = bk AND cost_dec = min_cost
+    JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shape argmin join-back over a lineitem-derived supply
+    relation (no partsupp in the testdata); region dims broadcast,
+    exact-decimal min equality keeps all ties."""
+    t = _tables(spark, sf_dir)
+    return _rel.min_cost_supplier(
+        t["part"], t["supplier"], t["nation"], t["region"], t["lineitem"]
+    )
+
+
+@query(
+    "important_supply_values",
+    oracle="""
+    WITH s AS (
+        SELECT s_suppkey
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+    ),
+    vals AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                             * (CAST(1 AS DECIMAL(18,6))
+                                - CAST(l_discount AS DECIMAL(18,6)))
+                             AS DECIMAL(30,12))) AS DECIMAL(26,6)) AS value_dec
+        FROM lineitem JOIN s ON l_suppkey = s_suppkey
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(value_dec) AS DECIMAL(30,6)) AS total_dec FROM vals)
+    SELECT l_partkey, round(CAST(value_dec AS DOUBLE), 4) AS value_r4
+    FROM vals, tot
+    WHERE value_dec * CAST(1000000 AS DECIMAL(7,0))
+          > total_dec * CAST(10 AS DECIMAL(3,0))
+    """,
+)
+def q_important_supply_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shape scalar-threshold report: parts whose nation-supplied
+    trade value exceeds 0.001% of the nation total; division-free
+    decimal boundary."""
+    t = _tables(spark, sf_dir)
+    return _rel.important_supply_values(
+        t["supplier"], t["nation"], t["lineitem"]
+    )
+
+
+@query(
+    "sole_returning_supplier",
+    oracle="""
+    WITH per_os AS (
+        SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned
+        FROM lineitem GROUP BY 1, 2
+    ),
+    per_o AS (
+        SELECT l_orderkey AS ok, count(*) AS n_supp, sum(returned) AS n_ret
+        FROM per_os GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_sole_return_orders
+    FROM per_os
+    JOIN per_o ON l_orderkey = ok AND n_supp >= 2 AND n_ret = 1
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE returned = 1
+    GROUP BY 1, 2
+    """,
+)
+def q_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shape sole-failing-supplier: EXISTS/NOT-EXISTS collapsed to
+    one grouped pass (two aggregates on one exchange)."""
+    t = _tables(spark, sf_dir)
+    return _rel.sole_returning_supplier(t["supplier"], t["lineitem"])
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering + rotation plan
 # --------------------------------------------------------------------------
