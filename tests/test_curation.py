@@ -219,3 +219,25 @@ def test_pack_sequences_straddles_and_offsets(spark):
     assert (res[0]["seq_first"], res[0]["seq_last"], res[0]["seq_offset"]) == (0, 0, 0)
     assert (res[1]["seq_first"], res[1]["seq_last"], res[1]["seq_offset"]) == (0, 1, 3)
     assert (res[2]["seq_first"], res[2]["seq_last"], res[2]["seq_offset"]) == (1, 2, 2)
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark):
+    from userbehavioranalysis_spark.operators.text_analysis import (
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en" if i < 10 else "fr") for i in range(13)],
+        "doc_id long, text string, lang string",
+    )
+    out = stratified_sample(docs, per_lang=4).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    # exact quota where the stratum is big enough, whole stratum otherwise
+    assert len(by_lang["en"]) == 4 and len(by_lang["fr"]) == 3
+    assert sorted(r.sample_rank for r in by_lang["en"]) == [1, 2, 3, 4]
+    # deterministic: same frame, same sample
+    again = {(r.doc_id, r.sample_rank) for r in
+             stratified_sample(docs, per_lang=4).collect()}
+    assert {(r.doc_id, r.sample_rank) for r in out} == again

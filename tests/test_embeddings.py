@@ -80,3 +80,40 @@ def test_quantized_ann_recall_vs_exact(spark):
     # int8 on 64-dim vectors: quantization noise may swap near-ties at
     # the top-10 boundary but must preserve the neighborhood
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_thumbnail_sig_resolution_invariant(spark):
+    """The perceptual point: same two-tone content at different
+    resolutions -> same signature; different tones -> different."""
+    from userbehavioranalysis_spark.operators.multimodal import (
+        image_thumbnail_sig,
+        synthetic_two_tone_bmp,
+    )
+
+    # doc 1 and 41 share tones (1%4, (1//4)%4) vs (41%4=1, (41//4)%4=2)?
+    # choose ids with identical (id%4, (id//4)%4) and same n_chars parity:
+    # 1 -> (1, 0); 17 -> (1, 0); widths 8+(10%32)=18 and 8+(12%32)=20 (both even)
+    docs = spark.createDataFrame(
+        [(1, 10), (17, 12), (2, 10)],
+        "doc_id long, n_chars long",
+    )
+    sigs = {r.media_id: (r.sig_hex, r.width, r.height) for r in
+            image_thumbnail_sig(synthetic_two_tone_bmp(docs)).collect()}
+    assert sigs[1][1:] != sigs[17][1:]      # genuinely different dims
+    assert sigs[1][0] == sigs[17][0]        # same perceptual signature
+    assert sigs[1][0] != sigs[2][0]         # different tones differ
+
+
+def test_phash_dedup_groups_across_byte_different_payloads(spark):
+    from userbehavioranalysis_spark.operators.multimodal import (
+        phash_dedup_clusters,
+        synthetic_two_tone_bmp,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (17, 12), (2, 10)],
+        "doc_id long, n_chars long",
+    )
+    rows = phash_dedup_clusters(synthetic_two_tone_bmp(docs)).collect()
+    got = {r.keep_id: r.n_images for r in rows}
+    assert got == {1: 2, 2: 1}

@@ -634,3 +634,125 @@ def media_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, schema=MEDIA_FEATURE_SCHEMA)
+
+
+# -- Perceptual image dedup: thumbnail signature over decoded pixels -------
+
+THUMB_SIG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sig_hex", StringType()),
+    ]
+)
+
+
+def synthetic_two_tone_bmp(documents: DataFrame) -> DataFrame:
+    """REAL two-tone BMP payloads: left half gray ``(doc_id % 4)·60 +
+    10``, right half ``((doc_id div 4) % 4)·60 + 40``, dimensions
+    varying per doc exactly like ``synthetic_bmp_media``.
+
+    Two-tone (not solid) is what makes a *perceptual* signature
+    meaningful: 16 color combinations recur across ~500 docs at many
+    different resolutions, so visually-identical images exist with
+    byte-level-different payloads — the case file-hash dedup cannot
+    catch and thumbnail dedup exists for.  Left width is ``ceil(w/2)``,
+    integer math end to end, so the expected signature is SQL-derivable.
+    """
+    import struct
+
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 8 + int(n_chars) % 32
+                h = 8 + int(doc_id) % 32
+                g0 = (int(doc_id) % 4) * 60 + 10
+                g1 = ((int(doc_id) // 4) % 4) * 60 + 40
+                wl = (w + 1) // 2
+                row_px = np.empty(w * 3, dtype=np.uint8)
+                row_px[: wl * 3] = g0
+                row_px[wl * 3 :] = g1
+                pad = b"\x00" * ((4 - (w * 3) % 4) % 4)
+                pixels = (row_px.tobytes() + pad) * h
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+                )
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40
+                )
+                payloads.append(header + info + pixels)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select("doc_id", "n_chars").mapInPandas(
+        synth, schema=MEDIA_SCHEMA
+    )
+
+
+def image_thumbnail_sig(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual signature: decode, grayscale, nearest-neighbor sample
+    a ``grid``×``grid`` thumbnail, emit it as a lowercase hex string.
+
+    Visually-identical content at different resolutions lands on the
+    same signature (sampling positions ``(i·w) div grid`` scale with
+    the image), which is the thumbnail-fingerprint near-dup technique —
+    resolution- and byte-layout-invariant, cheap enough to run inline
+    with decode.  Grayscale is integer ``(r+g+b) div 3``; every step is
+    integer, so the signature is bit-exact and oracle-checkable.
+
+    Scale shape: map-only mapInPandas over the media scan — payloads
+    never shuffle; only (id, dims, 2·grid² hex chars) flow on to the
+    (tiny) downstream group-by.
+    """
+    import struct
+
+    import numpy as np
+
+    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in THUMB_SIG_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                magic, _, _, _, offset = struct.unpack("<2sIHHI", b[:14])
+                assert magic == b"BM", "not a BMP payload"
+                _, w, h, _, bpp = struct.unpack("<IiiHH", b[14:30])
+                assert bpp == 24, "only 24-bit BMP supported"
+                stride = (w * 3 + 3) // 4 * 4
+                px = np.frombuffer(
+                    b[offset : offset + stride * abs(h)], dtype=np.uint8
+                ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+                gray = px.astype(np.int64).sum(axis=2) // 3
+                xs = (np.arange(grid) * w) // grid
+                ys = (np.arange(grid) * abs(h)) // grid
+                thumb = gray[np.ix_(ys, xs)].astype(np.uint8)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(abs(h))
+                out["sig_hex"].append(thumb.tobytes().hex())
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        sig_batches, schema=THUMB_SIG_SCHEMA
+    )
+
+
+def phash_dedup_clusters(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual-duplicate clusters: group images by thumbnail
+    signature; one row per cluster with its size and the kept
+    representative (min media_id) — the visual analogue of
+    ``dedup.exact_duplicates``'s content-hash grouping."""
+    sigs = image_thumbnail_sig(media, grid=grid)
+    return sigs.groupBy("sig_hex").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("media_id").alias("keep_id"),
+    )

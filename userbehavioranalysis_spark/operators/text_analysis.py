@@ -572,3 +572,35 @@ def pack_sequences(documents: DataFrame, seq_len: int = 512) -> DataFrame:
             ),
         )
     )
+
+
+def stratified_sample(documents: DataFrame, per_lang: int = 25) -> DataFrame:
+    """Exact per-language quota sampling: deterministically keep (up to)
+    ``per_lang`` documents per language — the balanced-eval-set / data-
+    mixture primitive that ``mixture_sample``'s hash-RATE gate cannot
+    express (a rate keeps a proportional share; a quota keeps an exact
+    count regardless of language skew).
+
+    Selection order is ``md5(text)`` (doc_id tie-break): a content hash
+    is an order-free shuffle of each stratum, so the sample is unbiased
+    w.r.t. ingestion order yet fully reproducible on any engine.
+
+    Plan shape: one exchange on ``lang``, then rank-and-filter.  The
+    window sorts each language's stratum, and language skew is real at
+    100 TB (one language can be half the corpus) — the production
+    variant pre-filters with a per-partition local top-``per_lang``
+    per lang (partial TakeOrdered) before the exchange, so the global
+    sort sees ≤ partitions·per_lang rows per language; at the tested
+    SFs Catalyst's rank-filter pushdown (WindowGroupLimit) already
+    performs exactly that partial pruning map-side.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("text")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        documents.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= per_lang)
+        .select("doc_id", "lang", F.col("rk").alias("sample_rank"))
+    )

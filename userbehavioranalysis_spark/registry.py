@@ -3751,6 +3751,95 @@ def q_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rel.sole_returning_supplier(t["supplier"], t["lineitem"])
 
 
+@query(
+    "stratified_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS INTEGER) AS sample_rank
+    FROM ranked WHERE rk <= 25
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quota sample (25/lang), content-hash ordered —
+    reproducible, ingestion-order-free, skew-safe via WindowGroupLimit."""
+    from userbehavioranalysis_spark.operators.text_analysis import (
+        stratified_sample,
+    )
+
+    return stratified_sample(_tables(spark, sf_dir)["documents"])
+
+
+@query(
+    "image_phash_dedup",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id, 8 + (n_chars % 32) AS w,
+               (doc_id % 4) * 60 + 10 AS g0,
+               ((doc_id // 4) % 4) * 60 + 40 AS g1
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               string_agg(
+                   lower(lpad(to_hex(CASE WHEN ((g.i % 8) * w) // 8
+                                          < (w + 1) // 2
+                                     THEN g0 ELSE g1 END), 2, '0')),
+                   '' ORDER BY g.i) AS sig_hex
+        FROM imgs CROSS JOIN generate_series(0, 63) g(i)
+        GROUP BY doc_id
+    )
+    SELECT sig_hex, CAST(count(*) AS BIGINT) AS n_images,
+           min(doc_id) AS keep_id
+    FROM sig GROUP BY 1
+    """,
+)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: REAL BMP decode → 8x8 nearest-neighbor
+    thumbnail signature → cluster.  Two-tone synthetic payloads make
+    visually-identical images exist at byte-level-different resolutions;
+    the oracle derives every expected signature analytically."""
+    from userbehavioranalysis_spark.operators.multimodal import (
+        phash_dedup_clusters,
+        synthetic_two_tone_bmp,
+    )
+
+    return phash_dedup_clusters(
+        synthetic_two_tone_bmp(_tables(spark, sf_dir)["documents"])
+    )
+
+
+@query(
+    "video_frame_sample",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id, octet_length(encode(text)) AS bl
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    f AS (
+        SELECT doc_id, unnest(generate_series(0, (bl + 63) // 64 - 1)) AS i
+        FROM v
+    )
+    SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_no,
+           CAST(i * 64 AS BIGINT) AS "offset"
+    FROM f
+    """,
+)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (1→N inside Arrow batches, no driver
+    involvement) over the video rows of the generic media table."""
+    from userbehavioranalysis_spark.operators.multimodal import (
+        frame_sample,
+        synthetic_media,
+    )
+
+    return frame_sample(synthetic_media(_tables(spark, sf_dir)["documents"]))
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering + rotation plan
 # --------------------------------------------------------------------------
