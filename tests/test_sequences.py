@@ -384,3 +384,38 @@ def test_important_supply_values_threshold_exact(spark):
     got = {r.l_partkey: r.value_r4 for r in
            important_supply_values(sup, nation, li).collect()}
     assert got == {1: 1_000_000.0}
+
+
+def test_customer_order_distribution_counts_zero_order_customers(spark):
+    cust = spark.createDataFrame([(1,), (2,), (3,)], "c_custkey long")
+    orders = spark.createDataFrame(
+        [(10, 1, "3-MEDIUM"), (11, 1, "3-MEDIUM"), (12, 2, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    from userbehavioranalysis_spark.plans.relational import (
+        customer_order_distribution,
+    )
+
+    got = {r.c_count: r.custdist for r in
+           customer_order_distribution(cust, orders).collect()}
+    # cust 1 -> 2 orders; cust 2's only order excluded -> 0; cust 3 -> 0
+    assert got == {2: 1, 0: 2}
+
+
+def test_disjunctive_bracket_revenue_pushes_both_scans(spark):
+    t = load_testdata(spark, SF)
+    from userbehavioranalysis_spark.plans.relational import (
+        disjunctive_bracket_revenue,
+    )
+
+    df = disjunctive_bracket_revenue(t["part"], t["lineitem"])
+    plan = _plan(df)
+    # the OR brackets decompose into per-side pushed scan filters and a
+    # single broadcast join -- no union fan-out
+    assert "Union" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    scans = [ln for ln in plan.splitlines() if "DataFilters" in ln]
+    assert any("l_quantity" in ln for ln in scans)
+    assert any("p_brand" in ln and "p_size" in ln for ln in scans)
+    [row] = df.collect()
+    assert row.n_lines > 0 and row.revenue_r4 > 0

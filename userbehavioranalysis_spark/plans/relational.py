@@ -765,3 +765,77 @@ def sole_returning_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFra
         F.broadcast(supplier.select("s_suppkey", "s_name")),
         culprits["l_suppkey"] == F.col("s_suppkey"),
     ).select("s_suppkey", "s_name", "n_sole_return_orders")
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_priority: str = "1-URGENT"
+) -> DataFrame:
+    """Q13-shape customer-distribution histogram: for each order count
+    c, how many customers placed exactly c qualifying orders —
+    INCLUDING the zero-order customers (the whole point of Q13's left
+    outer join; the testdata stands in TPC-H's comment-pattern
+    exclusion with an order-priority exclusion).
+
+    Plan shape: the exclusion filter pushes into the orders scan (it is
+    a join-side predicate on the OUTER join's right side, so Catalyst
+    may push it below the join — asserted in the plan test); the outer
+    join shuffles orders against customer on custkey; both aggregates
+    after it are tiny (|customers|, then |distinct counts|).  At scale
+    the one real exchange is the join — and because the first aggregate
+    keys on the SAME custkey, it reuses the join's partitioning
+    exchange-free.
+    """
+    o = orders.where(F.col("o_orderpriority") != exclude_priority).select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, customer["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def disjunctive_bracket_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Q19-shape disjunctive-predicate revenue: three OR'd brackets of
+    correlated (brand, size, quantity) conditions — the classic test
+    that an optimizer converts a disjunction into scan-level pushdown
+    plus a residual join filter instead of a fan-out union.
+
+    Bracket b (b = 1, 2, 3): p_brand = Brand#b, p_size ≤ 10·b, and
+    l_quantity in [b, b + 10].  The common conjuncts each side CAN
+    push (part: size ≤ 30 over all brackets' union bound; lineitem:
+    quantity between 1 and 13) land in PushedFilters; the exact
+    bracket correlation evaluates as the join's residual condition.
+    One broadcast join (the filtered part side is small), one scan
+    each, exact-decimal revenue.
+    """
+    p = part.select("p_partkey", "p_brand", "p_size")
+    li = lineitem.select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    qty = F.col("l_quantity")
+    bracket = None
+    for b in (1, 2, 3):
+        cond = (
+            (F.col("p_brand") == f"Brand#{b}")
+            & (F.col("p_size") <= 10 * b)
+            & (qty >= b)
+            & (qty <= b + 10)
+        )
+        bracket = cond if bracket is None else (bracket | cond)
+    ext = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .where(bracket)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum((ext * disc).cast("decimal(30,12)")).cast("double"), 4
+            ).alias("revenue_r4"),
+        )
+    )

@@ -3752,6 +3752,51 @@ def q_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY 1
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY 1
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shape histogram incl. zero-order customers (the outer-join
+    point); first aggregate reuses the join partitioning."""
+    t = _tables(spark, sf_dir)
+    return _rel.customer_order_distribution(t["customer"], t["orders"])
+
+
+@query(
+    "disjunctive_bracket_revenue",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                               * (CAST(1 AS DECIMAL(18,6))
+                                  - CAST(l_discount AS DECIMAL(18,6)))
+                               AS DECIMAL(30,12))) AS DOUBLE), 4) AS revenue_r4
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size <= 10
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size <= 20
+           AND l_quantity BETWEEN 2 AND 12)
+       OR (p_brand = 'Brand#3' AND p_size <= 30
+           AND l_quantity BETWEEN 3 AND 13)
+    """,
+)
+def q_disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shape OR-bracket revenue: disjunction → scan pushdown +
+    residual join filter, not a union fan-out."""
+    t = _tables(spark, sf_dir)
+    return _rel.disjunctive_bracket_revenue(t["part"], t["lineitem"])
+
+
+@query(
     "stratified_sample",
     oracle="""
     WITH ranked AS (
