@@ -23,8 +23,15 @@ Construction (deterministic, structure-preserving):
   and quantization ranges) are preserved; cross-replica cosine
   collapses to noise, so nearest-neighbor structure per replica
   matches sf0.1.
+- **events**: N replicas with per-replica ``user_id``/``event_id``
+  strides and UNCHANGED timestamps/types/values — each replica is a
+  disjoint user population behaving identically, so per-user sequence
+  structure (sessions, funnels, attribution chains) is preserved
+  exactly while user count, per-hour volumes, and the user-keyed
+  exchange all grow N×.  The raw epoch longs pass through untouched
+  (no decode/re-encode — unit normalization stays the reader's job).
 - remaining tables are symlinked from the source sf dir (the heavy
-  family under test only reads documents/embeddings).
+  family under test only reads documents/embeddings/events).
 
 Usage::
 
@@ -136,8 +143,29 @@ def main() -> None:
         os.path.join(out_dir, "embeddings.parquet")
     )
 
+    ev = spark.read.schema(schemas.EVENTS_RAW).parquet(
+        os.path.join(src, "events.parquet")
+    )
+    evreps = [
+        ev.select(
+            (F.col("event_id") + F.lit(r * ID_STRIDE)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(r * ID_STRIDE)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for r in range(n)
+    ]
+    evunion = evreps[0]
+    for rep in evreps[1:]:
+        evunion = evunion.unionByName(rep)
+    evunion.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+
     for t in schemas.TESTDATA_TABLES:
-        if t in ("documents", "embeddings"):
+        if t in ("documents", "embeddings", "events"):
             continue
         link = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(link):
@@ -145,7 +173,11 @@ def main() -> None:
 
     nd = spark.read.parquet(os.path.join(out_dir, "documents.parquet")).count()
     ne = spark.read.parquet(os.path.join(out_dir, "embeddings.parquet")).count()
-    print(f"wrote {out_dir}: documents={nd} embeddings={ne} (N={n} from {src})")
+    nv = spark.read.parquet(os.path.join(out_dir, "events.parquet")).count()
+    print(
+        f"wrote {out_dir}: documents={nd} embeddings={ne} events={nv} "
+        f"(N={n} from {src})"
+    )
 
 
 if __name__ == "__main__":
