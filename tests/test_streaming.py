@@ -277,3 +277,50 @@ def test_streaming_reconcile_outer_tags(spark, tmp_path):
     assert unmatched["receipt_event_id"] is None
 
 
+
+
+def test_attribution_stateful_state_survives_batch_boundary(spark, tmp_path):
+    from userbehavioranalysis_spark.streaming.stateful import attribution_stateful
+
+    rows_schema = (
+        "event_id long, user_id long, event_type string, value double, "
+        "props string, sec long"
+    )
+    batches = [
+        # batch 1: user 1 clicks campaign 7; user 2 purchases unattributed
+        [(1, 1, "click", 0.0, '{"k": 7}', 100),
+         (2, 2, "purchase", 3.0, "{}", 150)],
+        # batch 2: user 1 purchases -> carried state attributes to 7;
+        # a null-campaign click must stay transparent for the next buy
+        [(3, 1, "purchase", 10.0, "{}", 200),
+         (4, 1, "click", 0.0, "{}", 250),
+         (5, 1, "purchase", 5.0, "{}", 300)],
+    ]
+    path = os.path.join(tmp_path, "stream")
+    os.makedirs(path, exist_ok=True)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, rows_schema).withColumn(
+            "ts", F.timestamp_seconds("sec")
+        ).drop("sec")
+        df.coalesce(1).write.parquet(os.path.join(tmp_path, f"tmp{i}"))
+        part = [f for f in os.listdir(os.path.join(tmp_path, f"tmp{i}"))
+                if f.endswith(".parquet")][0]
+        os.rename(os.path.join(tmp_path, f"tmp{i}", part),
+                  os.path.join(path, f"batch_{i:03d}.parquet"))
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double, "
+            "props string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = _run_to_memory(
+        spark, attribution_stateful(sdf), "attr_state_test", str(tmp_path)
+    )
+    got = {(r.user_id, r.purchase_us): r.campaign for r in out.collect()}
+    assert got == {
+        (2, 150_000_000): None,   # no prior click
+        (1, 200_000_000): 7,      # carried across the batch boundary
+        (1, 300_000_000): 7,      # null-campaign click stays transparent
+    }

@@ -3752,6 +3752,53 @@ def q_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_attribution_replay",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type = 'click'
+                               THEN TRY_CAST(json_extract_string(props, '$.k')
+                                             AS BIGINT) END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS campaign
+        FROM events
+    )
+    SELECT campaign,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+               AS attributed_value_r2
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution as applyInPandasWithState: per-user keyed
+    state (ONE long — the last click's campaign) enriches purchases the
+    moment they arrive; the bounded replay's per-purchase attributions
+    aggregate to exactly the batch operator's campaign totals (same
+    oracle as ``attribution_last_touch``)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.streaming.stateful import attribution_stateful
+
+    stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    attr = _run_bounded(
+        attribution_stateful(stream), "uba_stream_attr", partitions=32
+    )
+    return attr.groupBy("campaign").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("attributed_value_r2"),
+    )
+
+
+@query(
     "customer_order_distribution",
     oracle="""
     WITH per_cust AS (
@@ -3941,6 +3988,8 @@ _DRIVER_WINDOW = [
     "streaming_dedup_replay",
     # streaming end-to-end through the byte-exact report render
     "streaming_hot_items_report_replay",
+    # round-3 continuation: keyed-state attribution enrichment
+    "streaming_attribution_replay",
     # relational/extension queries past the r2 window
     "pricing_summary",
     "shipping_priority",
@@ -3966,12 +4015,14 @@ _DRIVER_WINDOW = [
     "media_features",
     # parity-set anchors: keep the reference's headline analytics
     # driver-green every round
+    # (login_fail_relaxed rotated out for the new streaming replay —
+    # its strict sibling, ref_login_fail and the streaming login replay
+    # keep the family driver-green; the sampled oracle pytest covers it)
     "hot_items",
     "hot_pages",
     "page_view",
     "unique_visitors",
     "login_fail_strict",
-    "login_fail_relaxed",
     "order_timeout",
     "tx_match_reconcile",
 ]

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -335,5 +336,107 @@ def blacklist_stateful(
         .groupBy("user_id")
         .applyInPandasWithState(
             fn, BLACKLIST_SCHEMA, _BL_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+ATTRIBUTION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("purchase_us", LongType()),
+        StructField("campaign", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+_ATTR_STATE = StructType([StructField("campaign", LongType())])
+
+
+def attribution_stateful(
+    events: DataFrame, watermark: str = "10 seconds"
+) -> DataFrame:
+    """Streaming last-touch attribution: per-user keyed state carries
+    the most recent click's campaign across micro-batches; every
+    purchase emits an attributed row the moment it arrives — the
+    streaming form of ``operators/sequences.attribution_last_touch``
+    (Flink's RichFlatMap + ValueState enrichment shape, the C-family
+    toolkit applied to marketing attribution).
+
+    State per user is ONE long (the campaign) — last-value state never
+    grows with traffic, so no timeout is needed for boundedness.  The
+    campaign extraction happens JVM-side BEFORE the state exchange
+    (the kernel never sees the fat ``props`` string), and the kernel
+    is a vectorized pandas forward-fill, not a row loop.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (carried,) = state.get if state.exists else (None,)
+        frames = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            ).to_numpy()
+            # clicks expose their campaign; everything else is NaN, so a
+            # forward-fill seeded with the carried state reproduces the
+            # batch `last(campaign, ignorenulls) ROWS ... 1 PRECEDING`
+            # frame exactly (a click's own row is never a purchase, and
+            # null-campaign clicks stay transparent, as ignorenulls does)
+            camp = pdf["campaign"].where(pdf["event_type"].eq("click"))
+            camp = (
+                pd.concat(
+                    [pd.Series([carried], dtype="float64"), camp.astype("float64")],
+                    ignore_index=True,
+                )
+                .ffill()
+                .iloc[1:]
+                .to_numpy()
+            )
+            hit = pdf["event_type"].eq("purchase").to_numpy()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": key[0],
+                        "purchase_us": ts_us[hit],
+                        "campaign": pd.array(
+                            [None if c != c else int(c) for c in camp[hit]],
+                            dtype="Int64",
+                        ),
+                        "value": pdf["value"].to_numpy()[hit],
+                    }
+                )
+            )
+            last = camp[-1]
+            carried = None if last != last else int(last)
+        state.update((carried,))
+        # yield only real rows: an explicit empty frame would make the
+        # runtime's cross-group concat infer dtypes from all-NA columns
+        # (deprecated in pandas 2); yielding nothing is the clean path
+        frames = [f for f in frames if len(f)]
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    from pyspark.sql import functions as F
+
+    pre = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").try_cast("long").alias("campaign"),
+    )
+    return (
+        pre.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            ATTRIBUTION_SCHEMA,
+            _ATTR_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
         )
     )
