@@ -117,3 +117,20 @@ def test_phash_dedup_groups_across_byte_different_payloads(spark):
     rows = phash_dedup_clusters(synthetic_two_tone_bmp(docs)).collect()
     got = {r.keep_id: r.n_images for r in rows}
     assert got == {1: 2, 2: 1}
+
+
+def test_audio_chunks_partial_tail_and_exact_rms(spark):
+    from userbehavioranalysis_spark.operators.multimodal import (
+        audio_chunks,
+        synthetic_wav_media,
+    )
+
+    # doc 3: n_frames = 800 + 500 = 1300 -> chunks 256*5 + 20
+    docs = spark.createDataFrame([(3, 500)], "doc_id long, n_chars long")
+    rows = sorted(
+        audio_chunks(synthetic_wav_media(docs)).collect(),
+        key=lambda r: r.chunk_no,
+    )
+    assert [r.n_frames for r in rows] == [256] * 5 + [20]
+    amp = 1000 + 3 % 20000
+    assert all(r.peak == amp and r.rms == amp for r in rows)

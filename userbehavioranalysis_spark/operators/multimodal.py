@@ -756,3 +756,60 @@ def phash_dedup_clusters(media: DataFrame, grid: int = 8) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.min("media_id").alias("keep_id"),
     )
+
+
+# -- Audio chunking: the audio-side 1→N fan-out (frame_sample analogue) ----
+
+AUDIO_CHUNK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("chunk_no", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("rms", IntegerType()),
+    ]
+)
+
+
+def audio_chunks(media: DataFrame, chunk_frames: int = 256) -> DataFrame:
+    """Fixed-length audio chunking with per-chunk stats: decode each
+    WAV payload (REAL stdlib ``wave`` decode), split the PCM into
+    ``chunk_frames``-frame windows (last one partial), and emit one row
+    per chunk with its frame count, peak, and integer RMS — the
+    speech-pipeline primitive (VAD windows, ASR segments, diarization
+    frames all start from exactly this shape).
+
+    Scale shape: 1→N row explosion INSIDE Arrow batches (the
+    ``frame_sample`` pattern on decoded samples instead of byte
+    offsets) — map-only, payloads never shuffle, output rows are five
+    scalars each.  RMS is ``sqrt(mean(x²))`` in float64 over int
+    samples; for the ±A square-wave corpus every operand is exact, so
+    the emitted integer is bit-stable and fully oracle-checkable.
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in AUDIO_CHUNK_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    assert w.getsampwidth() == 2 and w.getnchannels() == 1
+                    pcm = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype="<i2"
+                    ).astype(np.int64)
+                for c in range(0, len(pcm), chunk_frames):
+                    seg = pcm[c : c + chunk_frames]
+                    rms = float(np.sqrt(np.mean((seg.astype(np.float64)) ** 2)))
+                    out["media_id"].append(mid)
+                    out["chunk_no"].append(c // chunk_frames)
+                    out["n_frames"].append(len(seg))
+                    out["peak"].append(int(np.max(np.abs(seg))))
+                    out["rms"].append(int(round(rms)))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        chunk, schema=AUDIO_CHUNK_SCHEMA
+    )

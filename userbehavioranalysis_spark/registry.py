@@ -3844,6 +3844,37 @@ def q_disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "audio_chunks",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id, 800 + (n_chars % 800) AS n,
+               1000 + (doc_id % 20000) AS amp
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, amp, n,
+               unnest(generate_series(0, (n + 255) // 256 - 1)) AS i
+        FROM a
+    )
+    SELECT doc_id AS media_id, CAST(i AS INTEGER) AS chunk_no,
+           CAST(least(256, n - 256 * i) AS BIGINT) AS n_frames,
+           CAST(amp AS INTEGER) AS peak, CAST(amp AS INTEGER) AS rms
+    FROM c
+    """,
+)
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length audio chunking with per-chunk stats over REAL WAV
+    decode — the audio-side 1→N fan-out; every expected row derived
+    analytically by the oracle."""
+    from userbehavioranalysis_spark.operators.multimodal import (
+        audio_chunks,
+        synthetic_wav_media,
+    )
+
+    return audio_chunks(synthetic_wav_media(_tables(spark, sf_dir)["documents"]))
+
+
+@query(
     "stratified_sample",
     oracle="""
     WITH ranked AS (
