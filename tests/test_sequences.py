@@ -294,7 +294,7 @@ def test_time_to_convert_first_click_then_first_purchase(spark):
 
 def test_small_quantity_revenue_division_free_boundary(spark):
     part = spark.createDataFrame(
-        [(1, "part_1"), (2, "part_1x")], "p_partkey long, p_name string"
+        [(1, "red widget"), (2, "red bolt")], "p_partkey long, p_name string"
     )
     li = spark.createDataFrame(
         [
@@ -419,3 +419,106 @@ def test_disjunctive_bracket_revenue_pushes_both_scans(spark):
     assert any("p_brand" in ln and "p_size" in ln for ln in scans)
     [row] = df.collect()
     assert row.n_lines > 0 and row.revenue_r4 > 0
+
+
+def test_forecast_revenue_change_pushdown_and_decimal_boundary(spark):
+    t = load_testdata(spark, SF)
+    from userbehavioranalysis_spark.plans.relational import (
+        forecast_revenue_change,
+    )
+
+    df = forecast_revenue_change(t["lineitem"])
+    plan = _plan(df)
+    scan = [ln for ln in plan.splitlines() if "DataFilters" in ln][0]
+    # year + quantity predicates reach the scan (the decimal band
+    # evaluates post-scan on the cast column)
+    assert "l_shipdate" in scan and "l_quantity" in scan
+    [row] = df.collect()
+    assert row.n_lines >= 0
+
+
+def test_product_type_profit_margin_over_best_price(spark):
+    part = spark.createDataFrame([(1, "red widget")], "p_partkey long, p_name string")
+    sup = spark.createDataFrame([(5, 7)], "s_suppkey long, s_nationkey int")
+    nat = spark.createDataFrame([(7, "N7")], "n_nationkey int, n_name string")
+    orders = spark.createDataFrame(
+        [(100, "2001-06-01"), (101, "2002-06-01")],
+        "o_orderkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    li = spark.createDataFrame(
+        [
+            # best observed price for (part 1, supp 5) = 10
+            (100, 1, 5, 2.0, 10.0, 0.0),
+            (101, 1, 5, 1.0, 30.0, 0.0),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double",
+    )
+    from userbehavioranalysis_spark.plans.relational import product_type_profit
+
+    got = {(r.nation, r.o_year): r.profit_r4 for r in
+           product_type_profit(part, sup, nat, orders, li).collect()}
+    # 2001: rev 10 - cost 10*2 = -10 ; 2002: rev 30 - cost 10*1 = 20
+    assert got == {("N7", 2001): -10.0, ("N7", 2002): 20.0}
+
+
+def test_shipping_delay_priority_counts_window_and_split(spark):
+    orders = spark.createDataFrame(
+        [(1, "2001-01-01", "1-URGENT"), (2, "2001-01-01", "5-LOW")],
+        "o_orderkey long, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    li = spark.createDataFrame(
+        [
+            (1, "N", "2001-02-15"),   # 45 days -> critical
+            (2, "N", "2001-03-01"),   # 59 days -> other
+            (1, "N", "2001-01-10"),   # 9 days  -> outside window
+            (2, "N", "2001-06-01"),   # 151 days -> outside window
+        ],
+        "l_orderkey long, l_returnflag string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    from userbehavioranalysis_spark.plans.relational import (
+        shipping_delay_priority_counts,
+    )
+
+    [row] = shipping_delay_priority_counts(orders, li).collect()
+    assert (row.l_returnflag, row.critical_lines, row.other_lines) == ("N", 1, 1)
+
+
+def test_supplier_counts_excludes_brand_and_blocklisted(spark):
+    part = spark.createDataFrame(
+        [(1, "Brand#1", 5), (2, "Brand#2", 5)],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    li = spark.createDataFrame(
+        # supp 8 all-returns -> blocklisted; supp 9 clean; both trade both parts
+        [(1, 8, "R"), (2, 8, "R"), (1, 9, "N"), (2, 9, "N")],
+        "l_partkey long, l_suppkey long, l_returnflag string",
+    )
+    from userbehavioranalysis_spark.plans.relational import (
+        supplier_counts_by_part_attrs,
+    )
+
+    rows = supplier_counts_by_part_attrs(part, li).collect()
+    # Brand#1 excluded entirely; Brand#2 counts only the clean supplier
+    assert {(r.p_brand, r.p_size, r.supplier_cnt) for r in rows} == {
+        ("Brand#2", 5, 1)
+    }
+
+
+def test_excess_share_suppliers_share_boundary(spark):
+    sup = spark.createDataFrame(
+        [(1, "s1", 7), (2, "s2", 7)], "s_suppkey long, s_name string, s_nationkey int"
+    )
+    nat = spark.createDataFrame([(7, "N7")], "n_nationkey int, n_name string")
+    part = spark.createDataFrame([(1, "red gear")], "p_partkey long, p_name string")
+    li = spark.createDataFrame(
+        # supp 1 carries 5%, supp 2 carries 95% of part 1's volume
+        [(1, 1, 5.0), (1, 2, 95.0)],
+        "l_partkey long, l_suppkey long, l_quantity double",
+    )
+    from userbehavioranalysis_spark.plans.relational import (
+        excess_share_suppliers,
+    )
+
+    rows = excess_share_suppliers(sup, nat, part, li).collect()
+    assert [(r.s_suppkey, r.supp_nation) for r in rows] == [(2, "N7")]

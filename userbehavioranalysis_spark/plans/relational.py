@@ -560,7 +560,7 @@ def nation_trade_volume(
 
 
 def small_quantity_revenue(
-    part: DataFrame, lineitem: DataFrame, name_token: str = "1"
+    part: DataFrame, lineitem: DataFrame, name_token: str = "red"
 ) -> DataFrame:
     """Q17-shape correlated-average join-back: yearly-averaged revenue
     lost to small orders — lineitems whose quantity is below 20% of
@@ -839,3 +839,253 @@ def disjunctive_bracket_revenue(part: DataFrame, lineitem: DataFrame) -> DataFra
             ).alias("revenue_r4"),
         )
     )
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    year: int = 1995,
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """Q6-shape forecasting aggregate: revenue that would vanish if
+    discounts in a band were dropped — one scan, zero joins.
+
+    The whole value is in the scan: all three predicates (ship year,
+    discount band, quantity cap) push into the parquet reader as
+    min/max range filters, so row groups outside the year skip without
+    decompression — at 100 TB this is the difference between a scan
+    and a no-op.  PushedFilters asserted in the plan test.  The
+    discount-band boundaries compare as exact decimals (doubles like
+    0.07 are not exactly representable; both engines must see the same
+    decimal operand or boundary rows flip).
+    """
+    d = F.col("l_discount").cast("decimal(18,6)")
+    sel = (
+        (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp_ntz"))
+        & (d >= F.lit(disc_lo).cast("decimal(18,6)"))
+        & (d <= F.lit(disc_hi).cast("decimal(18,6)"))
+        & (F.col("l_quantity") < max_qty)
+    )
+    ext = F.col("l_extendedprice").cast("decimal(18,6)")
+    return lineitem.where(sel).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum((ext * d).cast("decimal(30,12)")).cast("double"), 4
+        ).alias("revenue_change_r4"),
+    )
+
+
+def product_type_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    name_token: str = "red",
+) -> DataFrame:
+    """Q9-shape product-line profit by (supplier nation, order year),
+    adapted: TPC-H's ``ps_supplycost`` does not exist here, so cost is
+    the DERIVED supply relation from Q2 — per (part, supplier) the
+    minimum extended price ever charged, i.e. profit measures margin
+    over each pair's best observed price.
+
+    Plan shape: the part-name filter broadcasts into lineitem first
+    (drops most of the fact before anything else), the derived-cost
+    aggregate rides the SAME filtered fact (one extra partial agg, no
+    extra scan of the unfiltered table), orders joins on orderkey (the
+    one fact-fact shuffle), and nation arrives via a broadcast dim on
+    the supplier side.  All money math in exact decimals until the
+    final rounding.
+    """
+    p = part.where(F.col("p_name").contains(name_token)).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(p), lineitem["l_partkey"] == F.col("p_partkey")
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    cost = li.groupBy(
+        F.col("l_partkey").alias("c_partkey"), F.col("l_suppkey").alias("c_suppkey")
+    ).agg(F.min(F.col("l_extendedprice").cast("decimal(18,6)")).alias("cost_dec"))
+    sn = supplier.join(
+        F.broadcast(
+            nation.select(F.col("n_nationkey").alias("sn_key"), "n_name")
+        ),
+        supplier["s_nationkey"] == F.col("sn_key"),
+    ).select("s_suppkey", "n_name")
+    ext = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    # cost widened to (19,6) so DuckDB's oracle multiply takes the
+    # int128 path (its int64 fast-path overflows when both operands fit
+    # int64 but the product exceeds it); (19,6)x(8,6) is exact in both
+    # engines, so the subtraction sees identical operands
+    amount = (ext * disc).cast("decimal(30,12)") - (
+        F.col("cost_dec").cast("decimal(19,6)") * qty.cast("decimal(8,6)")
+    ).cast("decimal(30,12)")
+    return (
+        li.join(
+            cost,
+            (li["l_partkey"] == F.col("c_partkey"))
+            & (li["l_suppkey"] == F.col("c_suppkey")),
+        )
+        .join(sn, li["l_suppkey"] == sn["s_suppkey"])
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("integer").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(amount.cast("decimal(32,12)")).cast("double"), 4
+            ).alias("profit_r4")
+        )
+    )
+
+
+def shipping_delay_priority_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_delay_days: int = 30,
+    max_delay_days: int = 90,
+) -> DataFrame:
+    """Q12-shape delayed-shipment priority split, adapted: the testdata
+    has no shipmode/commit/receipt columns, so the 'mode' axis is
+    ``l_returnflag`` and 'late receipt' is an order→ship delay between
+    ``min_delay_days`` and ``max_delay_days``; per flag, count critical
+    (1-URGENT / 2-HIGH) vs other-priority lines — Q12's exact
+    conditional-aggregate shape on the orders⋈lineitem join.
+
+    Plan: delay bounds become a residual join predicate (they correlate
+    both sides, so no scan can push them alone); the join is the single
+    fact-fact shuffle and the priority split is a one-pass conditional
+    aggregate — never two scans or a union of the two priority classes.
+    Day arithmetic is integer (``datediff``), TZ-free.
+    """
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.select("l_orderkey", "l_returnflag", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where((delay >= min_delay_days) & (delay <= max_delay_days))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(crit.cast("long")).alias("critical_lines"),
+            F.sum((~crit).cast("long")).alias("other_lines"),
+        )
+    )
+
+
+def supplier_counts_by_part_attrs(
+    part: DataFrame,
+    lineitem: DataFrame,
+    exclude_brand: str = "Brand#1",
+    max_return_ppm: int = 500_000,
+) -> DataFrame:
+    """Q16-shape supplier diversity report, adapted: per (brand, size)
+    — no container/type axis needed — how many DISTINCT suppliers have
+    traded the part, excluding one brand (Q16's ``NOT IN`` brand
+    exclusion pushes as a scan filter) and excluding suppliers whose
+    corpus-wide return rate exceeds ``max_return_ppm`` parts-per-million
+    (the complaints-supplier NOT IN, derived from the data itself).
+
+    Plan: the supplier blocklist is a (tiny) aggregate broadcast as a
+    LEFT ANTI join; the supply relation dedupes (part, supplier) pairs
+    BEFORE joining part attributes, so the count-distinct aggregates a
+    pre-shrunk frame.  Return rate compares division-free:
+    ``returned · 1_000_000 > total · ppm`` in longs.
+    """
+    pairs = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("l_partkey", "l_suppkey")
+    )
+    per_supp = lineitem.groupBy(F.col("l_suppkey").alias("b_suppkey")).agg(
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_ret"),
+        F.count(F.lit(1)).alias("n_tot"),
+    )
+    blocked = per_supp.where(
+        F.col("n_ret") * F.lit(1_000_000) > F.col("n_tot") * F.lit(max_return_ppm)
+    ).select("b_suppkey")
+    p = part.where(F.col("p_brand") != exclude_brand).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    return (
+        pairs.join(
+            F.broadcast(blocked),
+            pairs["l_suppkey"] == F.col("b_suppkey"),
+            "left_anti",
+        )
+        .join(p, pairs["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def excess_share_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    name_token: str = "red",
+    share_pct: int = 10,
+) -> DataFrame:
+    """Q20-shape dominant-supplier report, adapted: suppliers who
+    carried MORE than ``share_pct``% of the total traded quantity of
+    some name-filtered part, labeled with their nation — Q20's nested
+    quantity-threshold subquery, with 'availqty > ½ demand' becoming a
+    share-of-part-volume test on the derived supply relation.  (Q20
+    also FILTERS to one nation; with this testdata's 25-way nation
+    spread that filter empties the answer at every tested SF, so the
+    nation rides as an output label — same dim join, non-degenerate
+    result.)
+
+    Plan: per-(part, supplier) and per-part quantity aggregates ride
+    ONE exchange (second is a rollup of the first); the share test
+    multiplies exact decimals (division-free, `important_supply_values`
+    discipline); the qualifying pairs collapse to DISTINCT suppliers
+    (a tiny set) before the broadcast dim joins.  The part-name filter
+    pushes into its scan.
+    """
+    p = part.where(F.col("p_name").contains(name_token)).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(p), lineitem["l_partkey"] == F.col("p_partkey")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qty).alias("pair_qty")
+    )
+    per_part = per_pair.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("pair_qty").cast("decimal(30,6)").alias("part_qty")
+    )
+    dominant = (
+        per_pair.join(per_part, F.col("l_partkey") == F.col("t_partkey"))
+        .where(
+            F.col("pair_qty").cast("decimal(26,6)")
+            * F.lit(100).cast("decimal(3,0)")
+            > F.col("part_qty") * F.lit(share_pct).cast("decimal(3,0)")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    dims = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "n_name")
+    return dominant.join(
+        F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))

@@ -3624,7 +3624,7 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "small_quantity_revenue",
     oracle="""
-    WITH p AS (SELECT p_partkey FROM part WHERE p_name LIKE '%1%'),
+    WITH p AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
     li AS (
         SELECT l_partkey, l_quantity, l_extendedprice
         FROM lineitem JOIN p ON l_partkey = p_partkey
@@ -3639,7 +3639,8 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
                  / 7.0, 4) AS avg_yearly_r4
     FROM li JOIN stats ON l_partkey = k
-    WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * n < sum_qty
+    WHERE CAST(l_quantity AS DECIMAL(18,6)) * CAST(5 AS DECIMAL(3,0))
+          * CAST(n AS DECIMAL(12,0)) < sum_qty
     """,
 )
 def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3841,6 +3842,157 @@ def q_disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     residual join filter, not a union fan-out."""
     t = _tables(spark, sf_dir)
     return _rel.disjunctive_bracket_revenue(t["part"], t["lineitem"])
+
+
+@query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                               * CAST(l_discount AS DECIMAL(18,6))
+                               AS DECIMAL(30,12))) AS DOUBLE), 4)
+               AS revenue_change_r4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND CAST(l_discount AS DECIMAL(18,6))
+          BETWEEN CAST(0.05 AS DECIMAL(18,6)) AND CAST(0.07 AS DECIMAL(18,6))
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shape forecasting aggregate: one scan, zero joins, all three
+    predicates pushed to the parquet reader."""
+    return _rel.forecast_revenue_change(_tables(spark, sf_dir)["lineitem"])
+
+
+@query(
+    "product_type_profit",
+    oracle="""
+    WITH p AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+    li AS (
+        SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+               l_extendedprice, l_discount
+        FROM lineitem JOIN p ON l_partkey = p_partkey
+    ),
+    cost AS (
+        SELECT l_partkey AS ck, l_suppkey AS cs,
+               min(CAST(l_extendedprice AS DECIMAL(18,6))) AS cost_dec
+        FROM li GROUP BY 1, 2
+    )
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           round(CAST(sum(CAST(
+               CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (CAST(1 AS DECIMAL(18,6))
+                       - CAST(l_discount AS DECIMAL(18,6)))
+                    AS DECIMAL(30,12))
+               - CAST(CAST(cost_dec AS DECIMAL(19,6))
+                      * CAST(l_quantity AS DECIMAL(8,6))
+                      AS DECIMAL(30,12))
+           AS DECIMAL(32,12))) AS DOUBLE), 4) AS profit_r4
+    FROM li
+    JOIN cost ON l_partkey = ck AND l_suppkey = cs
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shape profit by (nation, year) over the lineitem-derived
+    supply-cost relation; part filter broadcast first, one fact-fact
+    shuffle."""
+    t = _tables(spark, sf_dir)
+    return _rel.product_type_profit(
+        t["part"], t["supplier"], t["nation"], t["orders"], t["lineitem"]
+    )
+
+
+@query(
+    "shipping_delay_priority_counts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS critical_lines,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS other_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+          BETWEEN 30 AND 90
+    GROUP BY 1
+    """,
+)
+def q_shipping_delay_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shape conditional priority split over delayed shipments —
+    one join, one-pass conditional aggregate, integer day math."""
+    t = _tables(spark, sf_dir)
+    return _rel.shipping_delay_priority_counts(t["orders"], t["lineitem"])
+
+
+@query(
+    "supplier_counts_by_part_attrs",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    per_supp AS (
+        SELECT l_suppkey AS bs,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_ret,
+               count(*) AS n_tot
+        FROM lineitem GROUP BY 1
+    ),
+    blocked AS (
+        SELECT bs FROM per_supp WHERE n_ret * 1000000 > n_tot * 500000
+    )
+    SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM pairs JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (SELECT bs FROM blocked)
+    GROUP BY 1, 2
+    """,
+)
+def q_supplier_counts_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shape supplier diversity per (brand, size) with a derived
+    high-return supplier blocklist as the NOT IN."""
+    t = _tables(spark, sf_dir)
+    return _rel.supplier_counts_by_part_attrs(t["part"], t["lineitem"])
+
+
+@query(
+    "excess_share_suppliers",
+    oracle="""
+    WITH p AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+    li AS (
+        SELECT l_partkey, l_suppkey, l_quantity
+        FROM lineitem JOIN p ON l_partkey = p_partkey
+    ),
+    per_pair AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(l_quantity AS DECIMAL(18,6))) AS pair_qty
+        FROM li GROUP BY 1, 2
+    ),
+    per_part AS (
+        SELECT l_partkey AS tk, CAST(sum(pair_qty) AS DECIMAL(30,6)) AS part_qty
+        FROM per_pair GROUP BY 1
+    ),
+    dom AS (
+        SELECT DISTINCT l_suppkey
+        FROM per_pair JOIN per_part ON l_partkey = tk
+        WHERE CAST(pair_qty AS DECIMAL(26,6)) * CAST(100 AS DECIMAL(3,0))
+              > part_qty * CAST(10 AS DECIMAL(3,0))
+    )
+    SELECT s_suppkey, s_name, n_name AS supp_nation
+    FROM dom
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def q_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shape dominant-supplier report: share-of-part-volume test on
+    the derived supply relation, division-free decimal boundary."""
+    t = _tables(spark, sf_dir)
+    return _rel.excess_share_suppliers(
+        t["supplier"], t["nation"], t["part"], t["lineitem"]
+    )
 
 
 @query(
