@@ -65,6 +65,13 @@ HEADLINERS = [
     ("sole_returning_supplier", "Q21 shape — two aggs ride one orderkey exchange"),
     ("stratified_sample", "per-lang quota — WindowGroupLimit prunes map-side"),
     ("image_phash_dedup", "decode+signature map-only; only 128-char sigs shuffle"),
+    ("forecast_revenue_change", "Q6 shape — one scan, three pushed predicates, zero joins"),
+    ("product_type_profit", "Q9 shape — derived cost rides the same filtered fact"),
+    ("customer_order_distribution", "Q13 shape — outer join, zero-order customers kept"),
+    ("disjunctive_bracket_revenue", "Q19 shape — OR brackets pushed to both scans, no union"),
+    ("supplier_counts_by_part_attrs", "Q16 shape — broadcast anti blocklist, deduped pairs"),
+    ("excess_share_suppliers", "Q20 shape — share test on one exchange, distinct-then-dims"),
+    ("audio_chunks", "WAV decode + 1-to-N chunk fan-out inside Arrow batches"),
 ]
 
 
