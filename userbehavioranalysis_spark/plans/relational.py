@@ -892,11 +892,11 @@ def product_type_profit(
     over each pair's best observed price.
 
     Plan shape: the part-name filter broadcasts into lineitem first
-    (drops most of the fact before anything else), the derived-cost
-    aggregate rides the SAME filtered fact (one extra partial agg, no
-    extra scan of the unfiltered table), orders joins on orderkey (the
-    one fact-fact shuffle), and nation arrives via a broadcast dim on
-    the supplier side.  All money math in exact decimals until the
+    (drops most of the fact before anything else), the derived cost
+    attaches as a min() WINDOW on the (part, supplier) partitioning —
+    one exchange, no aggregate-and-self-join — orders joins on orderkey
+    (the one fact-fact shuffle), and nation arrives via a broadcast dim
+    on the supplier side.  All money math in exact decimals until the
     final rounding.
     """
     p = part.where(F.col("p_name").contains(name_token)).select("p_partkey")
@@ -910,9 +910,8 @@ def product_type_profit(
         "l_extendedprice",
         "l_discount",
     )
-    cost = li.groupBy(
-        F.col("l_partkey").alias("c_partkey"), F.col("l_suppkey").alias("c_suppkey")
-    ).agg(F.min(F.col("l_extendedprice").cast("decimal(18,6)")).alias("cost_dec"))
+    from pyspark.sql import Window
+
     sn = supplier.join(
         F.broadcast(
             nation.select(F.col("n_nationkey").alias("sn_key"), "n_name")
@@ -922,6 +921,13 @@ def product_type_profit(
     ext = F.col("l_extendedprice").cast("decimal(18,6)")
     disc = F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
     qty = F.col("l_quantity").cast("decimal(18,6)")
+    # derived cost as a WINDOW over the filtered fact, not an aggregate
+    # + join-back: min() over the (part, supplier) partition attaches
+    # the pair's best price on the pair partitioning itself — one
+    # exchange where the groupBy+self-join formulation needs two and a
+    # sort-merge of the fact against its own aggregate
+    wcost = Window.partitionBy("l_partkey", "l_suppkey")
+    li = li.withColumn("cost_dec", F.min(ext).over(wcost))
     # cost widened to (19,6) so DuckDB's oracle multiply takes the
     # int128 path (its int64 fast-path overflows when both operands fit
     # int64 but the product exceeds it); (19,6)x(8,6) is exact in both
@@ -930,12 +936,7 @@ def product_type_profit(
         F.col("cost_dec").cast("decimal(19,6)") * qty.cast("decimal(8,6)")
     ).cast("decimal(30,12)")
     return (
-        li.join(
-            cost,
-            (li["l_partkey"] == F.col("c_partkey"))
-            & (li["l_suppkey"] == F.col("c_suppkey")),
-        )
-        .join(sn, li["l_suppkey"] == sn["s_suppkey"])
+        li.join(sn, li["l_suppkey"] == sn["s_suppkey"])
         .join(
             orders.select("o_orderkey", "o_orderdate"),
             li["l_orderkey"] == F.col("o_orderkey"),
@@ -1054,8 +1055,9 @@ def excess_share_suppliers(
     nation rides as an output label — same dim join, non-degenerate
     result.)
 
-    Plan: per-(part, supplier) and per-part quantity aggregates ride
-    ONE exchange (second is a rollup of the first); the share test
+    Plan: the per-(part, supplier) aggregate is the one real exchange;
+    part totals attach as a window over it (the rollup-and-join-back
+    alternative re-shuffles the pair frame against itself); the share test
     multiplies exact decimals (division-free, `important_supply_values`
     discipline); the qualifying pairs collapse to DISTINCT suppliers
     (a tiny set) before the broadcast dim joins.  The part-name filter
@@ -1065,15 +1067,20 @@ def excess_share_suppliers(
     li = lineitem.join(
         F.broadcast(p), lineitem["l_partkey"] == F.col("p_partkey")
     ).select("l_partkey", "l_suppkey", "l_quantity")
+    from pyspark.sql import Window
+
     qty = F.col("l_quantity").cast("decimal(18,6)")
     per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(qty).alias("pair_qty")
     )
-    per_part = per_pair.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.sum("pair_qty").cast("decimal(30,6)").alias("part_qty")
-    )
+    # part totals as a WINDOW on the pair aggregate's own partitioning —
+    # no rollup-and-join-back (which would re-exchange per_pair on the
+    # part key and sort-merge it against its own aggregate)
+    wpart = Window.partitionBy("l_partkey")
     dominant = (
-        per_pair.join(per_part, F.col("l_partkey") == F.col("t_partkey"))
+        per_pair.withColumn(
+            "part_qty", F.sum("pair_qty").over(wpart).cast("decimal(30,6)")
+        )
         .where(
             F.col("pair_qty").cast("decimal(26,6)")
             * F.lit(100).cast("decimal(3,0)")
