@@ -234,13 +234,17 @@ def session_paths(
         )
     )
     counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
-    ranked = counted.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(F.desc("n_sessions"), F.asc("path"))
-        ),
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    # no global sort — an unpartitioned rank window would funnel every
+    # distinct path through one partition); the rank window then runs
+    # over only the ``top`` survivors
+    order = (F.desc("n_sessions"), F.asc("path"))
+    return (
+        counted.orderBy(*order)
+        .limit(top)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select("rank", "path", "n_sessions")
     )
-    return ranked.where(F.col("rank") <= top).select("rank", "path", "n_sessions")
 
 
 def anomaly_zscore(events: DataFrame, trailing_hours: int = 24) -> DataFrame:
@@ -255,7 +259,10 @@ def anomaly_zscore(events: DataFrame, trailing_hours: int = 24) -> DataFrame:
     any engine and partition order (and the sqrt operand cannot go
     negative through float cancellation, a real hazard of the
     mean/variance form).  Degenerate windows (all counts equal →
-    variance 0) emit a NULL z rather than ±inf.
+    variance 0) emit a NULL z rather than ±inf.  The int64 algebra is
+    exact below ~6×10⁸ events per (type, hour) — beyond that (n·Σx²
+    approaches 2⁶³) flip the three window sums to ``decimal(38,0)``,
+    which changes no value below the threshold.
 
     Plan shape: the hourly rollup is one groupBy over (type, hour);
     the trailing stats are ONE window over the tiny hourly frame —
