@@ -241,3 +241,21 @@ def test_stratified_sample_exact_quota_and_determinism(spark):
     again = {(r.doc_id, r.sample_rank) for r in
              stratified_sample(docs, per_lang=4).collect()}
     assert {(r.doc_id, r.sample_rank) for r in out} == again
+
+
+def test_importance_sample_rate_tracks_score_and_is_deterministic(spark):
+    from userbehavioranalysis_spark.operators.text_analysis import (
+        importance_sample,
+        quality_score,
+    )
+
+    docs = load_testdata(spark, SF_DIR)["documents"]
+    kept = importance_sample(docs).collect()
+    n_docs = docs.count()
+    scores = quality_score(docs).agg(F.avg("score_r4")).collect()[0][0]
+    rate = len(kept) / n_docs
+    # keep rate should track the mean score (binomial tolerance)
+    assert abs(rate - scores) < 0.1, (rate, scores)
+    # deterministic across reruns
+    again = {r.doc_id for r in importance_sample(docs).collect()}
+    assert {r.doc_id for r in kept} == again

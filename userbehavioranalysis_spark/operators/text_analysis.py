@@ -604,3 +604,32 @@ def stratified_sample(documents: DataFrame, per_lang: int = 25) -> DataFrame:
         .where(F.col("rk") <= per_lang)
         .select("doc_id", "lang", F.col("rk").alias("sample_rank"))
     )
+
+
+def importance_sample(documents: DataFrame) -> DataFrame:
+    """Quality-weighted (importance) sampling: each document's keep
+    probability IS its quality score — high-quality docs are kept at
+    ~score rate, low-quality docs are mostly dropped, without the hard
+    cliff of a threshold gate.  The curation move between
+    ``mixture_sample``'s flat per-source rate and ``quality_gate``'s
+    percentile cutoff.
+
+    Determinism: the uniform draw is the md5-of-content 60-bit hash mod
+    10 000 (no ``rand()``), compared against ``round(score·10⁴)`` —
+    integers on both sides, so every engine, rerun, and partitioning
+    keeps exactly the same documents.
+
+    Scale: one doc_id-keyed join attaches the score (at 100 TB the
+    score projection would fuse inline with the scan instead); the
+    draw-vs-score comparison is a map-side filter, no extra shuffle.
+    """
+    q = quality_score(documents).select("doc_id", "score_r4")
+    h = T.h64_spark("encode(text, 'utf-8')")
+    u = F.expr(f"{h} % 10000")
+    p = F.round(F.col("score_r4") * 10000).cast("int")
+    return (
+        documents.select("doc_id", "lang", u.alias("draw"))
+        .join(q, on="doc_id")
+        .where(F.col("draw") < p)
+        .select("doc_id", "lang", "score_r4")
+    )

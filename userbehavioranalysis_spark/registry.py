@@ -3996,6 +3996,38 @@ def q_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "importance_sample",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, lang, text,
+               round(least(len(tokens)::DOUBLE / 100, 1.0) * 0.5
+                     + (1.0 - len(list_filter(tokens,
+                                x -> x IN ('the','a','of','and')))::DOUBLE
+                              / len(tokens)) * 0.5, 4) AS score_r4
+        FROM t
+    )
+    SELECT doc_id, lang, score_r4
+    FROM q
+    WHERE ('0x' || substr(md5(text), 1, 15))::BIGINT % 10000
+          < CAST(round(score_r4 * 10000) AS INTEGER)
+    """,
+)
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling: keep probability = quality score,
+    drawn from the md5-of-content hash — deterministic, rand()-free."""
+    from userbehavioranalysis_spark.operators.text_analysis import (
+        importance_sample,
+    )
+
+    return importance_sample(_tables(spark, sf_dir)["documents"])
+
+
+@query(
     "audio_chunks",
     oracle="""
     WITH a AS (
