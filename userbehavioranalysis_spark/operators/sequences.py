@@ -276,6 +276,14 @@ def anomaly_zscore(events: DataFrame, trailing_hours: int = 24) -> DataFrame:
         .groupBy("event_type", "hour_no")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+    return zscore_over_hourly(hourly, trailing_hours)
+
+
+def zscore_over_hourly(hourly: DataFrame, trailing_hours: int = 24) -> DataFrame:
+    """The z-score core of ``anomaly_zscore`` over an already-built
+    (event_type, hour_no, n_events) frame — shared by the batch
+    operator and the streaming replay (whose hourly counts come from a
+    watermark-closed streaming window aggregate)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy(F.col("hour_no").asc())

@@ -3996,6 +3996,69 @@ def q_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_anomaly_replay",
+    oracle="""
+    WITH closed AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_no,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        WHERE (CAST(epoch_us(ts) // 3600000000 AS BIGINT) + 1) * 3600000000
+              <= (SELECT max(epoch_us(ts)) FROM events)
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, hour_no, n_events,
+               count(*) OVER w AS n_prev,
+               sum(n_events) OVER w AS sum_prev,
+               sum(n_events * n_events) OVER w AS sumsq_prev
+        FROM closed
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_no
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_no, n_events,
+           round(CASE WHEN n_prev * sumsq_prev - sum_prev * sum_prev > 0
+                      THEN CAST(n_prev * n_events - sum_prev AS DOUBLE)
+                           / sqrt(CAST(n_prev * sumsq_prev
+                                       - sum_prev * sum_prev AS DOUBLE))
+                 END, 4) AS zscore_r4,
+           coalesce(abs(CASE WHEN n_prev * sumsq_prev - sum_prev * sum_prev > 0
+                             THEN CAST(n_prev * n_events - sum_prev AS DOUBLE)
+                                  / sqrt(CAST(n_prev * sumsq_prev
+                                              - sum_prev * sum_prev AS DOUBLE))
+                        END) >= 3.0, FALSE) AS is_anomaly
+    FROM stats WHERE n_prev = 24
+    """,
+)
+def q_streaming_anomaly_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection fed by a LIVE windowed aggregate: the
+    hourly (type, hour) counts come from a watermark-closed streaming
+    tumbling-window aggregate (append mode emits exactly the closed
+    hours — the final partial hour correctly never emits), and the
+    z-score core is the SAME code as the batch operator
+    (``zscore_over_hourly``), applied to the replayed frame."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.sequences import zscore_over_hourly
+
+    stream = _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    hourly = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            F.expr("unix_micros(window.start) div 3600000000").alias("hour_no"),
+            "n_events",
+        )
+    )
+    replayed = _run_bounded(hourly, "uba_stream_anom")
+    return zscore_over_hourly(replayed)
+
+
+@query(
     "importance_sample",
     oracle="""
     WITH t AS (
@@ -4203,8 +4266,10 @@ _DRIVER_WINDOW = [
     "streaming_dedup_replay",
     # streaming end-to-end through the byte-exact report render
     "streaming_hot_items_report_replay",
-    # round-3 continuation: keyed-state attribution enrichment
+    # round-3 continuation: keyed-state attribution enrichment and the
+    # windowed-aggregate-fed anomaly detector
     "streaming_attribution_replay",
+    "streaming_anomaly_replay",
     # relational/extension queries past the r2 window
     "pricing_summary",
     "shipping_priority",
@@ -4230,13 +4295,14 @@ _DRIVER_WINDOW = [
     "media_features",
     # parity-set anchors: keep the reference's headline analytics
     # driver-green every round
-    # (login_fail_relaxed rotated out for the new streaming replay —
-    # its strict sibling, ref_login_fail and the streaming login replay
-    # keep the family driver-green; the sampled oracle pytest covers it)
+    # (login_fail_relaxed and unique_visitors rotated out for the two
+    # new streaming replays — their operator families stay driver-green
+    # via ref_login_fail / login_fail_strict and
+    # streaming_unique_visitors_replay; the sampled oracle pytest
+    # covers the rotated-out pair)
     "hot_items",
     "hot_pages",
     "page_view",
-    "unique_visitors",
     "login_fail_strict",
     "order_timeout",
     "tx_match_reconcile",
