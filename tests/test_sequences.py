@@ -522,3 +522,35 @@ def test_excess_share_suppliers_share_boundary(spark):
 
     rows = excess_share_suppliers(sup, nat, part, li).collect()
     assert [(r.s_suppkey, r.supp_nation) for r in rows] == [(2, "N7")]
+
+
+def test_item_pagerank_matches_exact_integer_iteration(spark):
+    from userbehavioranalysis_spark.operators.graph import SCALE, item_pagerank
+
+    # user walks 1->2, 2->1, 1->2, plus user 2 walks 2->3 (3 dangling)
+    rows = [
+        (1, 0, 1, "view", '{"k": 1}'),
+        (2, 1, 1, "view", '{"k": 2}'),
+        (3, 2, 1, "view", '{"k": 1}'),
+        (4, 3, 1, "view", '{"k": 2}'),
+        (5, 0, 2, "view", '{"k": 2}'),
+        (6, 1, 2, "view", '{"k": 3}'),
+    ]
+    ev = _events(spark, rows)
+    got = {r.node: r.pr for r in item_pagerank(ev).collect()}
+
+    # replay the SAME integer iteration in plain python
+    edges = {(1, 2): 2, (2, 1): 1, (2, 3): 1}
+    nodes = [1, 2, 3]
+    outw = {1: 2, 2: 2}
+    n = len(nodes)
+    pr = {v: SCALE // n for v in nodes}
+    base = (15 * SCALE) // (100 * n)
+    for _ in range(5):
+        contrib = {v: 0 for v in nodes}
+        for (s, d), w in edges.items():
+            contrib[d] += (pr[s] * w) // outw[s]
+        pr = {v: base + (85 * contrib[v]) // 100 for v in nodes}
+    assert got == pr
+    # dangling node 3 only ever receives the base teleport share + inflow
+    assert got[3] < got[2] and got[2] > got[1] - SCALE  # sanity

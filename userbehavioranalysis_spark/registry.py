@@ -4058,6 +4058,22 @@ def q_streaming_anomaly_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_over_hourly(replayed)
 
 
+from userbehavioranalysis_spark.operators.graph import (  # noqa: E402
+    pagerank_oracle_sql as _pagerank_oracle_sql,
+)
+
+
+@query("item_pagerank", oracle=_pagerank_oracle_sql())
+def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point score propagation (PageRank, 5 iterations) over the
+    item-transition graph — integer micro-rank arithmetic, so the
+    iterative result is bit-identical cross-engine and the oracle
+    replays the exact unrolled iteration."""
+    from userbehavioranalysis_spark.operators.graph import item_pagerank
+
+    return item_pagerank(_tables(spark, sf_dir)["events"])
+
+
 @query(
     "importance_sample",
     oracle="""
