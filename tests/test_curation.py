@@ -259,3 +259,34 @@ def test_importance_sample_rate_tracks_score_and_is_deterministic(spark):
     # deterministic across reruns
     again = {r.doc_id for r in importance_sample(docs).collect()}
     assert {r.doc_id for r in kept} == again
+
+
+def test_cms_never_undercounts_and_collides_overcounts(spark):
+    from userbehavioranalysis_spark.operators.sketches import (
+        token_cms_estimates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w%d x common" % (i % 3), "s") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    rows = token_cms_estimates(docs, width=4, depth=2).collect()
+    # CMS guarantee: estimates only overcount, never undercount
+    assert all(r.overcount >= 0 for r in rows), rows
+    got = {r.token: r.exact_count for r in rows}
+    assert got["common"] == 30 and got["x"] == 30
+    # width=4 forces collisions somewhere across 5 tokens
+    assert any(r.overcount > 0 for r in rows)
+
+
+def test_cms_sketch_size_independent_of_corpus(spark):
+    from userbehavioranalysis_spark.operators.sketches import (
+        token_cms_estimates,
+    )
+
+    small = spark.createDataFrame(
+        [(1, "a b c", "s")], "doc_id long, text string, source string"
+    )
+    rows = token_cms_estimates(small, width=8, depth=3).collect()
+    assert {r.token for r in rows} == {"a", "b", "c"}
+    assert all(r.est_count == r.exact_count == 1 for r in rows)

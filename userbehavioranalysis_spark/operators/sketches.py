@@ -1,0 +1,104 @@
+"""Sketch-based aggregation (build-brief extension: 'a novel sketch').
+
+``uv_approx`` already covers the engine-native sketch (HyperLogLog++,
+necessarily rows-only in the oracle harness).  This module adds a
+Count-Min sketch whose hash functions are PORTABLE (md5-derived), so —
+unusually for a sketch — the whole pipeline is value-hash-checkable
+against a DuckDB oracle that builds the identical sketch.
+
+The sketch is materialized as a TABLE ((row, bucket) → count) rather
+than an opaque binary: at 100 TB that is exactly the mergeable form —
+depth·width rows per partition combine by addition (map-side partial
+aggregate), the final sketch is depth·width rows TOTAL regardless of
+corpus size, and point queries are a broadcast join against it.  The
+CMS guarantee holds by construction: estimates only ever OVERcount
+(collisions add), never undercount — asserted in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from userbehavioranalysis_spark.functions import text as T
+from userbehavioranalysis_spark.functions.arrays import exploded
+
+
+def token_cms_estimates(
+    documents: DataFrame, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Count-Min estimates for every distinct token, next to its exact
+    count — (token, est_count, exact_count, overcount).
+
+    Build: token occurrences fan out ×``depth`` (one row per hash
+    row), bucket ``h_d(token) = md5(d:token) mod width``, and the
+    sketch is the (d, bucket) count table.  Estimate: for each
+    DISTINCT token, the MIN over its ``depth`` buckets.  The exact
+    side rides the same exploded scan; ``overcount = est − exact`` is
+    the collision error, ≥ 0 by the CMS guarantee.
+
+    Scale: the occurrence fan-out is map-side (×depth, a small
+    constant); both aggregates combine partially before their
+    exchange; the sketch is ≤ depth·width rows, broadcast-sized
+    forever.  The DISTINCT-token probe is vocabulary-sized, not
+    corpus-sized.
+    """
+    toks = documents.select(F.expr(T.TOKENS_SPARK).alias("tokens"))
+    occ = exploded(toks, "tokens", "t").select("t")
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    h = T.h64_spark("concat(cast(d as string), ':', t)")
+    occ_d = occ.select("t", d).withColumn("bucket", F.expr(f"{h} % {width}"))
+    sketch = occ_d.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = occ.groupBy("t").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.select("t").withColumn("d", F.explode(
+        F.sequence(F.lit(0), F.lit(depth - 1))
+    )).withColumn("bucket", F.expr(f"{h} % {width}"))
+    est = (
+        probes.join(F.broadcast(sketch), on=["d", "bucket"])
+        .groupBy("t")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return (
+        est.join(exact, on="t")
+        .select(
+            F.col("t").alias("token"),
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+    )
+
+
+def cms_oracle_sql(width: int = 1024, depth: int = 4) -> str:
+    """DuckDB oracle: the identical sketch, built with the same
+    md5-derived hashes."""
+    h = T.h64_duck("d::VARCHAR || ':' || t")
+    return f"""
+    WITH occ AS (
+        SELECT unnest({T.TOKENS_DUCK}) AS t FROM documents
+    ),
+    occ_d AS (
+        SELECT t, d.d, {h} % {width} AS bucket
+        FROM occ CROSS JOIN (SELECT unnest(generate_series(0, {depth - 1})) AS d) d
+    ),
+    sketch AS (
+        SELECT d, bucket, CAST(count(*) AS BIGINT) AS c
+        FROM occ_d GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS exact_count FROM occ GROUP BY 1
+    ),
+    probes AS (
+        SELECT e.t, d.d, {h} % {width} AS bucket
+        FROM (SELECT t FROM exact) e
+        CROSS JOIN (SELECT unnest(generate_series(0, {depth - 1})) AS d) d
+    ),
+    est AS (
+        SELECT p.t, min(s.c) AS est_count
+        FROM probes p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+        GROUP BY 1
+    )
+    SELECT est.t AS token, est_count, exact_count,
+           est_count - exact_count AS overcount
+    FROM est JOIN exact ON est.t = exact.t
+    """

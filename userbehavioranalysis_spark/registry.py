@@ -4061,6 +4061,21 @@ def q_streaming_anomaly_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 from userbehavioranalysis_spark.operators.graph import (  # noqa: E402
     pagerank_oracle_sql as _pagerank_oracle_sql,
 )
+from userbehavioranalysis_spark.operators.sketches import (  # noqa: E402
+    cms_oracle_sql as _cms_oracle_sql,
+)
+
+
+@query("token_cms_estimates", oracle=_cms_oracle_sql())
+def q_token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch token-frequency estimates vs exact counts —
+    a sketch whose md5-derived hashes are portable, so (unusually) the
+    whole sketch pipeline is value-hash-checkable cross-engine."""
+    from userbehavioranalysis_spark.operators.sketches import (
+        token_cms_estimates,
+    )
+
+    return token_cms_estimates(_tables(spark, sf_dir)["documents"])
 
 
 @query("item_pagerank", oracle=_pagerank_oracle_sql())
