@@ -72,6 +72,9 @@ HEADLINERS = [
     ("supplier_counts_by_part_attrs", "Q16 shape — broadcast anti blocklist, deduped pairs"),
     ("excess_share_suppliers", "Q20 shape — share test on one exchange, distinct-then-dims"),
     ("audio_chunks", "WAV decode + 1-to-N chunk fan-out inside Arrow batches"),
+    ("item_pagerank", "integer PageRank — edge window once, tiny-graph iteration"),
+    ("token_cms_estimates", "Count-Min table — partial-agg sketch, broadcast probe"),
+    ("importance_sample", "score-weighted md5 gate — map-side draw, one id join"),
 ]
 
 
