@@ -189,3 +189,93 @@ def test_as_of_join_matches_bruteforce(spark, lefts, rights):
         best = max(cands) if cands else (None, None)
         exp.append((k, ts, best[0], best[1]))
     assert got == sorted(exp)
+
+
+# --- round-3 continuation properties -------------------------------------
+
+_EVT = st.sampled_from(["click", "purchase", "view"])
+_CAMP = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_TS, st.sampled_from([1, 2]), _EVT, _CAMP),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_attribution_matches_python_reference(spark, rows):
+    """attribution_last_touch vs a direct per-user walk, for any event
+    set — covers null campaigns, tied handling via unique event_ids,
+    and purchases with no prior click."""
+    import json
+
+    from userbehavioranalysis_spark.operators.sequences import (
+        attribution_last_touch,
+    )
+
+    data = [
+        (
+            i,
+            ts,
+            uid,
+            evt,
+            1.0,
+            json.dumps({} if camp is None else {"k": camp}),
+        )
+        for i, (ts, uid, evt, camp) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, e, v, p) for i, ts, u, e, v, p in data],
+        "event_id long, sec long, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+
+    # python reference: walk each user's (ts, event_id)-ordered events
+    expect: dict = {}
+    per_user: dict = {}
+    for i, (ts, uid, evt, camp) in enumerate(rows):
+        per_user.setdefault(uid, []).append((ts, i, evt, camp))
+    for uid, evs in per_user.items():
+        last = None
+        for ts, i, evt, camp in sorted(evs):
+            if evt == "purchase":
+                n, v = expect.get(last, (0, 0.0))
+                expect[last] = (n + 1, v + 1.0)
+            if evt == "click" and camp is not None:
+                last = camp
+    got = {
+        r.campaign: (r.n_conversions, r.attributed_value_r2)
+        for r in attribution_last_touch(df).collect()
+    }
+    assert got == {k: (n, round(v, 2)) for k, (n, v) in expect.items()}
+
+
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=50), min_size=26, max_size=40)
+)
+@settings(max_examples=10, deadline=None)
+def test_zscore_matches_numpy(spark, counts):
+    """zscore_over_hourly vs numpy mean/std over each trailing window."""
+    import math
+
+    from userbehavioranalysis_spark.operators.sequences import zscore_over_hourly
+
+    hourly = spark.createDataFrame(
+        [("a", h, int(c)) for h, c in enumerate(counts)],
+        "event_type string, hour_no long, n_events long",
+    )
+    got = {r.hour_no: (r.zscore_r4, r.is_anomaly) for r in
+           zscore_over_hourly(hourly).collect()}
+    for h in range(24, len(counts)):
+        prev = counts[h - 24 : h]
+        mean = sum(prev) / 24
+        var = sum((x - mean) ** 2 for x in prev) / 24
+        if var == 0:
+            assert got[h] == (None, False)
+        else:
+            z = (counts[h] - mean) / math.sqrt(var)
+            assert got[h][0] is not None
+            assert abs(got[h][0] - z) < 1e-3, (h, got[h], z)
+            assert got[h][1] == (abs(round(z, 4)) >= 3.0) or abs(abs(z) - 3) < 1e-3

@@ -4258,7 +4258,12 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #              image_resize — plus media_features (newly hash-checkable
 #              via magic-byte dispatch) and 10 parity-set anchors.
 #   r4+ plan: rotate the r2-green batch families (dedup/ANN/text/media)
-#              back through slots 40-50 while keeping ref_* + streaming_*
+#              and the round-3-continuation set that never had a driver
+#              row (the completed TPC-H shapes Q6/Q9/Q12/Q13/Q16/Q19/
+#              Q20, attribution/sessions/anomaly/lags, stratified +
+#              importance sampling, image_phash_dedup, audio_chunks,
+#              video_frame_sample, item_pagerank, token_cms_estimates)
+#              through slots 27-50 while keeping ref_* + streaming_*
 #              pinned; tests/test_registry.py runs tools/oracle_check.py
 #              on a random sample each round so rotated-out queries cannot
 #              rot unnoticed.
