@@ -554,3 +554,12 @@ def test_item_pagerank_matches_exact_integer_iteration(spark):
     assert got == pr
     # dangling node 3 only ever receives the base teleport share + inflow
     assert got[3] < got[2] and got[2] > got[1] - SCALE  # sanity
+
+
+def test_item_pagerank_empty_graph_returns_empty(spark):
+    from userbehavioranalysis_spark.operators.graph import item_pagerank
+
+    # single events per user -> no transitions -> no nodes, no crash
+    ev = _events(spark, [(1, 0, 1, "view", '{"k": 1}'),
+                         (2, 0, 2, "view", '{"k": 2}')])
+    assert item_pagerank(ev).collect() == []

@@ -76,6 +76,8 @@ def item_pagerank(
         "src", "dst", "w", "ow"
     )
     n = nodes.count()  # |items| — driver scalar, tiny by construction
+    if n == 0:  # edgeless corpus: no sequences of length >= 2
+        return nodes.select("node", F.lit(None).cast("long").alias("pr"))
     pr = nodes.select("node", F.lit(SCALE // n).cast("long").alias("pr"))
     base = (15 * SCALE) // (100 * n)
     for _ in range(iterations):

@@ -366,6 +366,14 @@ def attribution_stateful(
     campaign extraction happens JVM-side BEFORE the state exchange
     (the kernel never sees the fat ``props`` string), and the kernel
     is a vectorized pandas forward-fill, not a row loop.
+
+    Ordering contract (same as the reference's keyed-state operators
+    and this module's other kernels): events sort by (ts, event_id)
+    WITHIN each micro-batch, and batches are assumed event-time
+    monotone per key up to the watermark — a click arriving in a later
+    batch but event-time-earlier than an already-attributed purchase
+    does not retro-attribute it (Flink's ValueState enrichment behaves
+    identically; only a watermark-buffered variant could reorder).
     """
 
     def fn(
