@@ -194,14 +194,15 @@ def session_paths(
     first ``max_events`` event types as a '>'-joined path, and count
     sessions per path.
 
-    Plan shape: the session assignment (gap flag + running sum) and
-    the per-session collect ride ONE user-keyed exchange; the path cap
-    (``slice`` after ``array_sort``) bounds both the carried array and
-    the path-string domain, so the final count aggregates a small
-    grouped frame and the rank window sees |paths| rows, not |events|.
-    At 100 TB the cap is the load-bearing guard: an uncapped
-    collect_list over a bot session is the classic skew OOM.  Sort
-    keys are (us, event_id), so tied timestamps cannot flip path
+    Plan shape: the session assignment (gap flag + running sum), the
+    intra-session rank, and the per-session collect all ride ONE
+    user-keyed exchange (user_id partitioning satisfies the
+    (user, session) clustering, so no re-shuffle).  The cap filters
+    BEFORE the collect — a slice after collect_list would still
+    materialize a bot session's full event array in the aggregation
+    buffer, which is the classic skew OOM at 100 TB; rank-then-filter
+    bounds the carried state at ``max_events`` structs per session.
+    Sort keys are (us, event_id), so tied timestamps cannot flip path
     strings between engines.
     """
     us = F.unix_micros("ts")
@@ -220,18 +221,20 @@ def session_paths(
         F.col("us").asc(), F.col("event_id").asc()
     )
     sessionized = sessionized.withColumn("sess_no", F.sum("is_new").over(w2))
+    w3 = Window.partitionBy("user_id", "sess_no").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    capped = sessionized.withColumn(
+        "evt_rank", F.row_number().over(w3)
+    ).where(F.col("evt_rank") <= max_events)
     paths = (
-        sessionized.groupBy("user_id", "sess_no")
+        capped.groupBy("user_id", "sess_no")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("us", "event_id", "event_type"))
             ).alias("seq")
         )
-        .select(
-            F.array_join(
-                F.slice(F.col("seq.event_type"), 1, max_events), ">"
-            ).alias("path")
-        )
+        .select(F.array_join(F.col("seq.event_type"), ">").alias("path"))
     )
     counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
     # top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
