@@ -34,8 +34,10 @@ def token_cms_estimates(
     row), bucket ``h_d(token) = md5(d:token) mod width``, and the
     sketch is the (d, bucket) count table.  Estimate: for each
     DISTINCT token, the MIN over its ``depth`` buckets.  The exact
-    side rides the same exploded scan; ``overcount = est − exact`` is
-    the collision error, ≥ 0 by the CMS guarantee.
+    side (a second pass over the corpus) exists purely as the
+    validation harness — a production pipeline keeps only the sketch
+    build and probes it; ``overcount = est − exact`` is the collision
+    error, ≥ 0 by the CMS guarantee.
 
     Scale: the occurrence fan-out is map-side (×depth, a small
     constant); both aggregates combine partially before their
