@@ -45,12 +45,36 @@ def token_cms_estimates(
     forever.  The DISTINCT-token probe is vocabulary-sized, not
     corpus-sized.
     """
+    sketch = cms_sketch(documents, width=width, depth=depth)
+    return cms_probe(sketch, documents, width=width, depth=depth)
+
+
+def _occurrences(documents: DataFrame) -> DataFrame:
     toks = documents.select(F.expr(T.TOKENS_SPARK).alias("tokens"))
-    occ = exploded(toks, "tokens", "t").select("t")
+    return exploded(toks, "tokens", "t").select("t")
+
+
+def cms_sketch(documents: DataFrame, width: int = 1024, depth: int = 4) -> DataFrame:
+    """The (d, bucket) → count sketch table.  Works unchanged on a
+    STREAMING documents frame: the group-by keys live in a fixed
+    depth·width domain, so complete-mode state is bounded at
+    depth·width rows no matter how long the stream runs — the sketch
+    IS the bounded-state form of 'count every token ever seen'."""
     d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
     h = T.h64_spark("concat(cast(d as string), ':', t)")
-    occ_d = occ.select("t", d).withColumn("bucket", F.expr(f"{h} % {width}"))
-    sketch = occ_d.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    occ_d = _occurrences(documents).select("t", d).withColumn(
+        "bucket", F.expr(f"{h} % {width}")
+    )
+    return occ_d.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_probe(
+    sketch: DataFrame, documents: DataFrame, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Probe a built sketch for every distinct token of ``documents``
+    and attach the exact counts (validation harness)."""
+    h = T.h64_spark("concat(cast(d as string), ':', t)")
+    occ = _occurrences(documents)
     exact = occ.groupBy("t").agg(F.count(F.lit(1)).alias("exact_count"))
     probes = exact.select("t").withColumn("d", F.explode(
         F.sequence(F.lit(0), F.lit(depth - 1))

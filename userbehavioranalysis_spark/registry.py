@@ -4066,6 +4066,46 @@ from userbehavioranalysis_spark.operators.sketches import (  # noqa: E402
 )
 
 
+@query("streaming_cms_replay", oracle=_cms_oracle_sql())
+def q_streaming_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch as BOUNDED streaming state: the (d, bucket)
+    count table builds over the documents stream in complete mode —
+    state is depth·width rows no matter how long the stream runs (the
+    sketch IS the bounded-state form of 'count every token ever
+    seen') — then the batch probe against the replayed sketch matches
+    the batch CMS oracle exactly."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from userbehavioranalysis_spark.operators.sketches import cms_probe, cms_sketch
+
+    _DOCS_SCHEMA = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    key = (sf_dir, "docs")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="uba_docs_stream_")
+        os.symlink(
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(stage, "documents.parquet"),
+        )
+        _STREAM_STAGE_CACHE[key] = stage
+    stream = spark.readStream.format("parquet").schema(_DOCS_SCHEMA).load(stage)
+    sketch = _run_bounded(
+        cms_sketch(stream), "uba_stream_cms", output_mode="complete"
+    )
+    return cms_probe(sketch, _tables(spark, sf_dir)["documents"])
+
+
 @query("token_cms_estimates", oracle=_cms_oracle_sql())
 def q_token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch token-frequency estimates vs exact counts —
@@ -4302,10 +4342,12 @@ _DRIVER_WINDOW = [
     "streaming_dedup_replay",
     # streaming end-to-end through the byte-exact report render
     "streaming_hot_items_report_replay",
-    # round-3 continuation: keyed-state attribution enrichment and the
-    # windowed-aggregate-fed anomaly detector
+    # round-3 continuation: keyed-state attribution enrichment, the
+    # windowed-aggregate-fed anomaly detector, and the bounded-state
+    # streaming Count-Min sketch
     "streaming_attribution_replay",
     "streaming_anomaly_replay",
+    "streaming_cms_replay",
     # relational/extension queries past the r2 window
     "pricing_summary",
     "shipping_priority",
@@ -4331,13 +4373,12 @@ _DRIVER_WINDOW = [
     "media_features",
     # parity-set anchors: keep the reference's headline analytics
     # driver-green every round
-    # (login_fail_relaxed and unique_visitors rotated out for the two
-    # new streaming replays — their operator families stay driver-green
-    # via ref_login_fail / login_fail_strict and
-    # streaming_unique_visitors_replay; the sampled oracle pytest
-    # covers the rotated-out pair)
+    # (login_fail_relaxed, unique_visitors and hot_pages rotated out for
+    # the three new streaming replays — their operator families stay
+    # driver-green via ref_login_fail / login_fail_strict,
+    # streaming_unique_visitors_replay and ref_network_flow_top5; the
+    # sampled oracle pytest covers the rotated-out trio)
     "hot_items",
-    "hot_pages",
     "page_view",
     "login_fail_strict",
     "order_timeout",
