@@ -1,0 +1,256 @@
+"""Round-3 wave: Bloom join pruning, SCD2, histogram quantiles,
+temperature mixture, triangles, format round-trips."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    from userbehavioranalysis_spark.sources.readers import load_testdata
+
+    return load_testdata(spark, SF)["events"]
+
+
+def _documents(spark):
+    from userbehavioranalysis_spark.sources.readers import load_testdata
+
+    return load_testdata(spark, SF)["documents"]
+
+
+# ---------------------------------------------------------------- bloom ----
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    from userbehavioranalysis_spark.operators.joinopt import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    from userbehavioranalysis_spark.sources.readers import load_testdata
+
+    t = load_testdata(spark, SF)
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+    bits = bloom_build(urgent.select("o_orderkey"), "o_orderkey")
+    li = t["lineitem"]
+    pruned = bloom_prefilter(li, "l_orderkey", bits)
+
+    # no false negatives: every lineitem row that actually joins survives
+    true_keys = {r.o_orderkey for r in urgent.select("o_orderkey").collect()}
+    surviving = {r.l_orderkey for r in pruned.select("l_orderkey").distinct().collect()}
+    assert true_keys & {
+        r.l_orderkey for r in li.select("l_orderkey").distinct().collect()
+    } <= surviving
+
+    # and it actually prunes (urgent is ~1/5 of orders; FP rate is tiny)
+    n_all, n_pruned = li.count(), pruned.count()
+    assert n_pruned < 0.5 * n_all
+
+
+def test_bloom_join_equals_plain_join(spark):
+    from userbehavioranalysis_spark.operators.joinopt import bloom_prefiltered_join
+
+    from userbehavioranalysis_spark.sources.readers import load_testdata
+
+    t = load_testdata(spark, SF)
+    urgent = (
+        t["orders"]
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = t["lineitem"].select("l_orderkey", "l_linenumber")
+    got = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in bloom_prefiltered_join(li, "l_orderkey", urgent, "o_orderkey")
+        .select("l_orderkey", "l_linenumber")
+        .collect()
+    }
+    want = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"])
+        .select("l_orderkey", "l_linenumber")
+        .collect()
+    }
+    assert got == want
+
+
+def test_bloom_probe_is_jvm_only(spark):
+    from userbehavioranalysis_spark.operators.joinopt import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    from userbehavioranalysis_spark.sources.readers import load_testdata
+
+    t = load_testdata(spark, SF)
+    bits = bloom_build(
+        t["orders"].limit(100).select("o_orderkey"), "o_orderkey", m_bits=1 << 14
+    )
+    plan = (
+        bloom_prefilter(t["lineitem"], "l_orderkey", bits, m_bits=1 << 14)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ----------------------------------------------------------------- scd2 ----
+
+
+def test_scd2_intervals_are_contiguous_and_versioned(spark):
+    from userbehavioranalysis_spark.operators.compaction import scd2_history
+
+    ev = _events(spark).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    hist = scd2_history(ev, ["user_id"], "state", "ts_us", "event_id")
+    rows = sorted(
+        hist.collect(), key=lambda r: (r.user_id, r.version)
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, rs in by_user.items():
+        # versions are 1..n
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        # exactly one current row, and it is the last
+        assert [r.is_current for r in rs] == [False] * (len(rs) - 1) + [True]
+        for a, b in zip(rs, rs[1:]):
+            # intervals chain with no gaps/overlaps
+            assert a.valid_to == b.valid_from
+            # consecutive runs really changed state
+            assert a.state != b.state
+
+
+def test_scd2_current_rows_match_latest_state(spark):
+    from userbehavioranalysis_spark.operators.compaction import (
+        latest_state,
+        scd2_history,
+    )
+
+    ev = _events(spark).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    hist = scd2_history(ev, ["user_id"], "state", "ts_us", "event_id")
+    cur = {
+        (r.user_id, r.state)
+        for r in hist.where("is_current").select("user_id", "state").collect()
+    }
+    latest = {
+        (r.user_id, r.state)
+        for r in latest_state(ev, ["user_id"], "ts_us", "event_id", ["state"])
+        .select("user_id", "state")
+        .collect()
+    }
+    assert cur == latest
+
+
+# ------------------------------------------------------------ histogram ----
+
+
+def test_histogram_quantiles_bracket_exact_percentiles(spark):
+    from userbehavioranalysis_spark.operators.sketches import histogram_quantiles
+
+    docs = _documents(spark)
+    got = {r.q_permille: r.est_hi for r in histogram_quantiles(docs).collect()}
+    vals = sorted(r.n_chars for r in docs.select("n_chars").collect())
+
+    import math
+
+    for q, est_hi in got.items():
+        exact = vals[max(0, math.ceil(q / 1000 * len(vals)) - 1)]
+        assert est_hi - 32 <= exact < est_hi  # within one bin
+    # monotone in q
+    qs = sorted(got)
+    assert all(got[a] <= got[b] for a, b in zip(qs, qs[1:]))
+
+
+# ---------------------------------------------------------- temperature ----
+
+
+def test_temperature_mixture_flattens_domains(spark):
+    from userbehavioranalysis_spark.operators.text_analysis import temperature_mixture
+
+    docs = _documents(spark)
+    out = temperature_mixture(docs)
+    rates = {
+        r.source: r.rate_ppm
+        for r in out.select("source", "rate_ppm").distinct().collect()
+    }
+    counts = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(0 <= v <= 1_000_000 for v in rates.values())
+    # α<1 ⇒ keep-rate decreases as domain size grows
+    srcs = sorted(rates, key=lambda s: counts[s])
+    for small, big in zip(srcs, srcs[1:]):
+        if counts[small] < counts[big]:
+            assert rates[small] >= rates[big]
+    # deterministic
+    again = {
+        r.source: r.rate_ppm
+        for r in temperature_mixture(docs)
+        .select("source", "rate_ppm")
+        .distinct()
+        .collect()
+    }
+    assert rates == again
+
+
+# ------------------------------------------------------------- triangles ----
+
+
+def test_item_triangles_on_known_graph(spark):
+    from userbehavioranalysis_spark.operators.graph import item_triangles
+
+    # one user walks 1→2→3→1→4: undirected edges {12,23,13,14} — exactly
+    # one triangle {1,2,3}; item 4 is in none
+    walk = [1, 2, 3, 1, 4]
+    rows = [
+        (i, 1_700_000_000_000_000 + i * 1_000_000, 7, "view", 0.0, json.dumps({"k": k}))
+        for i, k in enumerate(walk)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.timestamp_micros("ts_us"))
+    got = {r.item: r.n_triangles for r in item_triangles(ev).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+# --------------------------------------------------------------- formats ----
+
+
+def test_format_roundtrips_are_lossless(spark):
+    from userbehavioranalysis_spark.sources.formats import events_roundtrip
+
+    def key(df):
+        return {
+            (r.event_id, r.ts_us, r.user_id, r.event_type, r.value_r2, r.props)
+            for r in df.collect()
+        }
+
+    base = _events(spark).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value_r2"),
+        "props",
+    )
+    want = key(base)
+    assert key(events_roundtrip(spark, SF, "jsonl")) == want
+    assert key(events_roundtrip(spark, SF, "orc")) == want

@@ -146,3 +146,137 @@ def pagerank_oracle_sql(iterations: int = 5, key: str = "k") -> str:
     SELECT node, CAST(pr AS BIGINT) AS pr FROM {prev}
     """
     return sql
+
+
+def item_triangles(events: DataFrame, key: str = "k") -> DataFrame:
+    """Per-item triangle counts over the undirected item co-transition
+    graph — the third canonical distributed-graph shape next to
+    connected components (`dedup.dedup_clusters`) and PageRank:
+    a self-join whose fan-out must be bounded by DEGREE ORDERING.
+
+    Edges: distinct undirected pairs from :func:`item_transition_edges`
+    (direction and weight dropped, self-loops dropped).  The naive
+    wedge join — edges ⋈ edges on the shared endpoint — fans out by
+    Σ deg(v)², which a single hub vertex turns quadratic.  The classic
+    fix (node-iterator++ / Schank-Wagner): orient each edge from the
+    endpoint with (degree, id)-smaller rank to the larger; every
+    triangle then has exactly ONE wedge rooted at its rank-minimum
+    vertex, and out-degrees under this orientation are O(√|E|), so the
+    wedge fan-out is Σ outdeg(v)² ≤ |E|^1.5 — skew-proof regardless of
+    hubs.  Wedges close against the oriented edge set by equi-join.
+
+    Output: (item, n_triangles) for every item in ≥1 triangle — each
+    triangle {a,b,c} credits all three members (the per-vertex counts
+    behind local clustering coefficients).
+
+    All joins are equi-joins on item ids; the graph is catalog-sized
+    (items), not corpus-sized (events), after the one edge-extraction
+    exchange it shares with PageRank.
+    """
+    und = (
+        item_transition_edges(events, key)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient u -> w iff (deg,id)(u) < (deg,id)(w)
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = und.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    # every join below is a self-join on the `oriented` lineage; explicit
+    # aliases keep Spark's attribute deduplication from silently resolving
+    # a join key to the wrong side (observed: dropped closures)
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.u") == F.col("e2.u"))
+        .where(F.col("e1.w") < F.col("e2.w"))
+        .select(
+            F.col("e1.u").alias("p"), F.col("e1.w").alias("x"), F.col("e2.w").alias("y")
+        )
+    )
+    closer = oriented.select(F.col("u").alias("x"), F.col("w").alias("y")).unionAll(
+        oriented.select(F.col("w").alias("x"), F.col("u").alias("y"))
+    )
+    tris = (
+        wedges.alias("wg")
+        .join(
+            closer.alias("cl"),
+            (F.col("wg.x") == F.col("cl.x")) & (F.col("wg.y") == F.col("cl.y")),
+        )
+        .select(
+            F.col("wg.p").alias("p"), F.col("wg.x").alias("x"), F.col("wg.y").alias("y")
+        )
+    )
+    per_item = (
+        tris.select(F.col("p").alias("item"))
+        .unionAll(tris.select(F.col("x").alias("item")))
+        .unionAll(tris.select(F.col("y").alias("item")))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_item
+
+
+def item_triangles_oracle_sql(key: str = "k") -> str:
+    """DuckDB oracle: identical orientation + wedge-close joins."""
+    return f"""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(json_extract(props, '$.{key}') AS BIGINT) AS dst,
+               lag(CAST(json_extract(props, '$.{key}') AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS src
+        FROM events
+        WHERE json_extract(props, '$.{key}') IS NOT NULL
+    ),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM seq WHERE src IS NOT NULL AND least(src, dst) <> greatest(src, dst)
+    ),
+    deg AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+        ) GROUP BY v
+    ),
+    oriented AS (
+        SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                    THEN u.a ELSE u.b END AS u,
+               CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                    THEN u.b ELSE u.a END AS w
+        FROM und u
+        JOIN deg da ON da.v = u.a
+        JOIN deg db ON db.v = u.b
+    ),
+    wedges AS (
+        SELECT e1.u AS p, e1.w AS x, e2.w AS y
+        FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u
+        WHERE e1.w < e2.w
+    ),
+    closer AS (
+        SELECT u AS x, w AS y FROM oriented
+        UNION ALL SELECT w AS x, u AS y FROM oriented
+    ),
+    tris AS (
+        SELECT p, x, y FROM wedges JOIN closer USING (x, y)
+    )
+    SELECT item, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT p AS item FROM tris
+        UNION ALL SELECT x AS item FROM tris
+        UNION ALL SELECT y AS item FROM tris
+    ) GROUP BY item
+    """

@@ -128,3 +128,101 @@ def cms_oracle_sql(width: int = 1024, depth: int = 4) -> str:
            est_count - exact_count AS overcount
     FROM est JOIN exact ON est.t = exact.t
     """
+
+
+def histogram_bins(
+    documents: DataFrame, value_col: str = "n_chars", bin_width: int = 32
+) -> DataFrame:
+    """Fixed-width histogram over an integer column: (bin, n_docs).
+
+    The deterministic cousin of a quantile sketch: because the bin
+    edges are FIXED (not data-dependent like t-digest/KLL centroids),
+    the histogram is (a) exactly mergeable — partial histograms from
+    any partitioning combine by addition, which is precisely Spark's
+    map-side partial aggregation of the groupBy — and (b) exactly
+    cross-engine checkable, where real quantile sketches are only
+    rows-only testable.  State is bounded by the bin-domain size no
+    matter the corpus size.
+    """
+    return (
+        documents.groupBy(
+            F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def histogram_quantiles(
+    documents: DataFrame,
+    value_col: str = "n_chars",
+    bin_width: int = 32,
+    qs_permille: tuple[int, ...] = (250, 500, 900, 990),
+) -> DataFrame:
+    """Quantile estimates read off the fixed-bin histogram:
+    (q_permille, bin, est_hi) — ``est_hi`` is the upper edge of the
+    first bin whose cumulative count reaches the quantile.
+
+    Resolution is ± ``bin_width`` — the bounded-state trade the
+    exact-percentile path (`text_analysis.length_quantiles`) cannot
+    make.  100 TB shape: the corpus-sized pass is the histogram
+    groupBy (partial-agg combined); everything after — cumulative sum,
+    quantile probe — runs on the bin-domain-sized aggregate, so the
+    window sort is over ≲10³ rows regardless of corpus size.
+
+    All integer arithmetic (``1000·cum ≥ q·total``), so every engine
+    picks the same bin — no float cumulative-share boundary wobble.
+    """
+    from pyspark.sql import Window
+
+    hist = histogram_bins(documents, value_col, bin_width)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        F.sum("n_docs").over(w).alias("cum"),
+        F.sum("n_docs").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    qlit = F.explode(F.array(*[F.lit(q) for q in qs_permille])).alias("q_permille")
+    probe = cum.select("bin", "cum", "total", qlit)
+    return (
+        probe.where(F.lit(1000) * F.col("cum") >= F.col("q_permille") * F.col("total"))
+        .groupBy("q_permille")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "q_permille",
+            "bin",
+            ((F.col("bin") + 1) * F.lit(bin_width)).alias("est_hi"),
+        )
+    )
+
+
+def histogram_quantiles_oracle_sql(
+    bin_width: int = 32, qs_permille: tuple[int, ...] = (250, 500, 900, 990)
+) -> str:
+    """DuckDB oracle: identical fixed-bin histogram + integer probe."""
+    qs = ", ".join(str(q) for q in qs_permille)
+    return f"""
+    WITH hist AS (
+        SELECT CAST(floor(n_chars / {bin_width}) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin,
+               sum(n_docs) OVER (ORDER BY bin) AS cum,
+               sum(n_docs) OVER () AS total
+        FROM hist
+    ),
+    probe AS (
+        SELECT bin, cum, total, q.q_permille
+        FROM cum CROSS JOIN (SELECT unnest([{qs}]) AS q_permille) q
+        WHERE 1000 * cum >= q_permille * total
+    )
+    SELECT CAST(q_permille AS INTEGER) AS q_permille,
+           min(bin) AS bin,
+           (min(bin) + 1) * {bin_width} AS est_hi
+    FROM probe GROUP BY q_permille
+    """

@@ -633,3 +633,70 @@ def importance_sample(documents: DataFrame) -> DataFrame:
         .where(F.col("draw") < p)
         .select("doc_id", "lang", "score_r4")
     )
+
+
+def temperature_mixture(
+    documents: DataFrame,
+    alpha_permille: int = 500,
+    target_permille: int = 500,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-balanced domain sampling: per-source keep rates
+    ∝ n_s^α / n_s, the standard multi-domain rebalance (α=1 keeps the
+    natural blend, α→0 flattens to uniform-by-domain; the default
+    α=0.5 is the multilingual-sampling convention).
+
+    Where :func:`mixture_sample` takes per-source rates as GIVEN, this
+    derives them from the corpus itself: big domains are downsampled
+    toward ``total·target_permille/1000`` docs distributed by
+    ``w_s = n_s^α``.
+
+    Cross-engine determinism is the hard part: ``n^α`` is a double, and
+    a double SUM over sources is partition-order-dependent, so a naive
+    share computation can flip a floor() at the boundary between
+    engines.  The fix — integer-quantized weights: ``w_s =
+    floor(1000·n_s^0.5)`` (IEEE sqrt is correctly rounded, hence
+    engine-exact; the floor is then exact), summed as INTEGERS (exact,
+    order-free), and the per-source rate ``(10³·T·total·w_s) div
+    (Σw·n_s)`` computed with integer floor-DIVISION over DECIMAL(38,0)
+    operands — exact at any corpus size (decimal ``/`` would round to
+    result scale BEFORE a floor(), which can cross an integer boundary;
+    ``div`` never rounds).  The doc-level draw is the usual md5
+    hash-gate — no rand().
+
+    Shape at scale: one tiny groupBy(source) aggregate, its rate table
+    broadcast back onto the scan; the keep decision is a map-side
+    filter.  Returns (doc_id, source, rate_ppm) for kept docs.
+    """
+    if alpha_permille != 500:
+        raise ValueError("only α=0.5 (sqrt) has an exact integer-quantized form")
+    counts = documents.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_s"))
+    weights = counts.withColumn(
+        "w_s", F.floor(F.lit(1000.0) * F.sqrt(F.col("n_s"))).cast("long")
+    )
+    sums = weights.agg(
+        F.sum("w_s").alias("sum_w"), F.sum("n_s").alias("total")
+    )
+    rates = (
+        weights.crossJoin(F.broadcast(sums))
+        .withColumn(
+            "_num",
+            F.lit(1000).cast("decimal(38,0)")
+            * F.lit(target_permille).cast("decimal(38,0)")
+            * F.col("total").cast("decimal(38,0)")
+            * F.col("w_s").cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "_den",
+            F.col("sum_w").cast("decimal(38,0)") * F.col("n_s").cast("decimal(38,0)"),
+        )
+        .select(source_col, F.expr("cast(_num div _den as bigint)").alias("rate_ppm"))
+    )
+    key = f"concat({source_col}, '~', doc_id)"
+    draw = F.expr(f"cast({T.h64_spark(key)} % 1000000 as bigint)")
+    return (
+        documents.select("doc_id", source_col, draw.alias("_draw"))
+        .join(F.broadcast(rates), on=source_col)
+        .where(F.col("_draw") < F.least(F.col("rate_ppm"), F.lit(1000000)))
+        .select("doc_id", source_col, F.least(F.col("rate_ppm"), F.lit(1000000)).alias("rate_ppm"))
+    )

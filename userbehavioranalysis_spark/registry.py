@@ -4282,6 +4282,244 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-3 wave: runtime-filter join pruning, SCD2 history, deterministic
+# histogram quantiles (batch + bounded streaming state), temperature-
+# balanced domain mixture, triangle counting, JSONL/ORC round-trips
+# --------------------------------------------------------------------------
+
+from pyspark.sql import functions as _F  # noqa: E402
+
+from userbehavioranalysis_spark.operators.graph import (  # noqa: E402
+    item_triangles_oracle_sql as _triangles_oracle_sql,
+)
+from userbehavioranalysis_spark.operators.sketches import (  # noqa: E402
+    histogram_quantiles_oracle_sql as _hq_oracle_sql,
+)
+
+
+@query(
+    "bloom_filter_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                               * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))
+                               AS DECIMAL(30,12))) AS DOUBLE), 4) AS revenue_r4
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1, 2
+    """,
+)
+def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join pruning: a DataFrame-built Bloom filter over
+    the filtered orders prunes lineitem BEFORE its shuffle; the exact
+    join removes the false positives, so the result (and the oracle) is
+    the plain inner join — only the exchanged volume differs."""
+    from userbehavioranalysis_spark.operators.joinopt import bloom_prefiltered_join
+
+    t = _tables(spark, sf_dir)
+    urgent = (
+        t["orders"]
+        .where(_F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    joined = bloom_prefiltered_join(t["lineitem"], "l_orderkey", urgent, "o_orderkey")
+    ext = _F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = _F.lit(1).cast("decimal(18,6)") - _F.col("l_discount").cast("decimal(18,6)")
+    return joined.groupBy("o_orderkey", "o_custkey").agg(
+        _F.count(_F.lit(1)).alias("n_items"),
+        _F.round(_F.sum((ext * disc).cast("decimal(30,12)")).cast("double"), 4).alias(
+            "revenue_r4"
+        ),
+    )
+
+
+@query(
+    "scd2_user_state",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type AS state,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, state, ts_us, event_id FROM ordered
+        WHERE prev IS NULL OR prev <> state
+    )
+    SELECT user_id, state,
+           ts_us AS valid_from,
+           lead(ts_us) OVER w AS valid_to,
+           CAST(row_number() OVER w AS INTEGER) AS version,
+           (lead(ts_us) OVER w IS NULL) AS is_current
+    FROM runs
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """,
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD assembly from the event log as a CDC feed: per-user
+    state runs with validity intervals — the history-table half of the
+    CDC story next to ``latest_state`` (the current-row half)."""
+    from userbehavioranalysis_spark.operators.compaction import scd2_history
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "user_id",
+        _F.col("event_type").alias("state"),
+        _F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    return scd2_history(ev, ["user_id"], "state", "ts_us", "event_id")
+
+
+@query("histogram_quantiles", oracle=_hq_oracle_sql())
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram quantiles: the bounded-state, exactly-
+    mergeable, exactly-checkable cousin of a quantile sketch — the
+    stated 100 TB flip for the exact-percentile paths."""
+    from userbehavioranalysis_spark.operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(_tables(spark, sf_dir)["documents"])
+
+
+@query("streaming_histogram_replay", oracle=_hq_oracle_sql())
+def q_streaming_histogram_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same histogram as BOUNDED streaming state: complete-mode
+    groupBy(bin) counts over the documents stream (state ≤ bin-domain
+    rows forever), then the quantile probe reads the replayed state —
+    matching the batch oracle exactly."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from userbehavioranalysis_spark.operators.sketches import histogram_bins
+
+    docs_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    key = (sf_dir, "docs")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="uba_docs_stream_")
+        os.symlink(
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(stage, "documents.parquet"),
+        )
+        _STREAM_STAGE_CACHE[key] = stage
+    stream = spark.readStream.format("parquet").schema(docs_schema).load(stage)
+    hist = _run_bounded(
+        histogram_bins(stream), "uba_stream_hist", output_mode="complete"
+    )
+    # quantile extraction over the replayed bin-domain-sized state: reuse
+    # the batch probe by substituting the histogram via a temp view
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy("bin").rowsBetween(_W.unboundedPreceding, 0)
+    total_w = _W.orderBy("bin").rowsBetween(
+        _W.unboundedPreceding, _W.unboundedFollowing
+    )
+    cum = hist.select(
+        "bin",
+        _F.sum("n_docs").over(w).alias("cum"),
+        _F.sum("n_docs").over(total_w).alias("total"),
+    )
+    qlit = _F.explode(_F.array(*[_F.lit(q) for q in (250, 500, 900, 990)])).alias(
+        "q_permille"
+    )
+    probe = cum.select("bin", "cum", "total", qlit)
+    return (
+        probe.where(
+            _F.lit(1000) * _F.col("cum") >= _F.col("q_permille") * _F.col("total")
+        )
+        .groupBy("q_permille")
+        .agg(_F.min("bin").alias("bin"))
+        .select(
+            "q_permille", "bin", ((_F.col("bin") + 1) * _F.lit(32)).alias("est_hi")
+        )
+    )
+
+
+@query(
+    "temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY 1
+    ),
+    w AS (
+        SELECT source, n_s,
+               CAST(floor(1000.0 * sqrt(n_s)) AS BIGINT) AS w_s
+        FROM counts
+    ),
+    s AS (SELECT sum(w_s) AS sum_w, sum(n_s) AS total FROM w),
+    rates AS (
+        SELECT source,
+               CAST((CAST(1000 AS HUGEINT) * 500 * total * w_s)
+                    // (CAST(sum_w AS HUGEINT) * n_s) AS BIGINT) AS rate_ppm
+        FROM w CROSS JOIN s
+    )
+    SELECT d.doc_id, d.source, least(r.rate_ppm, 1000000) AS rate_ppm
+    FROM documents d JOIN rates r USING (source)
+    WHERE ({_T.h64_duck("d.source || '~' || d.doc_id")} % 1000000)
+          < least(r.rate_ppm, 1000000)
+    """,
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced domain sampling (α=0.5): per-source keep
+    rates derived from the corpus's own domain counts via integer-
+    quantized weights — engine-exact despite the sqrt, because every
+    division is integer floor-division."""
+    from userbehavioranalysis_spark.operators.text_analysis import (
+        temperature_mixture,
+    )
+
+    return temperature_mixture(_tables(spark, sf_dir)["documents"])
+
+
+@query("item_triangles", oracle=_triangles_oracle_sql())
+def q_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item triangle counts over the undirected item-transition
+    graph — degree-ordered orientation bounds the wedge fan-out to
+    |E|^1.5 regardless of hub skew."""
+    from userbehavioranalysis_spark.operators.graph import item_triangles
+
+    return item_triangles(_tables(spark, sf_dir)["events"])
+
+
+_ROUNDTRIP_ORACLE = """
+    SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id,
+           event_type, round(value, 2) AS value_r2, props
+    FROM events
+"""
+
+
+@query("events_jsonl_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def q_events_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → line-delimited JSON → schema-explicit FAILFAST read-back;
+    the oracle reads the ORIGINAL parquet, so the value hash proves the
+    round trip is lossless (incl. microsecond timestamps)."""
+    from userbehavioranalysis_spark.sources.formats import events_roundtrip
+
+    return events_roundtrip(spark, sf_dir, "jsonl")
+
+
+@query("events_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def q_events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC → schema-explicit read-back, checked against the
+    original parquet through the oracle's value hash."""
+    from userbehavioranalysis_spark.sources.formats import events_roundtrip
+
+    return events_roundtrip(spark, sf_dir, "orc")
+
+
+# --------------------------------------------------------------------------
 # Driver-window ordering + rotation plan
 # --------------------------------------------------------------------------
 # The correctness driver records oracle results for the FIRST 50 registry
@@ -4302,11 +4540,14 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #              row (the completed TPC-H shapes Q6/Q9/Q12/Q13/Q16/Q19/
 #              Q20, attribution/sessions/anomaly/lags, stratified +
 #              importance sampling, image_phash_dedup, audio_chunks,
-#              video_frame_sample, item_pagerank, token_cms_estimates)
-#              through slots 27-50 while keeping ref_* + streaming_*
-#              pinned; tests/test_registry.py runs tools/oracle_check.py
-#              on a random sample each round so rotated-out queries cannot
-#              rot unnoticed.
+#              video_frame_sample, item_pagerank, token_cms_estimates,
+#              and the round-3 wave: bloom_filter_join, scd2_user_state,
+#              histogram_quantiles + streaming_histogram_replay,
+#              temperature_mixture, item_triangles, events_jsonl/orc
+#              round-trips) through slots 27-50 while keeping ref_* +
+#              streaming_* pinned; tests/test_registry.py runs
+#              tools/oracle_check.py on a random sample each round so
+#              rotated-out queries cannot rot unnoticed.
 _DRIVER_WINDOW = [
     # reference-fixture parity: the literal CSV/log fixtures from the
     # reference repo through the same operator bodies (LoginFail.scala:25,
@@ -4348,6 +4589,10 @@ _DRIVER_WINDOW = [
     "streaming_attribution_replay",
     "streaming_anomaly_replay",
     "streaming_cms_replay",
+    # round-3 wave: mergeable-histogram streaming state (takes the
+    # tx_match_reconcile anchor slot — that family stays driver-green
+    # via ref_tx_reconcile + streaming_tx_reconcile_replay)
+    "streaming_histogram_replay",
     # relational/extension queries past the r2 window
     "pricing_summary",
     "shipping_priority",
@@ -4382,7 +4627,6 @@ _DRIVER_WINDOW = [
     "page_view",
     "login_fail_strict",
     "order_timeout",
-    "tx_match_reconcile",
 ]
 
 
