@@ -254,3 +254,123 @@ def test_format_roundtrips_are_lossless(spark):
     want = key(base)
     assert key(events_roundtrip(spark, SF, "jsonl")) == want
     assert key(events_roundtrip(spark, SF, "orc")) == want
+
+
+# ------------------------------------------------------------------- hll ----
+
+
+def test_hll_portable_error_bound_and_bounded_sketch(spark):
+    from userbehavioranalysis_spark.operators.sketches import (
+        HLL_M,
+        hll_exact_uv,
+        hll_registers,
+        hll_uv_estimate,
+    )
+
+    ev = _events(spark)
+    regs = hll_registers(ev)
+    # sketch is bounded: ≤ m registers per window
+    per_win = regs.groupBy("window_start").count().agg(F.max("count")).collect()[0][0]
+    assert per_win <= HLL_M
+    rows = hll_uv_estimate(regs, hll_exact_uv(ev)).collect()
+    assert rows
+    for r in rows:
+        # m=256 → rse ≈ 1.04/√m ≈ 6.5%; allow 4σ plus small-count slack
+        tol = max(4, 0.26 * r.exact_uv)
+        assert abs(r.est_uv - r.exact_uv) <= tol, (
+            r.window_start,
+            r.est_uv,
+            r.exact_uv,
+        )
+
+
+# ------------------------------------------------------------ salted join ----
+
+
+def test_salted_join_equals_plain_join_and_spreads(spark):
+    from userbehavioranalysis_spark.operators.skew import salted_join
+
+    ev = _events(spark).select("event_id", "event_type")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_count"))
+    got = {
+        (r.event_id, r.type_count)
+        for r in salted_join(ev, dim, "event_type", "event_id")
+        .select("event_id", "type_count")
+        .collect()
+    }
+    want = {
+        (r.event_id, r.type_count)
+        for r in ev.join(dim, "event_type").select("event_id", "type_count").collect()
+    }
+    assert got == want
+
+    # the salt actually fans each hot key across buckets
+    salted = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("event_id")), F.lit(16)).cast("int")
+    )
+    spread = (
+        salted.groupBy("event_type")
+        .agg(F.countDistinct("_salt").alias("n"))
+        .agg(F.min("n"))
+        .collect()[0][0]
+    )
+    assert spread == 16
+
+
+# ------------------------------------------------------------- incremental ----
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    from userbehavioranalysis_spark.operators.compaction import merge_partial_counts
+
+    ev = _events(spark).where(F.col("event_type") == "view")
+
+    def hourly(df):
+        ws = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+        return df.groupBy(ws.alias("window_start")).agg(
+            F.count(F.lit(1)).alias("pv_count")
+        )
+
+    snap = hourly(ev.where(F.pmod("event_id", F.lit(20)) != 0))
+    delta = hourly(ev.where(F.pmod("event_id", F.lit(20)) == 0))
+    merged = {
+        (r.window_start, r.pv_count)
+        for r in merge_partial_counts(
+            snap, delta, ["window_start"], "pv_count"
+        ).collect()
+    }
+    full = {(r.window_start, r.pv_count) for r in hourly(ev).collect()}
+    assert merged == full
+
+
+# ------------------------------------------------------------- ann index ----
+
+
+def test_ann_index_probe_prunes_partitions_and_matches_lsh(spark, tmp_path):
+    from userbehavioranalysis_spark.operators.similarity import (
+        ann_index_write,
+        ann_topk_lsh,
+        ann_topk_lsh_indexed,
+    )
+    from userbehavioranalysis_spark.sources.readers import load_testdata
+
+    emb = load_testdata(spark, SF)["embeddings"]
+    path = str(tmp_path / "index")
+    ann_index_write(emb, path)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ann_topk_lsh_indexed(emb, queries, path)
+
+    want = {
+        (r.query_id, r.neighbor_id, r.cosine_r6, r.rank)
+        for r in ann_topk_lsh(emb, queries).filter(F.col("query_id") < 3).collect()
+    }
+    got = {(r.query_id, r.neighbor_id, r.cosine_r6, r.rank) for r in out.collect()}
+    assert got == want
+
+    # the probe scan carries partition filters (pruned listing)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "empty PartitionFilters — probe not pruned"

@@ -112,3 +112,32 @@ def scd2_history(
         F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
         F.row_number().over(w2).alias("version"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def merge_partial_counts(
+    snapshot: DataFrame, delta: DataFrame, keys: Sequence[str], count_col: str
+) -> DataFrame:
+    """Incremental materialized-view maintenance for additive
+    aggregates: fold a delta's partial counts into a persisted snapshot
+    WITHOUT recomputing history.
+
+    The 100 TB argument is the whole point: a daily full recompute of
+    an hourly rollup re-reads the entire fact history; because counts
+    (and sums, and any commutative monoid — the CMS/histogram/HLL-
+    register tables in operators/sketches.py included) merge by
+    addition, the refresh cost is O(delta + touched groups): union the
+    snapshot with the delta's partials and re-aggregate.  Spark plans
+    the union-aggregate with map-side partial aggregation, and the
+    snapshot side arrives pre-reduced (one row per group), so the
+    exchange carries ≈ |touched groups| rows, not |history|.
+
+    Equivalence ``merge(agg(A), agg(B)) = agg(A ∪ B)`` is exact for
+    counts — the registry oracle checks the merged result against a
+    full recompute.
+    """
+    return (
+        snapshot.select(*keys, count_col)
+        .unionAll(delta.select(*keys, count_col))
+        .groupBy(*keys)
+        .agg(F.sum(count_col).alias(count_col))
+    )

@@ -408,3 +408,88 @@ def ann_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_r6", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def ann_index_write(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 16,
+    band_bits: int = 4,
+) -> None:
+    """Materialize the banded corpus as a Hive-partitioned ANN INDEX:
+    one partition per (band, band_val).
+
+    This is the persisted form of ``ann_topk_lsh``'s candidate
+    generator — the structure every 100 TB vector store needs so a
+    probe touches ~``n_bands/2^band_bits`` of the corpus instead of
+    scanning it.  ``repartition`` before ``partitionBy`` keeps it to
+    one file per bucket (writers.py discipline).  The index is
+    ×``n_bands`` the corpus (each vector appears once per band) — the
+    standard LSH space/recall trade, stated not hidden.
+    """
+    bands = _lsh_bands(embeddings, "vec_id", n_planes, band_bits)
+    (
+        bands.join(embeddings.select("vec_id"), on="vec_id")
+        .repartition("band", "band_val")
+        .write.mode("overwrite")
+        .partitionBy("band", "band_val")
+        .parquet(path)
+    )
+
+
+def ann_topk_lsh_indexed(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    n_planes: int = 16,
+    band_bits: int = 4,
+) -> DataFrame:
+    """``ann_topk_lsh`` probing the PERSISTED index with partition
+    pruning: the query vectors' band values (≤ n_bands·2^band_bits
+    distinct pairs — a bounded, domain-sized collect) become an OR of
+    partition-column predicates, so the scan lists and reads ONLY the
+    probed (band, band_val) directories (PartitionFilters in the plan,
+    asserted in tests).  Candidates, rerank and output are IDENTICAL
+    to ``ann_topk_lsh`` — same oracle, hash-checkable.
+    """
+    from pyspark.sql import SparkSession as _S
+
+    spark = _S.getActiveSession()
+    q_bands = _lsh_bands(queries, "query_id", n_planes, band_bits)
+    probes = {
+        (r["band"], r["band_val"])
+        for r in q_bands.select("band", "band_val").distinct().collect()
+    }
+    idx = spark.read.parquet(index_path)
+    pred = None
+    for b, v in sorted(probes):
+        term = (F.col("band") == b) & (F.col("band_val") == v)
+        pred = term if pred is None else (pred | term)
+    cand = (
+        idx.where(pred)
+        .join(F.broadcast(q_bands), on=["band", "band_val"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = _normed(queries, "query_id", "qv")
+    c = _normed(embeddings, "neighbor_id", "cv")
+    scored = (
+        cand.join(F.broadcast(q), on="query_id")
+        .join(c, on="neighbor_id")
+        .withColumn(
+            "cosine_r6",
+            F.round(
+                F.expr(_DOT) / (F.col("query_id_norm") * F.col("neighbor_id_norm")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine_r6", F.col("rank").cast("int").alias("rank")
+        )
+    )

@@ -226,3 +226,162 @@ def histogram_quantiles_oracle_sql(
            (min(bin) + 1) * {bin_width} AS est_hi
     FROM probe GROUP BY q_permille
     """
+
+
+# -- Portable HyperLogLog -----------------------------------------------------
+#
+# ``uv_approx`` uses Spark's native HLL++ (rows-only checkable: its
+# sketch internals are engine-private).  This is the cross-engine-
+# checkable counterpart, same design move as the CMS above: md5-derived
+# register hashing, harmonic sum in EXACT integer arithmetic (common
+# denominator 2⁵⁵), and the small-range linear-counting correction via a
+# ppm-quantized ln lookup TABLE (ln is not correctly-rounded libm, so a
+# live ln() could differ across engines at a floor boundary; a finite
+# 256-entry integer table cannot).  Every arithmetic step is integer ⇒
+# the ESTIMATE ITSELF value-hashes against a DuckDB replay.
+#
+# Reference analogue: UvWithBloom.scala:62-103 bounds UV memory with a
+# Redis Bloom bitmap; registers here are the same bounded-memory idea,
+# mergeable (groupBy max — map-side combined) and 256 rows per window
+# forever.
+
+import math as _math
+
+HLL_M = 256  # registers (p=8): ~6.5% rse — sketch is 256 rows/window
+_HLL_ALPHA_PPM = round(1e6 * 0.7213 / (1 + 1.079 / HLL_M))
+_HLL_LN_PPM = [0] + [round(_math.log(HLL_M / v) * 1e6) for v in range(1, HLL_M + 1)]
+_POW55 = 1 << 55
+
+
+def hll_registers(events: DataFrame, view_type: str = "view") -> DataFrame:
+    """(window_start, reg, rho) register table — the mergeable sketch.
+
+    h = portable 60-bit md5 hash of the user id; reg = h mod m; the
+    remaining 54-bit word w gives rho = 55 − bit_length(w) (leading-
+    zero count + 1), with ``bin()``-string length standing in for
+    bit_length in BOTH engines (integer-exact, no log2 floats).
+    Works unchanged on a streaming frame: keys live in the fixed
+    windows × m domain, so complete-mode state is bounded.
+    """
+    h = T.h64_spark("cast(user_id as string)")
+    return (
+        events.where(F.col("event_type") == view_type)
+        .select(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("window_start"),
+            F.expr(f"cast({h} % {HLL_M} as int)").alias("reg"),
+            F.expr(
+                f"cast(if({h} div {HLL_M} = 0, 55,"
+                f" 55 - length(bin({h} div {HLL_M}))) as int)"
+            ).alias("rho_raw"),
+        )
+        .groupBy("window_start", "reg")
+        .agg(F.max("rho_raw").alias("rho"))
+    )
+
+
+def hll_uv_estimate(registers: DataFrame, exact: DataFrame) -> DataFrame:
+    """(window_start, est_uv, exact_uv) — integer HLL estimate per
+    window next to the exact count (the validation harness, as with the
+    CMS; production keeps only the register build + this probe).
+
+    est_raw = ⌊α_ppm·m²·2⁵⁵ / (S₂·10⁶)⌋ with S₂ = Σ 2^(55−ρ_j) over
+    all m registers (absent ⇒ ρ=0 ⇒ 2⁵⁵), exact in DECIMAL(38,0);
+    when est_raw ≤ 2.5m and V>0 empty registers remain, linear
+    counting ⌊m·ln(m/V)·10⁻⁶⌋ takes over via the quantized table.
+    """
+    ln_arr = "array(" + ",".join(str(v) for v in _HLL_LN_PPM[1:]) + ")"
+    agg = registers.groupBy("window_start").agg(
+        F.sum(F.expr("shiftleft(1L, cast(55 - rho as int))")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    est = agg.select(
+        "window_start",
+        F.expr(
+            f"cast(s_present as decimal(38,0))"
+            f" + (({HLL_M} - n_present) * cast({_POW55} as decimal(38,0)))"
+        ).alias("s2"),
+        (F.lit(HLL_M) - F.col("n_present")).cast("int").alias("v_zero"),
+    ).select(
+        "window_start",
+        F.expr(
+            f"cast((cast({_HLL_ALPHA_PPM} as decimal(38,0)) * {HLL_M} * {HLL_M}"
+            f" * cast({_POW55} as decimal(38,0)))"
+            f" div (s2 * cast(1000000 as decimal(38,0))) as bigint)"
+        ).alias("est_raw"),
+        "v_zero",
+    )
+    corrected = est.select(
+        "window_start",
+        F.expr(
+            f"cast(if(est_raw <= {5 * HLL_M // 2} and v_zero > 0,"
+            f" (cast({HLL_M} as bigint) * element_at({ln_arr}, v_zero)) div 1000000,"
+            f" est_raw) as bigint)"
+        ).alias("est_uv"),
+    )
+    return corrected.join(exact, on="window_start").select(
+        "window_start", "est_uv", "exact_uv"
+    )
+
+
+def hll_exact_uv(events: DataFrame, view_type: str = "view") -> DataFrame:
+    return (
+        events.where(F.col("event_type") == view_type)
+        .groupBy(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("window_start")
+        )
+        .agg(F.countDistinct("user_id").alias("exact_uv"))
+    )
+
+
+def hll_oracle_sql(view_type: str = "view") -> str:
+    """DuckDB oracle: the identical registers, sum and correction."""
+    h = T.h64_duck("user_id::VARCHAR")
+    ln_list = "[" + ",".join(str(v) for v in _HLL_LN_PPM[1:]) + "]"
+    return f"""
+    WITH pts AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+               {h} % {HLL_M} AS reg,
+               {h} // {HLL_M} AS w
+        FROM events WHERE event_type = '{view_type}'
+    ),
+    regs AS (
+        SELECT window_start, reg,
+               max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS rho
+        FROM pts GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT window_start,
+               sum(CAST(1 AS BIGINT) << (55 - rho)) AS s_present,
+               count(*) AS n_present
+        FROM regs GROUP BY 1
+    ),
+    est AS (
+        SELECT window_start,
+               (CAST({_HLL_ALPHA_PPM} AS HUGEINT) * {HLL_M} * {HLL_M}
+                * CAST({_POW55} AS HUGEINT))
+               // ((s_present + ({HLL_M} - n_present) * CAST({_POW55} AS HUGEINT))
+                   * 1000000) AS est_raw,
+               {HLL_M} - n_present AS v_zero
+        FROM agg
+    ),
+    corrected AS (
+        SELECT window_start,
+               CAST(CASE WHEN est_raw <= {5 * HLL_M // 2} AND v_zero > 0
+                    THEN (CAST({HLL_M} AS BIGINT) * list_extract({ln_list}, v_zero))
+                         // 1000000
+                    ELSE est_raw END AS BIGINT) AS est_uv
+        FROM est
+    ),
+    exact AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uv
+        FROM events WHERE event_type = '{view_type}'
+        GROUP BY 1
+    )
+    SELECT c.window_start, c.est_uv, e.exact_uv
+    FROM corrected c JOIN exact e USING (window_start)
+    """

@@ -42,3 +42,38 @@ def salted_distinct_count(
         F.countDistinct(F.col(col)).alias("_part")
     )
     return partial.groupBy(*keys).agg(F.sum("_part").alias(alias))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_from: str,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Exact inner equi-join with hot-key fan-out — the join-side
+    counterpart of :func:`salted_distinct_count`.
+
+    When the join key is low-cardinality/hot (the classic: enrich an
+    event fact by a per-category table too large or too churny to
+    broadcast), a plain shuffle join lands each hot key on ONE reducer;
+    with 5 keys and 1000 executors, 995 sit idle while 5 drown.  AQE's
+    skew-join splitting helps only sort-merge joins it can re-plan;
+    explicit salting is the portable fix:
+
+    1. big side: salt = hash(``salt_from``) % n_salt — derived from a
+       NON-KEY column (a row id), so one hot key's rows spread across
+       ``n_salt`` buckets; deterministic, no rand().
+    2. small side: replicated ×``n_salt`` (an explode over the salt
+       domain — map-side, tiny × n_salt rows).
+    3. join on (key, salt): each hot key now occupies ``n_salt``
+       reducers.  The salt columns are dropped, so the RESULT is
+       exactly the plain join (verified by the registry oracle).
+    """
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salt)).cast("int")
+    )
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return salted_big.join(salted_small, on=[key, "_salt"]).drop("_salt")

@@ -4493,6 +4493,148 @@ def q_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_triangles(_tables(spark, sf_dir)["events"])
 
 
+from userbehavioranalysis_spark.operators.sketches import (  # noqa: E402
+    hll_oracle_sql as _hll_oracle_sql,
+)
+
+
+@query("uv_hll_portable", oracle=_hll_oracle_sql())
+def q_uv_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable integer HyperLogLog per-hour UV: md5-derived registers,
+    exact-integer harmonic sum, quantized-ln linear-counting — the
+    ESTIMATE itself value-hashes against a DuckDB replay (unlike
+    engine-native HLL++ in ``uv_approx``, which is rows-only)."""
+    from userbehavioranalysis_spark.operators.sketches import (
+        hll_exact_uv,
+        hll_registers,
+        hll_uv_estimate,
+    )
+
+    ev = _tables(spark, sf_dir)["events"]
+    return hll_uv_estimate(hll_registers(ev), hll_exact_uv(ev))
+
+
+@query("streaming_uv_hll_replay", oracle=_hll_oracle_sql())
+def q_streaming_uv_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL register table as BOUNDED streaming state: complete-mode
+    groupBy(window, reg) max(rho) — ≤ windows·m rows forever (the
+    UvWithBloom.scala:62-103 bounded-memory idea, Redis replaced by
+    mergeable state) — probed post-replay against the batch exact."""
+    from userbehavioranalysis_spark.operators.sketches import (
+        hll_exact_uv,
+        hll_registers,
+        hll_uv_estimate,
+    )
+
+    import os as _os
+
+    stream = _replay_events_stream(spark, _os.path.join(sf_dir, "events.parquet"))
+    regs = _run_bounded(
+        hll_registers(stream), "uba_stream_hll", output_mode="complete"
+    )
+    ev = _tables(spark, sf_dir)["events"]
+    return hll_uv_estimate(regs, hll_exact_uv(ev))
+
+
+@query(
+    "salted_type_enrich",
+    oracle="""
+    WITH dim AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS type_count
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, d.type_count
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
+def q_salted_type_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join salting: enrich every event with its per-type stats
+    through a (key, salt) join — 5 join keys would otherwise land on 5
+    reducers of a 1000-executor cluster.  The shuffle_hash hint pins
+    the non-broadcastable regime this operator exists for (with a
+    broadcastable dim you would broadcast and skip salting entirely);
+    the salt never leaks into the result, so the oracle is the plain
+    join."""
+    from userbehavioranalysis_spark.operators.skew import salted_join
+
+    ev = _tables(spark, sf_dir)["events"]
+    dim = ev.groupBy("event_type").agg(_F.count(_F.lit(1)).alias("type_count"))
+    out = salted_join(
+        ev.select("event_id", "event_type"),
+        dim.hint("shuffle_hash"),
+        "event_type",
+        "event_id",
+    )
+    return out.select("event_id", "event_type", "type_count")
+
+
+@query(
+    "incremental_page_view",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600 AS window_end,
+           CAST(count(*) AS BIGINT) AS pv_count
+    FROM events
+    WHERE event_type = 'view'
+    GROUP BY 1, 2
+    """,
+)
+def q_incremental_page_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the hourly PV rollup refreshed by
+    folding a 5% delta (every 20th event — the harness's stand-in for
+    'today's new partition') into the 95% snapshot, merge cost
+    O(delta + touched hours).  The oracle is the FULL recompute — the
+    merge must be exactly equivalent."""
+    from userbehavioranalysis_spark.operators.compaction import merge_partial_counts
+
+    ev = _tables(spark, sf_dir)["events"].where(_F.col("event_type") == "view")
+
+    def hourly(df):
+        ws = (_F.floor(_F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+        return df.groupBy(ws.alias("window_start")).agg(
+            _F.count(_F.lit(1)).alias("pv_count")
+        )
+
+    snapshot = hourly(ev.where(_F.pmod("event_id", _F.lit(20)) != 0))
+    delta = hourly(ev.where(_F.pmod("event_id", _F.lit(20)) == 0))
+    merged = merge_partial_counts(snapshot, delta, ["window_start"], "pv_count")
+    return merged.select(
+        "window_start",
+        (_F.col("window_start") + 3600).alias("window_end"),
+        "pv_count",
+    )
+
+
+@query("ann_topk_lsh_indexed", oracle=None)
+def q_ann_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_topk_lsh probing a PERSISTED Hive-partitioned band index:
+    partition-pruned scans (the 100 TB vector-store posture the LSH
+    docstring promises), identical candidates/output — same oracle."""
+    import os
+    import tempfile
+
+    from userbehavioranalysis_spark.operators.similarity import (
+        ann_index_write,
+        ann_topk_lsh_indexed,
+    )
+
+    key = (sf_dir, "ann-index")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(os.path.join(stage, "index")):
+        stage = tempfile.mkdtemp(prefix="uba_ann_index_")
+        emb = _tables(spark, sf_dir)["embeddings"]
+        ann_index_write(emb, os.path.join(stage, "index"))
+        _STREAM_STAGE_CACHE[key] = stage
+    emb = _tables(spark, sf_dir)["embeddings"]
+    return ann_topk_lsh_indexed(
+        emb, emb.filter(_F.col("vec_id") < 5), os.path.join(stage, "index")
+    )
+
+
+# same result as ann_topk_lsh by construction → same oracle SQL
+ORACLES["ann_topk_lsh_indexed"] = ORACLES["ann_topk_lsh"]
+
+
 _ROUNDTRIP_ORACLE = """
     SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id,
            event_type, round(value, 2) AS value_r2, props
@@ -4589,10 +4731,12 @@ _DRIVER_WINDOW = [
     "streaming_attribution_replay",
     "streaming_anomaly_replay",
     "streaming_cms_replay",
-    # round-3 wave: mergeable-histogram streaming state (takes the
-    # tx_match_reconcile anchor slot — that family stays driver-green
-    # via ref_tx_reconcile + streaming_tx_reconcile_replay)
+    # round-3 wave: mergeable-histogram + portable-HLL streaming state
+    # (take the tx_match_reconcile and order_timeout anchor slots —
+    # both families stay driver-green via their ref_* and streaming_*
+    # entries)
     "streaming_histogram_replay",
+    "streaming_uv_hll_replay",
     # relational/extension queries past the r2 window
     "pricing_summary",
     "shipping_priority",
@@ -4626,7 +4770,6 @@ _DRIVER_WINDOW = [
     "hot_items",
     "page_view",
     "login_fail_strict",
-    "order_timeout",
 ]
 
 
