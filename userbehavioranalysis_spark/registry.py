@@ -2208,6 +2208,27 @@ def q_ref_network_flow_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_STAGE_CACHE: dict[str, str] = {}
 
 
+def _stage_parquet(src: str, stage: str, name: str) -> None:
+    """Symlink a parquet table into a streaming stage dir.
+
+    ``src`` may be a single .parquet FILE (driver testdata) or a
+    Spark-written parquet DIRECTORY (synthesized scale data) — the file
+    source ignores nested directories, so a directory's part files are
+    linked FLAT into the stage (a dir symlink would silently stream 0
+    rows; observed at sf1)."""
+    import os
+
+    if os.path.isdir(src):
+        parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        for i, f in enumerate(parts):
+            os.symlink(
+                os.path.join(src, f),
+                os.path.join(stage, f"{name}_{i:05d}.parquet"),
+            )
+    else:
+        os.symlink(src, os.path.join(stage, f"{name}.parquet"))
+
+
 def _replay_events_stream(spark: SparkSession, sf_dir: str):
     """events.parquet as a bounded stream (ts read as a raw epoch long;
     unit normalized by magnitude — see readers.epoch_any_to_ts)."""
@@ -2224,7 +2245,7 @@ def _replay_events_stream(spark: SparkSession, sf_dir: str):
     stage = _STREAM_STAGE_CACHE.get(sf_dir)
     if stage is None or not os.path.isdir(stage):
         stage = tempfile.mkdtemp(prefix="uba_events_stream_")
-        os.symlink(sf_dir, os.path.join(stage, "events.parquet"))
+        _stage_parquet(sf_dir, stage, "events")
         _STREAM_STAGE_CACHE[sf_dir] = stage
     raw = (
         spark.readStream.format("parquet")
@@ -3116,9 +3137,8 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _STREAM_STAGE_CACHE.get(key)
     if stage is None or not os.path.isdir(stage):
         stage = tempfile.mkdtemp(prefix="uba_docs_stream_")
-        os.symlink(
-            os.path.join(sf_dir, "documents.parquet"),
-            os.path.join(stage, "documents.parquet"),
+        _stage_parquet(
+            os.path.join(sf_dir, "documents.parquet"), stage, "documents"
         )
         _STREAM_STAGE_CACHE[key] = stage
     raw = spark.readStream.format("parquet").schema(docs_schema).load(stage)
@@ -4094,9 +4114,8 @@ def q_streaming_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _STREAM_STAGE_CACHE.get(key)
     if stage is None or not os.path.isdir(stage):
         stage = tempfile.mkdtemp(prefix="uba_docs_stream_")
-        os.symlink(
-            os.path.join(sf_dir, "documents.parquet"),
-            os.path.join(stage, "documents.parquet"),
+        _stage_parquet(
+            os.path.join(sf_dir, "documents.parquet"), stage, "documents"
         )
         _STREAM_STAGE_CACHE[key] = stage
     stream = spark.readStream.format("parquet").schema(_DOCS_SCHEMA).load(stage)
@@ -4409,9 +4428,8 @@ def q_streaming_histogram_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _STREAM_STAGE_CACHE.get(key)
     if stage is None or not os.path.isdir(stage):
         stage = tempfile.mkdtemp(prefix="uba_docs_stream_")
-        os.symlink(
-            os.path.join(sf_dir, "documents.parquet"),
-            os.path.join(stage, "documents.parquet"),
+        _stage_parquet(
+            os.path.join(sf_dir, "documents.parquet"), stage, "documents"
         )
         _STREAM_STAGE_CACHE[key] = stage
     stream = spark.readStream.format("parquet").schema(docs_schema).load(stage)
