@@ -13,6 +13,13 @@ capture window):
 
 Each query executes to completion (count) so lazy plans actually run;
 one warm-up of the flagship query primes the JVM/codegen before timing.
+
+Per-query time is the MIN OF TWO consecutive runs: the registry's
+driver-window reorder moved queries relative to their r2 positions, and
+single-shot timings conflate a query's cost with its position's JVM
+state (first-touch codegen, transient GC) — measured at 2-3× on
+sub-second queries that merely moved from a warm slot to a cold one.
+Min-of-2 reports steady-state cost, which is the number that scales.
 """
 
 from __future__ import annotations
@@ -61,9 +68,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     parity = {n: timings[n] for n in PARITY_15 if n in timings}

@@ -374,3 +374,24 @@ def test_ann_index_probe_prunes_partitions_and_matches_lsh(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and m.group(1).strip(), "empty PartitionFilters — probe not pruned"
+
+
+# ----------------------------------------------------------------- vocab ----
+
+
+def test_vocab_coverage_bounds_and_known_doc(spark):
+    from userbehavioranalysis_spark.operators.text_analysis import vocab_coverage
+
+    docs = _documents(spark)
+    rows = vocab_coverage(docs).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.oov_tokens <= r.n_tokens
+        assert 0 <= r.oov_ppm <= 1_000_000
+        assert r.oov_ppm == (1_000_000 * r.oov_tokens) // r.n_tokens
+    # the corpus has a closed tiny vocabulary; top-20 of ~31 words must
+    # cover well over half of most docs
+    import statistics
+
+    med = statistics.median(r.oov_ppm for r in rows)
+    assert med < 500_000

@@ -75,6 +75,16 @@ HEADLINERS = [
     ("item_pagerank", "integer PageRank — edge window once, tiny-graph iteration"),
     ("token_cms_estimates", "Count-Min table — partial-agg sketch, broadcast probe"),
     ("importance_sample", "score-weighted md5 gate — map-side draw, one id join"),
+    ("bloom_filter_join", "runtime Bloom prefilter — probe before the exchange, exact join after"),
+    ("scd2_user_state", "SCD2 — change-compact + interval windows on ONE exchange"),
+    ("histogram_quantiles", "fixed-bin histogram — corpus pass partial-agg, probe on bin domain"),
+    ("temperature_mixture", "domain rebalance — tiny agg broadcast back, map-side gate"),
+    ("item_triangles", "degree-ordered wedge joins — cached edges, equi-joins only"),
+    ("uv_hll_portable", "portable HLL — register groupBy max, integer estimate on sketch"),
+    ("salted_type_enrich", "salted hot-key join — (key, salt) exchange spreads reducers"),
+    ("incremental_page_view", "MV merge — snapshot enters pre-reduced, delta-sized exchange"),
+    ("ann_topk_lsh_indexed", "partition-pruned index probe — PartitionFilters on (band, band_val)"),
+    ("events_jsonl_roundtrip", "schema-explicit JSONL scan — no inference pass"),
 ]
 
 

@@ -173,7 +173,16 @@ def item_triangles(events: DataFrame, key: str = "k") -> DataFrame:
     (items), not corpus-sized (events), after the one edge-extraction
     exchange it shares with PageRank.
     """
-    und = (
+    from userbehavioranalysis_spark.operators.cachepool import (
+        pooled_cache,
+        release_pooled,
+    )
+
+    # the corpus-sized edge-extraction window feeds deg + ranked (and
+    # `oriented` feeds three join branches below); without the caches
+    # each self-join branch replays the full events exchange
+    release_pooled()
+    und = pooled_cache(
         item_transition_edges(events, key)
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -194,9 +203,11 @@ def item_triangles(events: DataFrame, key: str = "k") -> DataFrame:
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
-    oriented = ranked.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    oriented = pooled_cache(
+        ranked.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
     )
     # every join below is a self-join on the `oriented` lineage; explicit
     # aliases keep Spark's attribute deduplication from silently resolving

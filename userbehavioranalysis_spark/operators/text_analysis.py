@@ -700,3 +700,48 @@ def temperature_mixture(
         .where(F.col("_draw") < F.least(F.col("rate_ppm"), F.lit(1000000)))
         .select("doc_id", source_col, F.least(F.col("rate_ppm"), F.lit(1000000)).alias("rate_ppm"))
     )
+
+
+def vocab_coverage(documents: DataFrame, vocab_k: int = 20) -> DataFrame:
+    """Per-document tokenizer-vocabulary coverage: what fraction of a
+    doc's tokens fall outside the corpus's top-``vocab_k`` vocabulary
+    (the OOV rate a fixed-vocab tokenizer would see).
+
+    The curation use: docs with high OOV against the training
+    vocabulary fragment into long byte-level token sequences —
+    pipelines cap or re-route them.  Two passes: (1) the corpus
+    vocabulary (token frequency top-k — the skewed-agg shape of
+    ``token_topk``, partial-agg combined, vocabulary-sized output);
+    (2) a map-side membership count per doc against the BROADCAST
+    vocabulary array.  OOV rate in exact integer ppm (``10⁶·oov div
+    n_tokens``), so the output value-hashes cross-engine.  Returns
+    (doc_id, n_tokens, oov_tokens, oov_ppm).
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", F.explode(F.expr(T.TOKENS_SPARK)).alias("t")
+    )
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("t"))
+    vocab = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= vocab_k)
+        .select("t")
+        .agg(F.collect_list("t").alias("vocab"))
+    )
+    per_doc = (
+        documents.crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr(f"cast(size({T.TOKENS_SPARK}) as bigint)").alias("n_tokens"),
+            F.expr(
+                f"cast(size(filter({T.TOKENS_SPARK},"
+                f" x -> not array_contains(vocab, x))) as bigint)"
+            ).alias("oov_tokens"),
+        )
+    )
+    return per_doc.withColumn(
+        "oov_ppm",
+        F.expr("cast((1000000 * oov_tokens) div n_tokens as bigint)"),
+    )

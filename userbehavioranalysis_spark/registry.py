@@ -2347,7 +2347,24 @@ def _run_bounded(sdf, name: str, partitions: int = 8, output_mode: str = "append
         # recovery value once the query terminated — don't leak a state
         # dir per call under repeated driver runs
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    # Spill the memory sink to parquet and DROP it: a retained memory
+    # table (plus its terminated query's state-store providers) per
+    # replay accumulates across a 140-query run — measured as 2-6×
+    # ambient drag on every query that runs after the replay block.
+    # Replay outputs are small (≤ tens of k rows), so the extra write
+    # is noise; the returned frame re-reads from disk, keeping the
+    # session heap flat no matter how many replays a run chains.
+    import os
+
+    spill_stage = _STREAM_STAGE_CACHE.get(("spill", name))
+    if spill_stage is None:
+        spill_stage = tempfile.mkdtemp(prefix=f"uba_spill_{name}_")
+        _STREAM_STAGE_CACHE[("spill", name)] = spill_stage
+    out = os.path.join(spill_stage, "out")
+    shutil.rmtree(out, ignore_errors=True)
+    spark.table(name).write.parquet(out)
+    spark.catalog.dropTempView(name)
+    return spark.read.parquet(out)
 
 
 def _run_bounded_foreach(sdf, name: str, batch_fn, partitions: int = 8):
@@ -4651,6 +4668,42 @@ def q_ann_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # same result as ann_topk_lsh by construction → same oracle SQL
 ORACLES["ann_topk_lsh_indexed"] = ORACLES["ann_topk_lsh"]
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_T.TOKENS_DUCK}) AS t FROM documents
+    ),
+    freq AS (
+        SELECT t, count(*) AS n FROM toks GROUP BY 1
+    ),
+    vocab AS (
+        SELECT list(t) AS v FROM (
+            SELECT t FROM (
+                SELECT t, row_number() OVER (ORDER BY n DESC, t ASC) AS rk
+                FROM freq
+            ) WHERE rk <= 20 ORDER BY t
+        )
+    )
+    SELECT d.doc_id,
+           CAST(len({_T.TOKENS_DUCK}) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter({_T.TOKENS_DUCK},
+                                x -> NOT list_contains(vocab.v, x))) AS BIGINT)
+               AS oov_tokens,
+           CAST((1000000 * len(list_filter({_T.TOKENS_DUCK},
+                                x -> NOT list_contains(vocab.v, x))))
+                // len({_T.TOKENS_DUCK}) AS BIGINT) AS oov_ppm
+    FROM documents d CROSS JOIN vocab
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary OOV rate per document against the corpus
+    top-20 vocabulary (broadcast membership, exact integer ppm)."""
+    from userbehavioranalysis_spark.operators.text_analysis import vocab_coverage
+
+    return vocab_coverage(_tables(spark, sf_dir)["documents"])
 
 
 _ROUNDTRIP_ORACLE = """
