@@ -395,3 +395,88 @@ def test_vocab_coverage_bounds_and_known_doc(spark):
 
     med = statistics.median(r.oov_ppm for r in rows)
     assert med < 500_000
+
+
+# ----------------------------------------------------------------- merge ----
+
+
+def test_merge_upsert_semantics(spark):
+    from userbehavioranalysis_spark.operators.compaction import merge_upsert
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "B", 21, False),   # update
+            (3, None, 0, True),    # delete
+            (4, "d", 40, False),   # insert
+        ],
+        "k long, s string, v long, dead boolean",
+    )
+    got = {
+        (r.k, r.s, r.v)
+        for r in merge_upsert(snap, changes, ["k"], "dead").collect()
+    }
+    assert got == {(1, "a", 10), (2, "B", 21), (4, "d", 40)}
+
+
+def test_merge_upsert_without_deletes(spark):
+    from userbehavioranalysis_spark.operators.compaction import merge_upsert
+
+    snap = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    changes = spark.createDataFrame([(2, 21), (5, 50)], "k long, v long")
+    got = {(r.k, r.v) for r in merge_upsert(snap, changes, ["k"]).collect()}
+    assert got == {(1, 10), (2, 21), (5, 50)}
+
+
+# ---------------------------------------------------------------- z-order ----
+
+
+def test_zorder_write_tightens_both_dimensions(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import glob as _glob
+    import os
+
+    from userbehavioranalysis_spark.sources.writers import write_zordered
+
+    ev = _events(spark).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.floor(F.unix_timestamp("ts") / 3600) - 473352).cast("long").alias("hour"),
+    )
+
+    def file_ranges(path, col):
+        widths = []
+        for f in _glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(rg).column(idx).statistics.min for rg in range(md.num_row_groups))
+            hi = max(md.row_group(rg).column(idx).statistics.max for rg in range(md.num_row_groups))
+            widths.append(hi - lo)
+        return widths
+
+    zpath = str(tmp_path / "z")
+    tpath = str(tmp_path / "t")
+    write_zordered(ev, zpath, "user_id", "hour", n_files=16, a_bits=4, b_bits=10)
+    # baseline: single-dimension time sort (the default telemetry layout)
+    (
+        ev.repartitionByRange(16, "ts_us")
+        .sortWithinPartitions("ts_us")
+        .write.mode("overwrite")
+        .parquet(tpath)
+    )
+    global_users = ev.agg(F.max("user_id") - F.min("user_id")).collect()[0][0]
+    global_hours = ev.agg(F.max("hour") - F.min("hour")).collect()[0][0]
+
+    z_user = file_ranges(zpath, "user_id")
+    t_user = file_ranges(tpath, "user_id")
+    assert len(z_user) >= 8 and len(t_user) >= 8
+    avg = lambda xs: sum(xs) / len(xs)
+    # time-sorted files span ~the whole user domain; z-ordered files
+    # bound BOTH dimensions -> file-level min/max skipping works for
+    # either filter column
+    assert avg(t_user) > 0.9 * global_users
+    assert avg(z_user) < 0.6 * global_users
+    z_hour = file_ranges(zpath, "hour")
+    assert avg(z_hour) < 0.8 * global_hours

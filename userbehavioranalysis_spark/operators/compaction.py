@@ -141,3 +141,52 @@ def merge_partial_counts(
         .groupBy(*keys)
         .agg(F.sum(count_col).alias(count_col))
     )
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Lakehouse-style MERGE INTO: apply a change batch to a snapshot —
+    matched keys take the change row (or drop, when its ``delete_col``
+    is true), unmatched snapshot rows carry over, brand-new keys
+    insert.  The set-operation form of Delta/Iceberg MERGE, expressed
+    with a plain outer join so it runs on any table format.
+
+    Assumes ``changes`` holds ONE row per key (pre-compact a multi-row
+    CDC batch with :func:`latest_state` first — that composition is the
+    standard CDC-apply pipeline and what the registry query does).
+
+    Scale shape: one key-keyed shuffle of snapshot ∪ changes — the
+    minimum for a keyed merge without storage-side support.  The real
+    100 TB win layers on top: with BOTH sides bucketed by key on disk
+    (plans/bucketing.py posture) the exchange disappears entirely, and
+    partition-level change stats let untouched partitions skip the job
+    — copy-on-write pruning.  Delete handling inside the same pass
+    means no second anti-join over the snapshot.
+    """
+    payload = [c for c in snapshot.columns if c not in keys]
+    ch_payload = [c for c in changes.columns if c not in keys and c != delete_col]
+    assert set(payload) == set(ch_payload), (payload, ch_payload)
+    s = snapshot.select(
+        *keys, F.struct(*payload).alias("_old"), F.lit(True).alias("_in_old")
+    )
+    mark = (
+        F.col(delete_col) if delete_col is not None else F.lit(False)
+    )
+    c = changes.select(
+        *keys,
+        F.struct(*ch_payload).alias("_new"),
+        mark.alias("_del"),
+        F.lit(True).alias("_in_new"),
+    )
+    merged = s.join(c, on=list(keys), how="full_outer")
+    kept = merged.where(~F.coalesce(F.col("_del"), F.lit(False)))
+    pick = F.when(F.coalesce("_in_new", F.lit(False)), F.col("_new")).otherwise(
+        F.col("_old")
+    )
+    return kept.select(
+        *keys, *[pick.getField(p).alias(p) for p in payload]
+    )

@@ -4706,6 +4706,71 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(_tables(spark, sf_dir)["documents"])
 
 
+@query(
+    "merge_upsert_users",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               event_id, round(value, 2) AS value_r2
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, event_type, ts_us, value_r2 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+            FROM e WHERE event_id % 2 = 0
+        ) WHERE rn = 1
+    ),
+    c AS (
+        SELECT user_id, event_type, ts_us, value_r2,
+               (event_type = 'error') AS is_del
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+            FROM e WHERE event_id % 2 = 1
+        ) WHERE rn = 1
+    )
+    SELECT user_id,
+           CASE WHEN c.user_id IS NOT NULL THEN c.event_type
+                ELSE s.event_type END AS event_type,
+           CASE WHEN c.user_id IS NOT NULL THEN c.ts_us ELSE s.ts_us END AS ts_us,
+           CASE WHEN c.user_id IS NOT NULL THEN c.value_r2
+                ELSE s.value_r2 END AS value_r2
+    FROM s FULL OUTER JOIN c USING (user_id)
+    WHERE NOT COALESCE(c.is_del, false)
+    """,
+)
+def q_merge_upsert_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE INTO applied to a per-user state table: even
+    events are the persisted snapshot, odd events the CDC batch
+    (compacted to one row per key by latest_state first — the standard
+    CDC-apply composition); a user whose newest change is an 'error'
+    event is treated as a DELETE.  Updates, inserts, carry-overs and
+    deletes in ONE keyed pass."""
+    from userbehavioranalysis_spark.operators.compaction import (
+        latest_state,
+        merge_upsert,
+    )
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_type",
+        _F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        _F.round("value", 2).alias("value_r2"),
+    )
+    payload = ["event_type", "ts_us", "value_r2"]
+    snap = latest_state(
+        ev.where(_F.pmod("event_id", _F.lit(2)) == 0),
+        ["user_id"], "ts_us", "event_id", payload,
+    )
+    changes = latest_state(
+        ev.where(_F.pmod("event_id", _F.lit(2)) == 1),
+        ["user_id"], "ts_us", "event_id", payload,
+    ).withColumn("is_del", _F.col("event_type") == "error")
+    return merge_upsert(snap, changes, ["user_id"], "is_del")
+
+
 _ROUNDTRIP_ORACLE = """
     SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id,
            event_type, round(value, 2) AS value_r2, props

@@ -42,3 +42,70 @@ def write_partitioned_corpus(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def zorder_value(a_expr: str, b_expr: str, a_bits: int = 16, b_bits: int = 16) -> str:
+    """SQL expression interleaving two non-negative integer expressions
+    into a Z-curve value, MOST-significant-bit first per dimension.
+
+    ``a_bits``/``b_bits`` declare each dimension's domain width;
+    aligning the interleave at each domain's TOP bit is what keeps the
+    curve balanced when widths differ (a naive fixed-width low-bit
+    interleave puts a narrow dimension's zeros in the high positions
+    and degenerates into a single-column sort on the wide one —
+    observed with a 4-bit user id against a 10-bit hour index).
+    """
+    total = a_bits + b_bits
+    p = total
+    terms = []
+    for i in range(max(a_bits, b_bits)):
+        if i < a_bits:
+            p -= 1
+            terms.append(
+                f"shiftleft((shiftright(cast({a_expr} as bigint), {a_bits - 1 - i}) & 1), {p})"
+            )
+        if i < b_bits:
+            p -= 1
+            terms.append(
+                f"shiftleft((shiftright(cast({b_expr} as bigint), {b_bits - 1 - i}) & 1), {p})"
+            )
+    return " + ".join(terms)
+
+
+def write_zordered(
+    df,
+    path: str,
+    a_expr: str,
+    b_expr: str,
+    n_files: int = 8,
+    a_bits: int = 16,
+    b_bits: int = 16,
+    rowgroup_bytes: int = 1 << 16,
+) -> None:
+    """Write parquet Z-ORDERED on two dimensions: rows sorted along the
+    bit-interleaved (a, b) curve, range-partitioned into ``n_files``.
+
+    Why this layout exists at 100 TB: a single-column sort gives tight
+    parquet row-group min/max statistics on THAT column only — a scan
+    filtering the other column reads everything.  The Z-curve bounds
+    every contiguous run in BOTH dimensions, so row-group stats stay
+    selective for filters on either column (or both) and the reader
+    skips row groups a single-sort layout must read.  This is the same
+    layout Delta's OPTIMIZE ZORDER BY materializes; here it is plain
+    ``repartitionByRange + sortWithinPartitions`` over a pure-SQL
+    interleave — no engine extension.  Verified in tests by reading
+    row-group statistics back via pyarrow: both dimensions' per-group
+    ranges shrink vs a single-sort layout.
+    """
+    from pyspark.sql import functions as F
+
+    z = F.expr(zorder_value(a_expr, b_expr, a_bits, b_bits))
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("parquet.block.size", rowgroup_bytes)
+        .parquet(path)
+    )
