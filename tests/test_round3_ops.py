@@ -480,3 +480,64 @@ def test_zorder_write_tightens_both_dimensions(spark, tmp_path):
     assert avg(z_user) < 0.6 * global_users
     z_hour = file_ranges(zpath, "hour")
     assert avg(z_hour) < 0.8 * global_hours
+
+
+# ------------------------------------------------------- search/dq/evolve ----
+
+
+def test_keyword_search_conjunction(spark):
+    from userbehavioranalysis_spark.operators.text_analysis import keyword_search
+
+    docs = _documents(spark)
+    rows = keyword_search(docs, terms=("spark", "window"), k=5).collect()
+    assert rows and len(rows) <= 5
+    texts = {
+        r.doc_id: r.text for r in docs.select("doc_id", "text").collect()
+    }
+    for r in rows:
+        assert r.n_hits == 2
+        toks = texts[r.doc_id].split()
+        assert "spark" in toks and "window" in toks
+        assert r.total_tf == toks.count("spark") + toks.count("window")
+    ranks = [r.rank for r in sorted(rows, key=lambda x: x.rank)]
+    assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_dq_audit_clean_tables_and_planted_violation(spark):
+    from userbehavioranalysis_spark.operators.dataquality import dq_audit
+    from userbehavioranalysis_spark.sources.readers import load_testdata
+
+    t = load_testdata(spark, SF)
+    clean = {r.rule: r.n_violations for r in
+             dq_audit(t["orders"], t["lineitem"], t["customer"]).collect()}
+    assert len(clean) == 8
+    assert all(v == 0 for v in clean.values()), clean
+
+    # plant an orphan order and a bad discount; the audit must see both
+    bad_orders = t["orders"].unionByName(
+        spark.createDataFrame(
+            [(99_999_999, 99_999_999, "O", 1.0, None, "1-URGENT")],
+            t["orders"].schema,
+        )
+    )
+    bad_li = t["lineitem"].withColumn(
+        "l_discount",
+        F.when(F.col("l_linenumber") == 1, F.lit(2.0)).otherwise(F.col("l_discount")),
+    )
+    dirty = {r.rule: r.n_violations for r in
+             dq_audit(bad_orders, bad_li, t["customer"]).collect()}
+    assert dirty["orders.custkey_fk_customer"] == 1
+    assert dirty["lineitem.discount_in_[0,1]"] > 0
+
+
+def test_schema_evolution_nulls_old_rows(spark):
+    from userbehavioranalysis_spark.sources.formats import events_schema_evolution
+
+    out = events_schema_evolution(spark, SF)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        if r.event_id % 2 == 0:
+            assert r.event_type is None and r.value_r2 is None
+        else:
+            assert r.event_type is not None

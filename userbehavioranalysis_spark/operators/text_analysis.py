@@ -745,3 +745,39 @@ def vocab_coverage(documents: DataFrame, vocab_k: int = 20) -> DataFrame:
         "oov_ppm",
         F.expr("cast((1000000 * oov_tokens) div n_tokens as bigint)"),
     )
+
+
+def keyword_search(
+    documents: DataFrame, terms: tuple[str, ...] = ("spark", "window"), k: int = 10
+) -> DataFrame:
+    """Conjunctive (AND) keyword search over an inverted index, ranked
+    by total term frequency — the retrieval shape of a corpus search /
+    example-mining pass.
+
+    Build: the posting table (token → doc, tf) — one explode +
+    groupBy, the same partial-agg shape as ``token_topk``; at 100 TB
+    the postings are the PERSISTED artifact (bucketed by token, as the
+    ANN band index persists its buckets) and queries never touch raw
+    text.  Query: filter postings to the search terms (token-pruned —
+    with a bucketed index a partition-pruned read), then require ALL
+    terms per doc (``count distinct = n_terms`` beats an n-way
+    self-join) and rank by summed tf.  Ties break on doc_id for a
+    deterministic, hash-checkable top-k.  Returns (doc_id, n_hits,
+    total_tf, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select("doc_id", F.explode(F.expr(T.TOKENS_SPARK)).alias("t"))
+    postings = toks.groupBy("t", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    hits = postings.where(F.col("t").isin(*terms))
+    per_doc = hits.groupBy("doc_id").agg(
+        F.countDistinct("t").alias("n_hits"),
+        F.sum("tf").alias("total_tf"),
+    )
+    conj = per_doc.where(F.col("n_hits") == len(terms))
+    w = Window.orderBy(F.desc("total_tf"), F.asc("doc_id"))
+    return (
+        conj.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "n_hits", "total_tf", "rank")
+    )

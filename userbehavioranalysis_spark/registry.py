@@ -4797,6 +4797,115 @@ def q_events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_roundtrip(spark, sf_dir, "orc")
 
 
+@query(
+    "keyword_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_T.TOKENS_DUCK}) AS t FROM documents
+    ),
+    postings AS (
+        SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ),
+    hits AS (SELECT * FROM postings WHERE t IN ('spark', 'window')),
+    per_doc AS (
+        SELECT doc_id, CAST(count(DISTINCT t) AS BIGINT) AS n_hits,
+               CAST(sum(tf) AS BIGINT) AS total_tf
+        FROM hits GROUP BY 1
+    ),
+    ranked AS (
+        SELECT doc_id, n_hits, total_tf,
+               CAST(row_number() OVER (ORDER BY total_tf DESC, doc_id ASC)
+                    AS INTEGER) AS rank
+        FROM per_doc WHERE n_hits = 2
+    )
+    SELECT * FROM ranked WHERE rank <= 10
+    """,
+)
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search over an inverted index (posting
+    table), ranked by summed term frequency — the retrieval/example-
+    mining shape; postings persist bucketed-by-token at scale."""
+    from userbehavioranalysis_spark.operators.text_analysis import keyword_search
+
+    return keyword_search(_tables(spark, sf_dir)["documents"])
+
+
+@query(
+    "dq_audit",
+    oracle="""
+    SELECT 'lineitem.quantity_not_null' AS rule,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.discount_in_[0,1]',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.extendedprice_positive',
+           CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders.totalprice_positive',
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.status_in_domain',
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.custkey_fk_customer', CAST(count(*) AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem.orderkey_fk_orders', CAST(count(*) AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders.orderkey_unique',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    """,
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations audit (dbt-test/Deequ stage): all
+    single-table rules compile to ONE conditional-agg pass per table;
+    FK orphans are counted LEFT ANTI joins."""
+    from userbehavioranalysis_spark.operators.dataquality import dq_audit
+
+    t = _tables(spark, sf_dir)
+    return dq_audit(t["orders"], t["lineitem"], t["customer"])
+
+
+@query(
+    "events_schema_evolution",
+    oracle="""
+    SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id,
+           CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type,
+           CASE WHEN event_id % 2 = 1 THEN round(value, 2) END AS value_r2
+    FROM events
+    """,
+)
+def q_events_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeSchema ingest across two differently-shaped parquet batches
+    (an early narrow export + a widened one): history surfaces NULLs in
+    the added columns, no rewrite — value-hashed against the original
+    table."""
+    from userbehavioranalysis_spark.sources.formats import events_schema_evolution
+
+    return events_schema_evolution(spark, sf_dir)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering + rotation plan
 # --------------------------------------------------------------------------

@@ -95,3 +95,43 @@ def events_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         F.round("value", 2).alias("value_r2"),
         "props",
     )
+
+
+def events_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution ingest: two parquet batches with DIFFERENT
+    schemas (an early narrow export, then a widened one) read as one
+    table via ``mergeSchema`` — old rows surface NULL in the added
+    columns.
+
+    The 100 TB relevance: long-lived corpora accrete columns; the
+    reader must union schemas WITHOUT a rewrite of history.
+    ``mergeSchema`` pays a footer read per file at planning (why it is
+    off by default) — production pins the merged schema in a metastore
+    and reads with an explicit schema instead; this exercises the
+    discovery path.  The split is deterministic (event_id parity), so
+    the merged table value-hashes against an oracle on the original.
+    """
+    events = load_testdata(spark, sf_dir)["events"]
+    stage = _STAGE_CACHE.get((sf_dir, "evolve"))
+    if stage is None or not os.path.isdir(os.path.join(stage, "t")):
+        stage = tempfile.mkdtemp(prefix="uba_fmt_evolve_")
+        base = events.select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value_r2"),
+        )
+        narrow = base.where(F.pmod("event_id", F.lit(2)) == 0).select(
+            "event_id", "ts_us", "user_id"
+        )
+        wide = base.where(F.pmod("event_id", F.lit(2)) == 1)
+        narrow.write.parquet(os.path.join(stage, "t", "batch=0"))
+        wide.write.parquet(os.path.join(stage, "t", "batch=1"))
+        _STAGE_CACHE[(sf_dir, "evolve")] = stage
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(os.path.join(stage, "t"))
+    )
+    return merged.select("event_id", "ts_us", "user_id", "event_type", "value_r2")
