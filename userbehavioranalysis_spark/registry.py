@@ -4928,13 +4928,16 @@ def q_events_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 #              Q20, attribution/sessions/anomaly/lags, stratified +
 #              importance sampling, image_phash_dedup, audio_chunks,
 #              video_frame_sample, item_pagerank, token_cms_estimates,
-#              and the round-3 wave: bloom_filter_join, scd2_user_state,
-#              histogram_quantiles + streaming_histogram_replay,
-#              temperature_mixture, item_triangles, events_jsonl/orc
-#              round-trips) through slots 27-50 while keeping ref_* +
-#              streaming_* pinned; tests/test_registry.py runs
-#              tools/oracle_check.py on a random sample each round so
-#              rotated-out queries cannot rot unnoticed.
+#              and the round-3 waves: bloom_filter_join, scd2_user_state,
+#              histogram_quantiles, temperature_mixture, item_triangles,
+#              events_jsonl/orc round-trips, uv_hll_portable,
+#              salted_type_enrich, incremental_page_view,
+#              ann_topk_lsh_indexed, vocab_coverage, merge_upsert_users,
+#              keyword_search, dq_audit, events_schema_evolution)
+#              through slots 27-50 while keeping ref_* + streaming_*
+#              pinned; tests/test_registry.py runs tools/oracle_check.py
+#              on a random sample each round so rotated-out queries
+#              cannot rot unnoticed.
 _DRIVER_WINDOW = [
     # reference-fixture parity: the literal CSV/log fixtures from the
     # reference repo through the same operator bodies (LoginFail.scala:25,
