@@ -10,12 +10,14 @@ which measures a *different* data distribution, not scale).
 Construction (deterministic, structure-preserving):
 
 - **documents**: N replicas of the sf0.1 corpus, each with a bijective
-  vocabulary rotation applied to its tokens.  The corpus has a closed
-  31-word vocabulary; the rotation cycles the 30 non-marker words by
-  ``r`` positions and FIXES the language-marker word ``'a'``, so
-  language-ID, stopword ratio, and quality score are preserved exactly
-  per replica, while shingles/minhashes/simhashes never collide across
-  replicas (different shifts map every non-marker word differently).
+  vocabulary permutation applied to its tokens.  The corpus has a
+  closed 31-word vocabulary; each replica permutes the 30 non-marker
+  words by a replica-seeded Fisher-Yates draw and FIXES the
+  language-marker word ``'a'``, so language-ID, stopword ratio, and
+  quality score are preserved exactly per replica, while shingles/
+  minhashes/simhashes (almost surely) never collide across replicas —
+  and unlike a cyclic shift, the permutation space (30!) does not wrap
+  at N=30.
   Result: per-replica duplicate/near-duplicate structure identical to
   sf0.1, candidate pairs scale exactly N×.
 - **embeddings**: N replicas with a per-replica deterministic ±1 sign
@@ -69,7 +71,20 @@ def _vocab(spark, src):
 
 
 def _rotated_docs(docs, fixed, rotating, r: int):
-    mapping = {w: rotating[(i + r) % len(rotating)] for i, w in enumerate(rotating)}
+    # replica r gets a SEEDED PERMUTATION of the non-marker vocabulary,
+    # not a cyclic shift: only len(rotating)=30 distinct shifts exist,
+    # so at N>30 replicas would share a mapping and cross-replica EXACT
+    # duplicates appear — near-dup families then grow ~(N/30)× and
+    # pair-emitting operators square that (observed at N=100: the
+    # simhash block join spilled >79 GB and filled the disk).  A
+    # replica-seeded Fisher-Yates draw from 30! keeps every replica's
+    # mapping distinct (collision odds ~N²/30! ≈ 0) while remaining a
+    # bijection, so per-replica structure is still preserved exactly.
+    import random as _random
+
+    perm = list(rotating)
+    _random.Random(0xC0FFEE + r).shuffle(perm)
+    mapping = {w: perm[i] for i, w in enumerate(rotating)}
     for w in fixed:
         mapping[w] = w
     if r == 0:

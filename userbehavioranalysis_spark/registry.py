@@ -670,12 +670,13 @@ _NGRAM_ORACLE = f"""
         SELECT doc_id, n_sh, {_T.h64_duck('shingle')} AS sh_h FROM sh0
     ), sh AS (
         -- same df cutoff as the Spark operator: drop df=1 (can't
-        -- intersect) and df > max(2, floor(0.1 * n_docs)) stop-shingles
+        -- intersect) and df > min(512, max(2, floor(0.1 * n_docs)))
+        -- stop-shingles (the absolute term is the df² scale guard)
         SELECT doc_id, n_sh, sh_h FROM (
             SELECT *, count(*) OVER (PARTITION BY sh_h) AS df FROM sh1
         )
         WHERE df >= 2
-          AND df <= greatest(2, CAST(floor(0.1 * (SELECT count(*) FROM documents)) AS BIGINT))
+          AND df <= least(512, greatest(2, CAST(floor(0.1 * (SELECT count(*) FROM documents)) AS BIGINT)))
     ), inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.n_sh AS n_a, b.n_sh AS n_b,
@@ -4904,6 +4905,42 @@ def q_events_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from userbehavioranalysis_spark.sources.formats import events_schema_evolution
 
     return events_schema_evolution(spark, sf_dir)
+
+
+_WH0 = "list_transform(toks, w -> ('0x' || substr(md5('0#' || w), 1, 15))::BIGINT)"
+_WH1 = "list_transform(toks, w -> ('0x' || substr(md5('1#' || w), 1, 15))::BIGINT)"
+
+
+@query(
+    "dedup_simhash_wide",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, list_distinct({_T.TOKENS_DUCK}) AS toks FROM documents
+    ),
+    h AS (
+        SELECT doc_id, {_WH0} AS wh0, {_WH1} AS wh1 FROM t
+    ),
+    sk AS (
+        SELECT doc_id,
+               {_T.simhash_duck(63, 'wh0')} AS sh0,
+               {_T.simhash_duck(63, 'wh1')} AS sh1
+        FROM h
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1))
+                AS INTEGER) AS hamming
+    FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1)) <= 8
+    """,
+)
+def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide (126-bit) SimHash near-dup pairs — the stated scale path
+    for the 63-bit pigeonhole blocking, whose 7-bit segments collide
+    every 2⁷ sketches (~n²/2⁷ candidates; >79 GB spill measured at
+    500k docs).  14-bit segments cut random candidates 2⁷×."""
+    from userbehavioranalysis_spark.operators.dedup import simhash_wide_pairs
+
+    return simhash_wide_pairs(_tables(spark, sf_dir)["documents"])
 
 
 # --------------------------------------------------------------------------
