@@ -453,3 +453,88 @@ def test_substring_spans_flags_verbatim_boilerplate(spark):
     assert res[0]["flagged"] == 1
     assert res[2]["n_shared_spans"] == 0 and res[2]["flagged"] == 0
     assert (res[3]["n_spans"], res[3]["flagged"]) == (0, 0)
+
+
+def _py_wide_sketch(text, word):
+    """Pure-Python reference for one 63-bit word of the wide sketch:
+    md5-top-15-hex word hashes seeded '<word>#', majority vote per bit."""
+    import hashlib
+
+    toks = set(text.split())
+    sh = 0
+    for i in range(63):
+        v = sum(
+            1
+            if (int(hashlib.md5(f"{word}#{w}".encode()).hexdigest()[:15], 16) >> i) & 1
+            else -1
+            for w in toks
+        )
+        if v > 0:
+            sh |= 1 << i
+    return sh
+
+
+def test_simhash_wide_matches_python_reference(spark):
+    """Blocked wide-simhash pairs == brute-force over independently
+    computed 126-bit sketches — pins sketch construction AND proves the
+    word-local pigeonhole blocking is lossless."""
+    from userbehavioranalysis_spark.operators.dedup import simhash_wide_pairs
+
+    near = BASE.replace("today", "tonight")
+    texts = [
+        BASE,
+        near,
+        BASE,  # exact dup of 0 -> hamming 0
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+    ]
+    max_h = 30  # wide threshold: 31 segments of ~4 bits, stresses blocking
+    sk = [(_py_wide_sketch(t, 0), _py_wide_sketch(t, 1)) for t in texts]
+    expected = {
+        (a, b, bin(sk[a][0] ^ sk[b][0]).count("1") + bin(sk[a][1] ^ sk[b][1]).count("1"))
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        if bin(sk[a][0] ^ sk[b][0]).count("1") + bin(sk[a][1] ^ sk[b][1]).count("1")
+        <= max_h
+    }
+    docs = _docs(spark, texts)
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_wide_pairs(docs, max_hamming=max_h).collect()
+    }
+    assert got == expected
+    assert (0, 2, 0) in got  # the exact-dup pair
+
+
+def test_simhash_wide_subset_of_63bit_at_same_threshold(spark):
+    """8/126 bits is a STRICTER relative cut than 8/63: on a dup-dense
+    corpus the wide operator's pair set must be no larger, and near
+    dups must still surface."""
+    from userbehavioranalysis_spark.operators.dedup import simhash_wide_pairs
+
+    near = BASE.replace("today", "tonight")
+    other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(spark, [BASE, near, other])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_wide_pairs(docs, max_hamming=30).collect()
+    }
+    assert (0, 1) in pairs
+    assert pairs.get((0, 2), 999) > pairs[(0, 1)]
+
+
+def test_ngram_absolute_df_cap_drops_stop_shingles(spark):
+    """The absolute df cap (the df^2 scale guard) must drop shingles
+    above it even when the fractional cap would keep them."""
+    # shingle 'x y' appears in all 3 docs (df=3); every other shingle
+    # is unique (df=1, uncovered by the df>=2 floor)
+    docs = _docs(spark, ["x y a", "x y b", "x y c"])
+    uncapped = ngram_jaccard_pairs(
+        docs, shingle_k=2, jaccard_num=1, jaccard_den=10, max_df_frac=1.0
+    ).collect()
+    assert len(uncapped) == 3  # all pairs intersect on 'x y'
+    capped = ngram_jaccard_pairs(
+        docs, shingle_k=2, jaccard_num=1, jaccard_den=10,
+        max_df_frac=1.0, max_df_abs=2,
+    ).collect()
+    assert capped == []  # df=3 > abs cap 2 -> the only shared shingle drops
