@@ -4943,6 +4943,51 @@ def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_wide_pairs(_tables(spark, sf_dir)["documents"])
 
 
+@query(
+    "dedup_clusters_wide",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, list_distinct({_T.TOKENS_DUCK}) AS toks FROM documents
+    ),
+    h AS (
+        SELECT doc_id, {_WH0} AS wh0, {_WH1} AS wh1 FROM t
+    ),
+    sk AS (
+        SELECT doc_id,
+               {_T.simhash_duck(63, 'wh0')} AS sh0,
+               {_T.simhash_duck(63, 'wh1')} AS sh1
+        FROM h
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1)) <= 8
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+        SELECT a AS doc, a AS r FROM edges
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc
+    )
+    SELECT doc AS doc_id, min(r) AS cluster_id,
+           (doc = min(r)) AS is_canonical
+    FROM reach GROUP BY doc
+    """,
+)
+def q_dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop clustering step over WIDE-simhash edges — the
+    end-to-end 100 TB path: 126-bit sketches keep the candidate join
+    ~n·dup_density instead of the 63-bit n²/2⁷ wall, and the
+    pointer-jumping components consume whatever edge set they are
+    given, so the pair generator is the only scale-sensitive stage."""
+    from userbehavioranalysis_spark.operators.dedup import simhash_wide_pairs
+
+    pairs = simhash_wide_pairs(_tables(spark, sf_dir)["documents"])
+    return _dedup.dedup_clusters(pairs)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering + rotation plan
 # --------------------------------------------------------------------------
