@@ -85,6 +85,8 @@ HEADLINERS = [
     ("incremental_page_view", "MV merge — snapshot enters pre-reduced, delta-sized exchange"),
     ("ann_topk_lsh_indexed", "partition-pruned index probe — PartitionFilters on (band, band_val)"),
     ("events_jsonl_roundtrip", "schema-explicit JSONL scan — no inference pass"),
+    ("dedup_simhash_wide", "126-bit sketch — one 126-vote HashAggregate, 14-bit segment join"),
+    ("dedup_clusters_wide", "keep/drop over wide edges — scale-guarded pair generator"),
 ]
 
 
