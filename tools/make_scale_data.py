@@ -9,15 +9,19 @@ which measures a *different* data distribution, not scale).
 
 Construction (deterministic, structure-preserving):
 
-- **documents**: N replicas of the sf0.1 corpus, each with a bijective
-  vocabulary permutation applied to its tokens.  The corpus has a
-  closed 31-word vocabulary; each replica permutes the 30 non-marker
-  words by a replica-seeded Fisher-Yates draw and FIXES the
-  language-marker word ``'a'``, so language-ID, stopword ratio, and
-  quality score are preserved exactly per replica, while shingles/
-  minhashes/simhashes (almost surely) never collide across replicas —
-  and unlike a cyclic shift, the permutation space (30!) does not wrap
-  at N=30.
+- **documents**: N replicas of the sf0.1 corpus, each with its
+  non-marker words renamed through a replica-seeded LETTER CIPHER
+  (a bijection on 'a'-'z' applied per word).  Replica vocabularies are
+  therefore DISJOINT character strings — unlike a permutation *within*
+  the closed 31-word vocabulary, under which every replica draws its
+  shingles and sketch hashes from the same little space and dfs/
+  sketches ALIAS across replicas (measured at N=100: every 3-gram
+  shingle's df inflated ~100×, so the df-capped ngram join returned 0
+  rows, and cross-replica sketch proximity inflated simhash pairs
+  5300× instead of 100×).  The cipher preserves word LENGTH, and the
+  language-marker words present in the vocabulary ('a', 'the') are
+  FIXED, so language-ID, stopword ratio, mean token length, n_chars
+  and quality score are all preserved exactly per replica.
   Result: per-replica duplicate/near-duplicate structure identical to
   sf0.1, candidate pairs scale exactly N×.
 - **embeddings**: N replicas with a per-replica deterministic ±1 sign
@@ -57,6 +61,10 @@ from userbehavioranalysis_spark import schemas
 ID_STRIDE = 1_000_000  # doc_id/vec_id offset per replica
 
 
+_MARKERS = {"the", "a", "of", "and", "le", "la", "et", "les", "el", "de", "y",
+            "der", "die", "und", "das"}  # operators/text_analysis.LANG_MARKERS
+
+
 def _vocab(spark, src):
     rows = (
         spark.read.parquet(os.path.join(src, "documents.parquet"))
@@ -65,26 +73,38 @@ def _vocab(spark, src):
         .collect()
     )
     words = sorted(r["w"] for r in rows)
-    fixed = [w for w in words if w == "a"]
-    rotating = [w for w in words if w != "a"]
+    fixed = [w for w in words if w in _MARKERS]
+    rotating = [w for w in words if w not in _MARKERS]
     return fixed, rotating
 
 
 def _rotated_docs(docs, fixed, rotating, r: int):
-    # replica r gets a SEEDED PERMUTATION of the non-marker vocabulary,
-    # not a cyclic shift: only len(rotating)=30 distinct shifts exist,
-    # so at N>30 replicas would share a mapping and cross-replica EXACT
-    # duplicates appear — near-dup families then grow ~(N/30)× and
-    # pair-emitting operators square that (observed at N=100: the
-    # simhash block join spilled >79 GB and filled the disk).  A
-    # replica-seeded Fisher-Yates draw from 30! keeps every replica's
-    # mapping distinct (collision odds ~N²/30! ≈ 0) while remaining a
-    # bijection, so per-replica structure is still preserved exactly.
+    # replica r renames every non-marker word through a seeded LETTER
+    # CIPHER (bijection on 'a'-'z'), giving replicas DISJOINT
+    # vocabularies.  A permutation WITHIN the closed 31-word vocabulary
+    # does not: all replicas then share one tiny shingle/sketch space,
+    # dfs alias across replicas (every 3-gram df inflated ~N×; the
+    # df-capped ngram join returned 0 rows at N=100) and sketch
+    # proximity goes quadratic (simhash pairs grew 5300× instead of
+    # 100×; the 63-bit block join spilled >79 GB).  The cipher keeps
+    # word length (n_chars, mean token length exact) and is injective
+    # within a replica; cross-replica same-length word collisions have
+    # odds ~26^-4 per pair — harmless df noise, not systematic aliasing.
     import random as _random
 
-    perm = list(rotating)
-    _random.Random(0xC0FFEE + r).shuffle(perm)
-    mapping = {w: perm[i] for i, w in enumerate(rotating)}
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    seed = 0xC0FFEE + r
+    while True:
+        perm = list(letters)
+        _random.Random(seed).shuffle(perm)
+        cipher = str.maketrans(letters, "".join(perm))
+        mapping = {w: w.translate(cipher) for w in rotating}
+        # a ciphered word colliding with a FIXED marker would leak into
+        # the language/stopword stats; bump the seed (never observed,
+        # but 26^-3 per 3-letter word is not zero)
+        if not set(mapping.values()) & set(fixed):
+            break
+        seed += 1_000_003
     for w in fixed:
         mapping[w] = w
     if r == 0:
