@@ -538,3 +538,37 @@ def test_ngram_absolute_df_cap_drops_stop_shingles(spark):
         max_df_frac=1.0, max_df_abs=2,
     ).collect()
     assert capped == []  # df=3 > abs cap 2 -> the only shared shingle drops
+
+
+def test_embedding_dedup_lsh_recall_and_exactness(spark):
+    """Bucketed near-dup pairs on clustered vectors: high recall of the
+    exact all-pairs result, and NEVER a pair the exact filter rejects
+    (candidates may miss, the cosine verify may not lie)."""
+    import random
+
+    from userbehavioranalysis_spark.operators.dedup import (
+        embedding_dedup_lsh,
+        embedding_dedup_pairs,
+    )
+
+    rng = random.Random(23)
+    vecs = []
+    for c in range(5):
+        center = [0.0] * 16
+        center[c * 3] = 1.0
+        center[c * 3 + 1] = 0.6
+        for _ in range(10):
+            vecs.append([x + rng.uniform(-0.04, 0.04) for x in center])
+    emb = _embs(spark, vecs)
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_dedup_pairs(emb, min_cosine=0.8).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_dedup_lsh(emb, min_cosine=0.8).collect()
+    }
+    assert lsh <= exact  # exact verify: no false pairs, ever
+    assert len(exact) > 0
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH dedup recall {recall}"

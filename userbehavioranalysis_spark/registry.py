@@ -4988,6 +4988,47 @@ def q_dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.dedup_clusters(pairs)
 
 
+@query(
+    "dedup_embedding_lsh",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ve,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000000) AS BIGINT)) AS qint
+        FROM embeddings
+    ), dots AS (
+        -- integer hyperplane dot: exact, order-independent, matches the
+        -- Spark aggregate() fold bit-for-bit (operators/similarity.py)
+        SELECT vec_id, t.p,
+               list_sum(list_transform(range(0, len(qint)),
+                   d -> qint[d + 1] *
+                        (((t.p * 64 + d) * 2654435761) % 4294967296 - 2147483648))) AS dot
+        FROM v CROSS JOIN range(0, 128) t(p)
+    ), bands AS (
+        SELECT vec_id, p // 16 AS band,
+               CAST(sum(CASE WHEN dot > 0 THEN (1 << (p % 16)) ELSE 0 END) AS BIGINT) AS band_val
+        FROM dots GROUP BY vec_id, p // 16
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+    )
+    SELECT cand.vec_a, cand.vec_b
+    FROM cand JOIN v a ON a.vec_id = cand.vec_a
+              JOIN v b ON b.vec_id = cand.vec_b
+    WHERE list_sum(list_transform(range(1, len(a.ve) + 1), i -> a.ve[i] * b.ve[i]))
+          >= a.nrm * b.nrm * 0.4
+    """,
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic embedding near-dup pairs: banded hyperplane LSH
+    candidates (integer-exact signatures → deterministic, hash-checkable
+    unlike sampled ANN) + exact cosine verify within candidates — the
+    100 TB path beside the exact-but-O(n²) dedup_embedding_cosine."""
+    return _dedup.embedding_dedup_lsh(_tables(spark, sf_dir)["embeddings"])
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering + rotation plan
 # --------------------------------------------------------------------------
