@@ -14,10 +14,11 @@ Three paths with identical output shape and a shared cosine kernel:
 - ``ann_topk_lsh``     the second scale path: random-hyperplane LSH.
   Unlike IVF it needs no training pass, and unlike most LSH builds it
   is **exactly reproducible across engines**: embeddings are quantized
-  to integers (round(x·1e6)) and hyperplanes are integers derived from
-  a Knuth-LCG formula, so every signature bit is exact 64-bit integer
-  arithmetic — no float summation order to diverge — and a DuckDB
-  oracle hash-matches the full candidate set and ranking.
+  to integers (round(x·1e6)) and hyperplanes are an md5-derived integer
+  matrix inlined as a literal on both engines, so every signature bit
+  is exact 64-bit integer arithmetic — no float summation order to
+  diverge — and a DuckDB oracle hash-matches the full candidate set
+  and ranking.
 
 All vector math is columnar (``aggregate``/``zip_with`` folds over
 ``array<double>``) — JVM codegen, no UDFs, deterministic fold order so
@@ -249,24 +250,79 @@ def _assign_udf(cmat):
     return assign
 
 
+def _plane_matrix(n_planes: int, dim: int = 64) -> tuple[tuple[int, ...], ...]:
+    """``n_planes × dim`` INDEPENDENT integer hyperplanes.
+
+    Coefficient ``(p, d)`` is the top 8 hex digits of
+    ``md5('pl#<p>#<d>')`` recentred to ``[−2³¹, 2³¹)`` — computed once
+    in Python and inlined as a literal array on BOTH engines, so the
+    signature stays integer-exact and cross-engine reproducible.
+
+    Why not a formula inside the SQL expression: the original
+    ``plane(p,d) = ((p·64+d)·K) mod 2³²`` Knuth sweep makes consecutive
+    planes differ by the CONSTANT step ``64K`` — the planes are a
+    lattice, not independent draws, and the signature bit sequence
+    ``sign(A + p·B + wrap-noise)`` has low entropy.  Measured effect:
+    band values concentrated on a handful of alternating-bit patterns
+    (0xAB55 et al.), and on the 100×-replica corpus the (band,
+    band_val) buckets grew 72× instead of staying corpus-fraction-flat
+    — 435 M candidate pairs instead of ~5 M, filling the disk.
+    Independent md5 draws fix the entropy at the source.
+    """
+    import hashlib
+
+    return tuple(
+        tuple(
+            int(hashlib.md5(f"pl#{p}#{d}".encode()).hexdigest()[:8], 16) - (1 << 31)
+            for d in range(dim)
+        )
+        for p in range(n_planes)
+    )
+
+
+def _planes_spark(n_planes: int, dim: int = 64) -> str:
+    rows = ", ".join(
+        "array(" + ", ".join(str(c) for c in row) + ")"
+        for row in _plane_matrix(n_planes, dim)
+    )
+    return f"array({rows})"
+
+
+def _planes_duck_values(n_planes: int, dim: int = 64) -> str:
+    """DuckDB ``VALUES`` rows ``(p, pl)`` for the plane matrix.
+
+    A CTE table, not an inline literal: indexing a literal
+    list-of-lists inside a lambda makes DuckDB rebuild the whole
+    8192-element value per evaluation (measured: the sf0.01 oracle went
+    from instant to >10 min); a VALUES scan materializes each row
+    once and the cross join reuses it.
+    """
+    return ", ".join(
+        f"({p}, [" + ", ".join(str(c) for c in row) + "])"
+        for p, row in enumerate(_plane_matrix(n_planes, dim))
+    )
+
+
 def _lsh_bands(df: DataFrame, id_col: str, n_planes: int, band_bits: int) -> DataFrame:
     """(id, band, band_val) rows — one per LSH band of each vector.
 
     Signature bit ``p`` is ``sign(Σ_d qint[d] · plane(p,d))`` where
-    ``qint[d] = round(embedding[d]·1e6)`` and
-    ``plane(p,d) = ((p·64+d)·2654435761) mod 2³² − 2³¹`` — a Knuth
-    multiplicative-hash hyperplane.  All integer math (max |term| ≈
-    2·10¹⁵, ×64 dims ≈ 10¹⁷ ≪ 2⁶³), evaluated by a JVM higher-order
-    ``aggregate`` fold: exact, order-independent, and reproducible
-    verbatim in the DuckDB oracle.  Bits are grouped ``band_bits`` per
-    band; two vectors are candidates iff some band value collides.
+    ``qint[d] = round(embedding[d]·1e6)`` and ``plane`` comes from the
+    md5-derived literal matrix of :func:`_plane_matrix` (see there for
+    why the planes must be independent draws, not a formula sweep).
+    All integer math (max |term| ≈ 2·10¹⁵, ×64 dims ≈ 10¹⁷ ≪ 2⁶³),
+    evaluated by a JVM higher-order ``aggregate`` fold: exact,
+    order-independent, and reproducible verbatim in the DuckDB oracle.
+    Bits are grouped ``band_bits`` per band; two vectors are candidates
+    iff some band value collides.
     """
-    dims = "size(embedding)"
+    # fold over the EMBEDDING's dims (vectors may be narrower than the
+    # 64-wide plane matrix; never wider — element_at(pl, ...) pins it)
     bits = (
-        f"transform(sequence(0, {n_planes - 1}), p -> "
-        f"  aggregate(sequence(0, {dims} - 1), cast(0 as bigint), "
+        f"transform({_planes_spark(n_planes)}, pl -> "
+        "  aggregate(sequence(0, size(embedding) - 1), cast(0 as bigint), "
         "    (acc, d) -> acc + cast(round(element_at(embedding, d + 1) * 1000000) as bigint)"
-        "      * (pmod((p * 64 + d) * 2654435761, 4294967296) - 2147483648)) > 0)"
+        "      * element_at(pl, d + 1)) > 0)"
     )
     n_bands = n_planes // band_bits
     band_val = " + ".join(

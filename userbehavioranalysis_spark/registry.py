@@ -522,6 +522,7 @@ def q_tx_match_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from userbehavioranalysis_spark.functions import text as _T  # noqa: E402
 from userbehavioranalysis_spark.operators import dedup as _dedup  # noqa: E402
+from userbehavioranalysis_spark.operators import similarity as _sim  # noqa: E402
 
 
 @query(
@@ -752,21 +753,24 @@ def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_topk_lsh",
-    oracle="""
+    oracle=f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS ve,
                sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm,
                list_transform(embedding::DOUBLE[],
                               x -> CAST(round(x * 1000000) AS BIGINT)) AS qint
         FROM embeddings
+    ), planes AS (
+        SELECT * FROM (VALUES {_sim._planes_duck_values(16)}) t(p, pl)
     ), dots AS (
-        -- integer hyperplane dot: exact, order-independent, matches the
-        -- Spark aggregate() fold bit-for-bit (operators/similarity.py)
-        SELECT vec_id, t.p,
+        -- integer hyperplane dot against the md5-derived plane matrix
+        -- (a VALUES CTE so the literal materializes once): exact,
+        -- order-independent, matches the Spark aggregate() fold
+        -- bit-for-bit (operators/similarity.py)
+        SELECT vec_id, planes.p,
                list_sum(list_transform(range(0, len(qint)),
-                   d -> qint[d + 1] *
-                        (((t.p * 64 + d) * 2654435761) % 4294967296 - 2147483648))) AS dot
-        FROM v CROSS JOIN range(0, 16) t(p)
+                   d -> qint[d + 1] * planes.pl[d + 1])) AS dot
+        FROM v CROSS JOIN planes
     ), bands AS (
         SELECT vec_id, p // 4 AS band,
                CAST(sum(CASE WHEN dot > 0 THEN (1 << (p % 4)) ELSE 0 END) AS BIGINT) AS band_val
@@ -4990,21 +4994,24 @@ def q_dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_lsh",
-    oracle="""
+    oracle=f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS ve,
                sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm,
                list_transform(embedding::DOUBLE[],
                               x -> CAST(round(x * 1000000) AS BIGINT)) AS qint
         FROM embeddings
+    ), planes AS (
+        SELECT * FROM (VALUES {_sim._planes_duck_values(128)}) t(p, pl)
     ), dots AS (
-        -- integer hyperplane dot: exact, order-independent, matches the
-        -- Spark aggregate() fold bit-for-bit (operators/similarity.py)
-        SELECT vec_id, t.p,
+        -- integer hyperplane dot against the md5-derived plane matrix
+        -- (a VALUES CTE so the literal materializes once): exact,
+        -- order-independent, matches the Spark aggregate() fold
+        -- bit-for-bit (operators/similarity.py)
+        SELECT vec_id, planes.p,
                list_sum(list_transform(range(0, len(qint)),
-                   d -> qint[d + 1] *
-                        (((t.p * 64 + d) * 2654435761) % 4294967296 - 2147483648))) AS dot
-        FROM v CROSS JOIN range(0, 128) t(p)
+                   d -> qint[d + 1] * planes.pl[d + 1])) AS dot
+        FROM v CROSS JOIN planes
     ), bands AS (
         SELECT vec_id, p // 16 AS band,
                CAST(sum(CASE WHEN dot > 0 THEN (1 << (p % 16)) ELSE 0 END) AS BIGINT) AS band_val
