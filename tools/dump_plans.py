@@ -87,6 +87,7 @@ HEADLINERS = [
     ("events_jsonl_roundtrip", "schema-explicit JSONL scan — no inference pass"),
     ("dedup_simhash_wide", "126-bit sketch — one 126-vote HashAggregate, 14-bit segment join"),
     ("dedup_clusters_wide", "keep/drop over wide edges — scale-guarded pair generator"),
+    ("dedup_embedding_lsh", "banded-LSH near-dup — bucket join candidates, cosine verify"),
 ]
 
 
