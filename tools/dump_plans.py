@@ -103,12 +103,22 @@ def main() -> None:
         "(`HashAggregate(keys=..., functions=[partial_...])`) before every",
         "`Exchange`, `WholeStageCodegen` spans covering the scan→agg spine.\n",
     ]
+    import re
+
     for name, why in HEADLINERS:
         df = QUERIES[name](spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        out.append(f"\n## {name}\n\n*{why}*\n\n```\n{buf.getvalue().strip()}\n```\n")
+        plan = buf.getvalue().strip()
+        # elide giant inline literals (the LSH plane matrix prints as
+        # ~8k comma-separated ints) — keep the plan readable
+        plan = re.sub(
+            r"(-?\d+, ?){32,}-?\d+",
+            "<int-literal-array elided>",
+            plan,
+        )
+        out.append(f"\n## {name}\n\n*{why}*\n\n```\n{plan}\n```\n")
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(path, "w") as f:
         f.write("\n".join(out))
