@@ -316,13 +316,28 @@ def _lsh_bands(df: DataFrame, id_col: str, n_planes: int, band_bits: int) -> Dat
     Bits are grouped ``band_bits`` per band; two vectors are candidates
     iff some band value collides.
     """
-    # fold over the EMBEDDING's dims (vectors may be narrower than the
-    # 64-wide plane matrix; never wider — element_at(pl, ...) pins it)
+    # The signature fold is CPU-bound (n_planes·dim fused ops per
+    # vector, interpreted HOF — ~4 ms/vector at 128 planes), while a
+    # vector row is ~dim·8 B: rebalancing to the session's core count
+    # costs one 512 B/vector round-robin pass and buys full-cluster
+    # parallelism even when the scan arrives as a handful of compacted
+    # parquet row groups (the driver testdata is ONE row group —
+    # unsplittable by maxPartitionBytes; measured 7.8 s → 0.4 s on 32
+    # cores at sf0.1).  defaultParallelism is total executor cores, so
+    # this also never *reduces* a wide scan below cluster width.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # quantize ONCE per vector, then fold each plane over the qint
+    # array (at 128 planes, quantizing inside the plane fold re-rounds
+    # every float 128× — measured 2× on the whole signature stage).
+    # zip_with pairs qint with the plane row, so vectors narrower than
+    # the 64-wide matrix pad with null→0 via coalesce.
+    qint = (
+        "transform(embedding, x -> cast(round(x * 1000000) as bigint))"
+    )
     bits = (
         f"transform({_planes_spark(n_planes)}, pl -> "
-        "  aggregate(sequence(0, size(embedding) - 1), cast(0 as bigint), "
-        "    (acc, d) -> acc + cast(round(element_at(embedding, d + 1) * 1000000) as bigint)"
-        "      * element_at(pl, d + 1)) > 0)"
+        "  aggregate(zip_with(qi, pl, (x, c) -> coalesce(x * c, cast(0 as bigint))), "
+        "    cast(0 as bigint), (acc, t) -> acc + t) > 0)"
     )
     n_bands = n_planes // band_bits
     band_val = " + ".join(
@@ -333,7 +348,8 @@ def _lsh_bands(df: DataFrame, id_col: str, n_planes: int, band_bits: int) -> Dat
     # InferFiltersFromGenerate clones the whole hyperplane fold into an
     # interpreted scan DataFilter (see functions/arrays.exploded)
     return (
-        df.withColumn("sig", F.expr(bits))
+        df.withColumn("qi", F.expr(qint))
+        .withColumn("sig", F.expr(bits))
         .select(
             F.col("vec_id").alias(id_col),
             F.posexplode_outer(
