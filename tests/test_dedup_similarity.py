@@ -572,3 +572,34 @@ def test_embedding_dedup_lsh_recall_and_exactness(spark):
     assert len(exact) > 0
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.9, f"LSH dedup recall {recall}"
+
+
+def test_lsh_plane_entropy_no_mega_buckets(spark):
+    """Hyperplane independence regression guard: on dispersed vectors
+    the (band, band_val) buckets must stay near-singleton.  The old
+    Knuth-sweep planes (plane(p,d) linear in p·64+d) concentrated band
+    values on a handful of alternating-bit patterns — buckets grew 72×
+    at the 100× corpus and the candidate join filled the disk."""
+    import random
+
+    from userbehavioranalysis_spark.operators.similarity import _lsh_bands
+
+    rng = random.Random(41)
+    vecs = []
+    for _ in range(400):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        n = sum(x * x for x in v) ** 0.5
+        vecs.append([x / n for x in v])
+    emb = _embs(spark, vecs)
+    sizes = [
+        r["c"]
+        for r in _lsh_bands(emb, "vec_id", 128, 16)
+        .groupBy("band", "band_val")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    # 400 random unit vectors over 2^16 values/band: collisions should
+    # be rare (expected max bucket ~2); the old planes produced
+    # buckets of 10+ here
+    assert max(sizes) <= 4, f"mega-bucket of {max(sizes)} — planes correlated?"
+    assert sum(sizes) == 400 * 8  # every vector contributes all 8 bands

@@ -26,9 +26,12 @@ HEAVY = [
     "dedup_minhash_lsh",
     "dedup_minhash_capped",
     "dedup_simhash",
+    "dedup_simhash_wide",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "dedup_clusters_wide",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "ann_topk_brute",
     "ann_topk_lsh",
     "ann_topk_ivf",
