@@ -603,3 +603,32 @@ def test_lsh_plane_entropy_no_mega_buckets(spark):
     # buckets of 10+ here
     assert max(sizes) <= 4, f"mega-bucket of {max(sizes)} — planes correlated?"
     assert sum(sizes) == 400 * 8  # every vector contributes all 8 bands
+
+
+def test_ann_pq_recall_on_clustered_data(spark):
+    """PQ+ADC+rerank must recover nearly all brute-force neighbors on
+    separable clusters, and a second run must reproduce identical rows
+    (codebooks/codes/ranks are deterministic per corpus)."""
+    import random
+
+    from userbehavioranalysis_spark.operators.embeddings import ann_topk_pq
+
+    rng = random.Random(31)
+    vecs = []
+    for c in range(6):
+        center = [0.0] * 16
+        center[c * 2] = 1.0
+        center[c * 2 + 1] = -0.8
+        for _ in range(15):
+            vecs.append([x + rng.uniform(-0.06, 0.06) for x in center])
+    emb = _embs(spark, vecs)
+    q = emb.filter(F.col("vec_id") < 4)
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_topk_brute(emb, q, k=5).collect()
+    }
+    rows = ann_topk_pq(emb, q, k=5, m=4, n_codes=16, rerank_n=20).collect()
+    pq = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(brute & pq) / len(brute)
+    assert recall >= 0.9, f"PQ recall {recall}"
+    again = ann_topk_pq(emb, q, k=5, m=4, n_codes=16, rerank_n=20).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -5036,6 +5036,21 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.embedding_dedup_lsh(_tables(spark, sf_dir)["embeddings"])
 
 
+# PQ codebooks are float k-means (deterministic per corpus but not
+# SQL-replayable): rows-only driver check + recall-vs-brute test, the
+# IVF precedent.
+@query("ann_topk_pq")
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 8×64-code codebooks → 8-byte codes
+    (32× lighter corpus scan than float32), ADC table-lookup shortlist,
+    exact-cosine rerank of the top-100 — the memory-bound ANN path
+    (FAISS IVFPQ shape) beside brute/LSH/IVF/int8."""
+    from userbehavioranalysis_spark.operators.embeddings import ann_topk_pq
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    return ann_topk_pq(emb, emb.filter(_F.col("vec_id") < 5))
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering + rotation plan
 # --------------------------------------------------------------------------
