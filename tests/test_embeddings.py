@@ -134,3 +134,34 @@ def test_audio_chunks_partial_tail_and_exact_rms(spark):
     assert [r.n_frames for r in rows] == [256] * 5 + [20]
     amp = 1000 + 3 % 20000
     assert all(r.peak == amp and r.rms == amp for r in rows)
+
+
+def test_pq_encode_code_contract(spark):
+    """Codes are (m) ints in [0, n_codes), one row per vector, and the
+    nearest-centroid property holds against numpy recomputation."""
+    import random
+
+    import numpy as np
+
+    from userbehavioranalysis_spark.operators.embeddings import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rng = random.Random(9)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(60)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    books = pq_codebooks(emb, m=4, n_codes=8, sample_n=60)
+    rows = pq_encode(emb, books).collect()
+    assert len(rows) == 60
+    got = {r["vec_id"]: r["codes"] for r in rows}
+    x = np.array(vecs)
+    for i in range(60):
+        codes = got[i]
+        assert len(codes) == 4 and all(0 <= c < 8 for c in codes)
+        for j in range(4):
+            xs = x[i, j * 4 : (j + 1) * 4]
+            d = ((books[j] - xs) ** 2).sum(axis=1)
+            assert codes[j] == int(d.argmin())

@@ -51,3 +51,19 @@ def test_driver_window_covers_reference_parity_and_streaming():
     # exist: only declared rows-only queries may lack one
     no_oracle = [n for n in window if n not in ORACLES]
     assert no_oracle == [], no_oracle
+
+
+def test_bench_scale_heavy_names_exist():
+    """tools/bench_scale.py's HEAVY list must name real registry
+    queries — a rename would otherwise only fail at measurement time."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_scale",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "bench_scale.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    missing = [n for n in mod.HEAVY if n not in QUERIES]
+    assert not missing, missing
