@@ -165,3 +165,32 @@ def test_pq_encode_code_contract(spark):
             xs = x[i, j * 4 : (j + 1) * 4]
             d = ((books[j] - xs) ** 2).sum(axis=1)
             assert codes[j] == int(d.argmin())
+
+
+def test_doc_embed_hashing_semantics(spark):
+    """Hashing-trick embeddings: unit norm, near-dup texts land close,
+    disjoint-vocabulary texts land near-orthogonal, and token COUNTS
+    (not just presence) shape the vector."""
+    from userbehavioranalysis_spark.operators.embeddings import doc_embed_hashing
+
+    base = "the quick brown fox jumps over the lazy dog by the river"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base.replace("river", "creek")),        # near dup
+            (2, "alpha beta gamma delta epsilon zeta"),  # disjoint vocab
+            (3, base + " " + base),                      # doubled counts
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["embedding"] for r in doc_embed_hashing(docs).collect()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    for v in got.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9  # unit norm
+    assert cos(got[0], got[1]) > 0.8
+    assert abs(cos(got[0], got[2])) < 0.5
+    # doubling every count leaves the normalized vector unchanged
+    assert cos(got[0], got[3]) > 0.999999

@@ -404,3 +404,64 @@ def ann_topk_pq(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def doc_embed_hashing(
+    documents: DataFrame, dim: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """Deterministic document embeddings via the hashing trick.
+
+    Each token OCCURRENCE adds ±1 to one of ``dim`` buckets (bucket =
+    portable 60-bit md5 hash mod dim; sign from an independent seeded
+    hash — the signed feature-hashing estimator, unbiased under hash
+    independence), and the integer count vector L2-normalizes to the
+    final embedding.  Everything before the final division is exact
+    integer arithmetic on the same md5 primitive the dedup family
+    uses, so the embedding — and anything built on it (ANN, cosine
+    dedup) — reproduces bit-for-bit in the DuckDB oracle: a fully
+    hash-checkable text→embed→search pipeline, which no float model
+    embedding can offer.
+
+    Scale: one map-only pass, no shuffle — the fold is O(dim·tokens)
+    per document and pipelines into the scan; the output column is the
+    input to the ANN/dedup operators, so at 100 TB this runs as the
+    embed stage of the corpus pipeline with zero extra exchanges.
+    """
+    from userbehavioranalysis_spark.functions.arrays import exploded
+
+    # explode per OCCURRENCE (counts matter for the hashing trick) and
+    # reduce through ONE HashAggregate of dim conditional sums — the
+    # simhash-vote shape: hashes computed once per token, partial agg
+    # map-side, a single doc_id exchange.  (A per-bucket HOF fold would
+    # re-hash every token dim× and CollapseProject defeats hoisting.)
+    toks = F.expr(f"split(trim({text_col}), '\\\\s+')")
+    h = "cast(conv(substr(md5(concat('e#', w)), 1, 15), 16, 10) as bigint)"
+    s = "cast(conv(substr(md5(concat('s#', w)), 1, 15), 16, 10) as bigint)"
+    words = exploded(documents.withColumn("_t", toks), F.col("_t"), "w", "doc_id")
+    words = words.select(
+        "doc_id",
+        F.expr(f"pmod({h}, {dim})").alias("b"),
+        F.expr(f"if(pmod({s}, 2) = 0, 1, -1)").alias("sg"),
+    )
+    sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("b") == d, F.col("sg")).otherwise(0)).alias(f"v{d}")
+            for d in range(dim)
+        ]
+    )
+    iv = "array(" + ", ".join(f"v{d}" for d in range(dim)) + ")"
+    norm = (
+        "sqrt(aggregate(iv, cast(0 as double),"
+        " (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    )
+    return (
+        sums.withColumn("iv", F.expr(iv))
+        .withColumn(
+            "embedding",
+            F.expr(
+                f"CASE WHEN {norm} = 0.0 THEN transform(iv, x -> 0.0d) "
+                f"ELSE transform(iv, x -> cast(x as double) / {norm}) END"
+            ),
+        )
+        .select("doc_id", "embedding")
+    )

@@ -5036,6 +5036,94 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.embedding_dedup_lsh(_tables(spark, sf_dir)["embeddings"])
 
 
+_HASH_EMBED_CTE = f"""
+    t AS (
+        SELECT doc_id, {_T.TOKENS_DUCK} AS toks FROM documents
+    ), pr AS (
+        -- hash each token occurrence ONCE to (bucket, sign)
+        SELECT doc_id, list_transform(toks, w -> struct_pack(
+            b := ('0x' || substr(md5('e#' || w), 1, 15))::BIGINT % 64,
+            sg := CASE WHEN ('0x' || substr(md5('s#' || w), 1, 15))::BIGINT % 2 = 0
+                       THEN 1 ELSE -1 END)) AS p
+        FROM t
+    ), iv AS (
+        SELECT doc_id, list_transform(range(0, 64), d ->
+            list_sum(list_transform(p, x -> CASE WHEN x.b = d THEN x.sg ELSE 0 END))) AS iv
+        FROM pr
+    ), emb AS (
+        SELECT doc_id, iv,
+               sqrt(list_sum(list_transform(iv, x -> (x::DOUBLE) * (x::DOUBLE)))) AS nrm
+        FROM iv
+    ), hemb AS (
+        SELECT doc_id,
+               CASE WHEN nrm = 0 THEN list_transform(iv, x -> 0.0)
+                    ELSE list_transform(iv, x -> x::DOUBLE / nrm) END AS embedding
+        FROM emb
+    )
+"""
+
+
+@query(
+    "doc_embed_hashing",
+    oracle=f"""
+    WITH {_HASH_EMBED_CTE}
+    SELECT doc_id, embedding FROM hemb
+    """,
+)
+def q_doc_embed_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature-hashing document embeddings: integer bucket
+    counts (portable md5) → L2 normalize.  The embed stage of a fully
+    hash-checkable text→embed→search pipeline — exact integer
+    arithmetic until the one IEEE-identical division."""
+    from userbehavioranalysis_spark.operators.embeddings import doc_embed_hashing
+
+    return doc_embed_hashing(_tables(spark, sf_dir)["documents"])
+
+
+@query(
+    "doc_ann_topk",
+    oracle=f"""
+    WITH {_HASH_EMBED_CTE},
+    v AS (
+        -- norm recomputed over the normalized vector (≈1 but not
+        -- exactly 1 in floats) to mirror the Spark side's _normed
+        SELECT doc_id AS vec_id, embedding AS ve,
+               sqrt(list_sum(list_transform(embedding, x -> x * x))) AS nrm
+        FROM hemb
+        WHERE list_sum(list_transform(embedding, x -> abs(x))) > 0
+    ), q AS (SELECT * FROM v WHERE vec_id < 5),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_sum(list_transform(range(1, len(q.ve) + 1),
+                                             i -> q.ve[i] * c.ve[i]))
+                     / (q.nrm * c.nrm), 6) AS cosine_r6
+        FROM q JOIN v c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_r6, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_r6 DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_doc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text→embed→search, exactly oracle-checked: hashing-
+    trick embeddings feed brute-force cosine top-10 — the composed
+    pipeline a retrieval corpus runs, with every stage reproducible in
+    SQL (no float model in the loop)."""
+    from userbehavioranalysis_spark.operators.embeddings import doc_embed_hashing
+    from userbehavioranalysis_spark.operators.similarity import ann_topk_brute
+
+    emb = doc_embed_hashing(_tables(spark, sf_dir)["documents"]).select(
+        _F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    emb = emb.filter(
+        _F.expr("aggregate(embedding, cast(0 as double), (acc, x) -> acc + abs(x)) > 0")
+    )
+    return ann_topk_brute(emb, emb.filter(_F.col("vec_id") < 5), k=10)
+
+
 # PQ codebooks are float k-means (deterministic per corpus but not
 # SQL-replayable): rows-only driver check + recall-vs-brute test, the
 # IVF precedent.
