@@ -5112,6 +5112,10 @@ def q_doc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick embeddings feed brute-force cosine top-10 — the composed
     pipeline a retrieval corpus runs, with every stage reproducible in
     SQL (no float model in the loop)."""
+    from userbehavioranalysis_spark.operators.cachepool import (
+        pooled_cache,
+        release_pooled,
+    )
     from userbehavioranalysis_spark.operators.embeddings import doc_embed_hashing
     from userbehavioranalysis_spark.operators.similarity import ann_topk_brute
 
@@ -5121,6 +5125,10 @@ def q_doc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = emb.filter(
         _F.expr("aggregate(embedding, cast(0 as double), (acc, x) -> acc + abs(x)) > 0")
     )
+    # one embed materialization shared by the corpus and query sides
+    # (without the barrier the hash+aggregate pipeline runs for each)
+    release_pooled()
+    emb = pooled_cache(emb)
     return ann_topk_brute(emb, emb.filter(_F.col("vec_id") < 5), k=10)
 
 
