@@ -67,3 +67,22 @@ def test_bench_scale_heavy_names_exist():
     spec.loader.exec_module(mod)
     missing = [n for n in mod.HEAVY if n not in QUERIES]
     assert not missing, missing
+
+
+def test_coverage_doc_names_resolve():
+    """Every `registry:<name>` claim in COVERAGE.md must resolve — a
+    rename would otherwise silently break the judge's coverage map.
+    (`registry:q_<name>` refers to the registry FUNCTION, checked via
+    the same query name.)"""
+    import os
+    import re
+
+    txt = open(
+        os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    ).read()
+    names = set(re.findall(r"registry:([a-z0-9_]+)", txt))
+    missing = sorted(
+        n for n in names
+        if (n[2:] if n.startswith("q_") else n) not in QUERIES
+    )
+    assert missing == [], missing
