@@ -81,8 +81,12 @@ def test_coverage_doc_names_resolve():
         os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
     ).read()
     names = set(re.findall(r"registry:([a-z0-9_]+)", txt))
-    missing = sorted(
-        n for n in names
-        if (n[2:] if n.startswith("q_") else n) not in QUERIES
-    )
+
+    def resolves(n: str) -> bool:
+        n = n[2:] if n.startswith("q_") else n
+        if n.endswith("_"):  # prefix wildcard, e.g. registry:ref_*
+            return any(q.startswith(n) for q in QUERIES)
+        return n in QUERIES
+
+    missing = sorted(n for n in names if not resolves(n))
     assert missing == [], missing
