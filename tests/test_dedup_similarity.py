@@ -632,3 +632,35 @@ def test_ann_pq_recall_on_clustered_data(spark):
     assert recall >= 0.9, f"PQ recall {recall}"
     again = ann_topk_pq(emb, q, k=5, m=4, n_codes=16, rerank_n=20).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ann_ivfpq_recall_on_clustered_data(spark):
+    """IVFPQ (coarse routing x PQ codes x exact rerank) must recover
+    nearly all brute-force neighbors when clusters are separable."""
+    import random
+
+    from userbehavioranalysis_spark.operators.embeddings import ann_topk_ivfpq
+    from userbehavioranalysis_spark.operators.similarity import assign_ivf_clusters
+
+    rng = random.Random(17)
+    vecs = []
+    for c in range(8):
+        center = [0.0] * 16
+        center[c * 2] = 1.0
+        center[c * 2 + 1] = 0.5
+        for _ in range(12):
+            vecs.append([x + rng.uniform(-0.05, 0.05) for x in center])
+    emb = _embs(spark, vecs)
+    clustered = assign_ivf_clusters(emb, n_clusters=8, iters=2)
+    q = emb.filter(F.col("vec_id") < 4)
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_topk_brute(emb, q, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_ivfpq(
+            clustered, q, k=5, cluster_col="cluster", m=4, n_codes=16, rerank_n=20
+        ).collect()
+    }
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.9, f"IVFPQ recall {recall}"

@@ -29,12 +29,12 @@ def test_no_function_registered_twice():
 def test_oracles_cover_all_but_documented_rows_only():
     assert set(ORACLES) <= set(QUERIES)
     rows_only = set(QUERIES) - set(ORACLES)
-    # the three approximate queries, each justified in its docstring —
+    # the four approximate queries, each justified in its docstring —
     # additions to this set need the same justification.  (media_features
-    # graduated to a hash oracle via magic-byte codec dispatch;
-    # ann_topk_pq's float k-means codebooks are not SQL-replayable —
-    # recall + determinism are pytest-pinned instead.)
-    assert rows_only == {"uv_approx", "ann_topk_ivf", "ann_topk_pq"}
+    # graduated to a hash oracle via magic-byte codec dispatch; the
+    # PQ/IVFPQ float k-means stages are not SQL-replayable — recall +
+    # determinism are pytest-pinned instead.)
+    assert rows_only == {"uv_approx", "ann_topk_ivf", "ann_topk_pq", "ann_topk_ivfpq"}
 
 
 def test_driver_window_covers_reference_parity_and_streaming():

@@ -5132,6 +5132,20 @@ def q_doc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_brute(emb, emb.filter(_F.col("vec_id") < 5), k=10)
 
 
+# IVFPQ composes two float-k-means stages: rows-only check + pytest
+# recall pins (on this crowded corpus it matches plain IVF's recall at
+# equal n_probe — the rerank fully recovers the PQ error — while the
+# probed scan touches only the 8-byte code column).
+@query("ann_topk_ivfpq")
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-IVFPQ-shaped ANN: coarse-cluster routing (partition
+    pruning at scale) × PQ-ADC code scan × exact top-100 rerank."""
+    from userbehavioranalysis_spark.operators.embeddings import ann_topk_ivfpq
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    return ann_topk_ivfpq(emb, emb.filter(_F.col("vec_id") < 5))
+
+
 # PQ codebooks are float k-means (deterministic per corpus but not
 # SQL-replayable): rows-only driver check + recall-vs-brute test, the
 # IVF precedent.
