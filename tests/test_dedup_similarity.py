@@ -664,3 +664,40 @@ def test_ann_ivfpq_recall_on_clustered_data(spark):
     }
     recall = len(brute & got) / len(brute)
     assert recall >= 0.9, f"IVFPQ recall {recall}"
+
+
+def test_ann_lsh_multiprobe_recall_superset(spark):
+    """Multi-probe candidates strictly extend single-probe: the result
+    set's recall vs brute is >= plain LSH's, and every plain-LSH hit
+    survives (the exact buckets are a subset of the probe set)."""
+    import random
+
+    from userbehavioranalysis_spark.operators.similarity import (
+        ann_topk_lsh,
+        ann_topk_lsh_multiprobe,
+    )
+
+    rng = random.Random(13)
+    vecs = []
+    for c in range(4):
+        center = [0.0] * 16
+        center[c * 4] = 1.0
+        center[c * 4 + 2] = 0.9
+        for _ in range(20):
+            vecs.append([x + rng.uniform(-0.15, 0.15) for x in center])
+    emb = _embs(spark, vecs)
+    q = emb.filter(F.col("vec_id") < 4)
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_topk_brute(emb, q, k=5).collect()
+    }
+    plain = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_topk_lsh(emb, q, k=5).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_lsh_multiprobe(emb, q, k=5).collect()
+    }
+    r_plain = len(brute & plain) / len(brute)
+    r_multi = len(brute & multi) / len(brute)
+    assert r_multi >= r_plain, (r_plain, r_multi)
+    assert r_multi >= 0.9, f"multiprobe recall {r_multi}"
