@@ -284,6 +284,35 @@ def test_hll_portable_error_bound_and_bounded_sketch(spark):
         )
 
 
+def test_hll_accuracy_high_cardinality(spark):
+    """Exercise the raw-HLL branch (not linear counting): per-window
+    cardinality ≫ 2.5·m so est_raw is the published path.  Guards the
+    52-bit-frame fix (rho = 53 − bit_length(w)); the pre-fix 55-bit
+    frame inflates these estimates 2–4× and fails this bound."""
+    from userbehavioranalysis_spark.operators.sketches import (
+        hll_exact_uv,
+        hll_registers,
+        hll_uv_estimate,
+    )
+
+    rows = []
+    for win, n in ((0, 1000), (3600, 5000)):
+        rows.extend((f"u{win}_{i}", win + (i % 3600)) for i in range(n))
+    ev = spark.createDataFrame(
+        [(uid, float(ts)) for uid, ts in rows], "user_id string, epoch double"
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"),
+             F.lit("view").alias("event_type"))
+    out = hll_uv_estimate(hll_registers(ev), hll_exact_uv(ev)).collect()
+    assert len(out) == 2
+    for r in out:
+        # m=256 → rse ≈ 6.5%; 4σ bound
+        assert abs(r.est_uv - r.exact_uv) <= 0.26 * r.exact_uv, (
+            r.window_start,
+            r.est_uv,
+            r.exact_uv,
+        )
+
+
 # ------------------------------------------------------------ salted join ----
 
 

@@ -234,7 +234,9 @@ def histogram_quantiles_oracle_sql(
 # sketch internals are engine-private).  This is the cross-engine-
 # checkable counterpart, same design move as the CMS above: md5-derived
 # register hashing, harmonic sum in EXACT integer arithmetic (common
-# denominator 2⁵⁵), and the small-range linear-counting correction via a
+# denominator 2⁵³ — the hash word after peeling 8 register bits off the
+# 60-bit h64 has exactly 52 random bits, so the frame is 52-bit and
+# rho ∈ [1, 53]), and the small-range linear-counting correction via a
 # ppm-quantized ln lookup TABLE (ln is not correctly-rounded libm, so a
 # live ln() could differ across engines at a floor boundary; a finite
 # 256-entry integer table cannot).  Every arithmetic step is integer ⇒
@@ -250,16 +252,20 @@ import math as _math
 HLL_M = 256  # registers (p=8): ~6.5% rse — sketch is 256 rows/window
 _HLL_ALPHA_PPM = round(1e6 * 0.7213 / (1 + 1.079 / HLL_M))
 _HLL_LN_PPM = [0] + [round(_math.log(HLL_M / v) * 1e6) for v in range(1, HLL_M + 1)]
-_POW55 = 1 << 55
+_POW53 = 1 << 53
 
 
 def hll_registers(events: DataFrame, view_type: str = "view") -> DataFrame:
     """(window_start, reg, rho) register table — the mergeable sketch.
 
     h = portable 60-bit md5 hash of the user id; reg = h mod m; the
-    remaining 54-bit word w gives rho = 55 − bit_length(w) (leading-
-    zero count + 1), with ``bin()``-string length standing in for
-    bit_length in BOTH engines (integer-exact, no log2 floats).
+    remaining word w = h div m has exactly 52 random bits, so
+    rho = 53 − bit_length(w) (leading-zero count within the 52-bit
+    frame + 1; w=0 → 53), with ``bin()``-string length standing in for
+    bit_length in BOTH engines (integer-exact, no log2 floats).  A
+    55-bit frame here (the pre-round-4 bug) shifts every present
+    register's weight 4× low and inflates estimates 2–4× outside the
+    linear-counting regime.
     Works unchanged on a streaming frame: keys live in the fixed
     windows × m domain, so complete-mode state is bounded.
     """
@@ -272,8 +278,8 @@ def hll_registers(events: DataFrame, view_type: str = "view") -> DataFrame:
             .alias("window_start"),
             F.expr(f"cast({h} % {HLL_M} as int)").alias("reg"),
             F.expr(
-                f"cast(if({h} div {HLL_M} = 0, 55,"
-                f" 55 - length(bin({h} div {HLL_M}))) as int)"
+                f"cast(if({h} div {HLL_M} = 0, 53,"
+                f" 53 - length(bin({h} div {HLL_M}))) as int)"
             ).alias("rho_raw"),
         )
         .groupBy("window_start", "reg")
@@ -286,28 +292,28 @@ def hll_uv_estimate(registers: DataFrame, exact: DataFrame) -> DataFrame:
     window next to the exact count (the validation harness, as with the
     CMS; production keeps only the register build + this probe).
 
-    est_raw = ⌊α_ppm·m²·2⁵⁵ / (S₂·10⁶)⌋ with S₂ = Σ 2^(55−ρ_j) over
-    all m registers (absent ⇒ ρ=0 ⇒ 2⁵⁵), exact in DECIMAL(38,0);
+    est_raw = ⌊α_ppm·m²·2⁵³ / (S₂·10⁶)⌋ with S₂ = Σ 2^(53−ρ_j) over
+    all m registers (absent ⇒ ρ=0 ⇒ 2⁵³), exact in DECIMAL(38,0);
     when est_raw ≤ 2.5m and V>0 empty registers remain, linear
     counting ⌊m·ln(m/V)·10⁻⁶⌋ takes over via the quantized table.
     """
     ln_arr = "array(" + ",".join(str(v) for v in _HLL_LN_PPM[1:]) + ")"
     agg = registers.groupBy("window_start").agg(
-        F.sum(F.expr("shiftleft(1L, cast(55 - rho as int))")).alias("s_present"),
+        F.sum(F.expr("shiftleft(1L, cast(53 - rho as int))")).alias("s_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
     est = agg.select(
         "window_start",
         F.expr(
             f"cast(s_present as decimal(38,0))"
-            f" + (({HLL_M} - n_present) * cast({_POW55} as decimal(38,0)))"
+            f" + (({HLL_M} - n_present) * cast({_POW53} as decimal(38,0)))"
         ).alias("s2"),
         (F.lit(HLL_M) - F.col("n_present")).cast("int").alias("v_zero"),
     ).select(
         "window_start",
         F.expr(
             f"cast((cast({_HLL_ALPHA_PPM} as decimal(38,0)) * {HLL_M} * {HLL_M}"
-            f" * cast({_POW55} as decimal(38,0)))"
+            f" * cast({_POW53} as decimal(38,0)))"
             f" div (s2 * cast(1000000 as decimal(38,0))) as bigint)"
         ).alias("est_raw"),
         "v_zero",
@@ -350,20 +356,20 @@ def hll_oracle_sql(view_type: str = "view") -> str:
     ),
     regs AS (
         SELECT window_start, reg,
-               max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS rho
+               max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
         FROM pts GROUP BY 1, 2
     ),
     agg AS (
         SELECT window_start,
-               sum(CAST(1 AS BIGINT) << (55 - rho)) AS s_present,
+               sum(CAST(1 AS BIGINT) << (53 - rho)) AS s_present,
                count(*) AS n_present
         FROM regs GROUP BY 1
     ),
     est AS (
         SELECT window_start,
                (CAST({_HLL_ALPHA_PPM} AS HUGEINT) * {HLL_M} * {HLL_M}
-                * CAST({_POW55} AS HUGEINT))
-               // ((s_present + ({HLL_M} - n_present) * CAST({_POW55} AS HUGEINT))
+                * CAST({_POW53} AS HUGEINT))
+               // ((s_present + ({HLL_M} - n_present) * CAST({_POW53} AS HUGEINT))
                    * 1000000) AS est_raw,
                {HLL_M} - n_present AS v_zero
         FROM agg
