@@ -456,13 +456,14 @@ def test_substring_spans_flags_verbatim_boilerplate(spark):
 
 
 def _py_wide_sketch(text, word):
-    """Pure-Python reference for one 63-bit word of the wide sketch:
-    md5-top-15-hex word hashes seeded '<word>#', majority vote per bit."""
+    """Pure-Python reference for one 60-bit word of the wide sketch:
+    md5-top-15-hex word hashes seeded '<word>#', majority vote per bit
+    (60 bits = every random bit the h64 hash carries; no dead bits)."""
     import hashlib
 
     toks = set(text.split())
     sh = 0
-    for i in range(63):
+    for i in range(60):
         v = sum(
             1
             if (int(hashlib.md5(f"{word}#{w}".encode()).hexdigest()[:15], 16) >> i) & 1
@@ -476,7 +477,7 @@ def _py_wide_sketch(text, word):
 
 def test_simhash_wide_matches_python_reference(spark):
     """Blocked wide-simhash pairs == brute-force over independently
-    computed 126-bit sketches — pins sketch construction AND proves the
+    computed 120-bit sketches — pins sketch construction AND proves the
     word-local pigeonhole blocking is lossless."""
     from userbehavioranalysis_spark.operators.dedup import simhash_wide_pairs
 
@@ -507,7 +508,7 @@ def test_simhash_wide_matches_python_reference(spark):
 
 
 def test_simhash_wide_subset_of_63bit_at_same_threshold(spark):
-    """8/126 bits is a STRICTER relative cut than 8/63: on a dup-dense
+    """8/120 bits is a STRICTER relative cut than 8/63: on a dup-dense
     corpus the wide operator's pair set must be no larger, and near
     dups must still surface."""
     from userbehavioranalysis_spark.operators.dedup import simhash_wide_pairs
@@ -532,10 +533,10 @@ def test_ngram_absolute_df_cap_drops_stop_shingles(spark):
     uncapped = ngram_jaccard_pairs(
         docs, shingle_k=2, jaccard_num=1, jaccard_den=10, max_df_frac=1.0
     ).collect()
-    assert len(uncapped) == 3  # all pairs intersect on 'x y'
+    assert len(uncapped) == 3  # frac=1.0 bypasses BOTH caps: exact semantics
     capped = ngram_jaccard_pairs(
         docs, shingle_k=2, jaccard_num=1, jaccard_den=10,
-        max_df_frac=1.0, max_df_abs=2,
+        max_df_frac=0.9, max_df_abs=2,
     ).collect()
     assert capped == []  # df=3 > abs cap 2 -> the only shared shingle drops
 
@@ -701,3 +702,38 @@ def test_ann_lsh_multiprobe_recall_superset(spark):
     r_multi = len(brute & multi) / len(brute)
     assert r_multi >= r_plain, (r_plain, r_multi)
     assert r_multi >= 0.9, f"multiprobe recall {r_multi}"
+
+
+def test_simhash_scale_wall_autoroutes_to_wide(spark):
+    """The SCALE.md segment-width rule is executable: once blocking is
+    selected and n_docs > 2^(seg_bits-2), simhash_pairs must return the
+    WIDE-sketch result (12-15-bit segments) instead of the narrow
+    63-bit blocking that degenerates to n^2/2^7 candidates at scale.
+    40 docs with block=True crosses the mocked wall (2^(7-2)=32)."""
+    from userbehavioranalysis_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_wide_pairs,
+    )
+
+    texts = [f"alpha beta gamma token{i} delta epsilon word{i} zeta" for i in range(38)]
+    texts += [texts[0], texts[1]]  # two exact dups
+    docs = _docs(spark, texts)
+    routed = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(docs, block=True).collect()
+    }
+    wide = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_wide_pairs(docs).collect()
+    }
+    assert routed == wide
+    assert (0, 38, 0) in routed  # exact dup survives the reroute
+    # the escape hatch keeps the narrow semantics (hamming over 63 bits)
+    narrow = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(docs, block=True, allow_narrow_at_scale=True).collect()
+    }
+    assert narrow == {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(docs, block=False).collect()
+    }

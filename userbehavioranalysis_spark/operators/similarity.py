@@ -534,10 +534,11 @@ def ann_topk_lsh_indexed(
         for r in q_bands.select("band", "band_val").distinct().collect()
     }
     idx = spark.read.parquet(index_path)
-    pred = None
+    # no queries → no probes → empty result (lit(False) keeps the plan
+    # valid instead of where(None) raising TypeError)
+    pred = F.lit(False)
     for b, v in sorted(probes):
-        term = (F.col("band") == b) & (F.col("band_val") == v)
-        pred = term if pred is None else (pred | term)
+        pred = pred | ((F.col("band") == b) & (F.col("band_val") == v))
     cand = (
         idx.where(pred)
         .join(F.broadcast(q_bands), on=["band", "band_val"])

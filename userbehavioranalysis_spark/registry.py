@@ -4926,8 +4926,8 @@ _WH1 = "list_transform(toks, w -> ('0x' || substr(md5('1#' || w), 1, 15))::BIGIN
     ),
     sk AS (
         SELECT doc_id,
-               {_T.simhash_duck(63, 'wh0')} AS sh0,
-               {_T.simhash_duck(63, 'wh1')} AS sh1
+               {_T.simhash_duck(60, 'wh0')} AS sh0,
+               {_T.simhash_duck(60, 'wh1')} AS sh1
         FROM h
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -4938,7 +4938,7 @@ _WH1 = "list_transform(toks, w -> ('0x' || substr(md5('1#' || w), 1, 15))::BIGIN
     """,
 )
 def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide (126-bit) SimHash near-dup pairs — the stated scale path
+    """Wide (120-bit, 2x60 fully-informative h64 bits) SimHash near-dup pairs — the stated scale path
     for the 63-bit pigeonhole blocking, whose 7-bit segments collide
     every 2⁷ sketches (~n²/2⁷ candidates; >79 GB spill measured at
     500k docs).  14-bit segments cut random candidates 2⁷×."""
@@ -4958,8 +4958,8 @@ def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sk AS (
         SELECT doc_id,
-               {_T.simhash_duck(63, 'wh0')} AS sh0,
-               {_T.simhash_duck(63, 'wh1')} AS sh1
+               {_T.simhash_duck(60, 'wh0')} AS sh0,
+               {_T.simhash_duck(60, 'wh1')} AS sh1
         FROM h
     ),
     pairs AS (
@@ -4982,7 +4982,7 @@ def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The keep/drop clustering step over WIDE-simhash edges — the
-    end-to-end 100 TB path: 126-bit sketches keep the candidate join
+    end-to-end 100 TB path: 120-bit sketches keep the candidate join
     ~n·dup_density instead of the 63-bit n²/2⁷ wall, and the
     pointer-jumping components consume whatever edge set they are
     given, so the pair generator is the only scale-sensitive stage."""
