@@ -37,20 +37,34 @@ def test_oracles_cover_all_but_documented_rows_only():
     assert rows_only == {"uv_approx", "ann_topk_ivf", "ann_topk_pq", "ann_topk_ivfpq"}
 
 
-def test_driver_window_covers_reference_parity_and_streaming():
+def test_driver_window_r4_covers_never_checked_queries():
     """The correctness driver records only the first 50 registry
-    entries; the round-3 rotation puts every ref_* fixture query and
-    every streaming replay inside that window (VERDICT r2 item #1)."""
+    entries; the round-4 rotation fills them with queries that never
+    had a driver CORRECTNESS row in rounds 1-3 (VERDICT r3 item #1),
+    plus a handful of pinned anchors.  ref_* and streaming_* families
+    got their driver-green rows in CORRECTNESS_r03.json."""
+    import json
+    import os
+
     window = list(QUERIES)[:50]
     assert len(set(window)) == 50
-    refs = {n for n in QUERIES if n.startswith("ref_")}
-    streams = {n for n in QUERIES if n.startswith("streaming_")}
-    assert refs <= set(window), refs - set(window)
-    assert streams <= set(window), streams - set(window)
-    # window entries should be hash-checkable wherever an oracle can
-    # exist: only declared rows-only queries may lack one
-    no_oracle = [n for n in window if n not in ORACLES]
-    assert no_oracle == [], no_oracle
+    anchors = {
+        "hot_items",
+        "page_view",
+        "ref_network_flow_report",
+        "streaming_hot_items_report_replay",
+    }
+    assert anchors <= set(window)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for rnd in ("r01", "r02", "r03"):
+        path = os.path.join(root, f"CORRECTNESS_{rnd}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                seen |= set(json.load(f))
+    if seen:  # every non-anchor slot goes to a never-driver-checked query
+        recycled = [n for n in window if n not in anchors and n in seen]
+        assert recycled == [], recycled
 
 
 def test_bench_scale_heavy_names_exist():

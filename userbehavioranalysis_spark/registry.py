@@ -5255,85 +5255,79 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 #              on a random sample each round so rotated-out queries
 #              cannot rot unnoticed.
 _DRIVER_WINDOW = [
-    # reference-fixture parity: the literal CSV/log fixtures from the
-    # reference repo through the same operator bodies (LoginFail.scala:25,
-    # OrderTimeout.scala:18, TxMacthDetect.scala:12,
-    # AdStatisticsByGeo.scala:24, NetworkFlow.scala:26)
-    "ref_login_fail",
-    "ref_order_timeout",
-    "ref_tx_match_interval",
-    "ref_tx_reconcile",
-    "ref_ad_province_counts",
-    "ref_ad_blacklist_warnings",
-    "ref_network_flow_top5",
-    # formatted-report fidelity over the same apache.log fixture
-    # (NetworkFlow.scala:104-114 byte-level output parity)
-    "ref_network_flow_report",
-    # Structured Streaming replays (W1-W4 watermarks, C1-C5 stateful)
-    "streaming_page_view_replay",
-    "streaming_page_view_late_replay",
-    "streaming_unique_visitors_replay",
-    "streaming_marketing_replay",
-    "streaming_marketing_channel_replay",
-    "streaming_ad_geo_replay",
-    "streaming_hot_items_replay",
-    "streaming_login_fail_replay",
-    "streaming_blacklist_replay",
-    "streaming_tx_match_replay",
-    "streaming_tx_reconcile_replay",
-    "streaming_order_timeout_replay",
-    "streaming_user_sessions_replay",
-    "streaming_asof_replay",
-    "streaming_dedup_watermark_replay",
-    "streaming_latest_state_replay",
-    "streaming_dedup_replay",
-    # streaming end-to-end through the byte-exact report render
-    "streaming_hot_items_report_replay",
-    # round-3 continuation: keyed-state attribution enrichment, the
-    # windowed-aggregate-fed anomaly detector, and the bounded-state
-    # streaming Count-Min sketch
-    "streaming_attribution_replay",
-    "streaming_anomaly_replay",
-    "streaming_cms_replay",
-    # round-3 wave: mergeable-histogram + portable-HLL streaming state
-    # (take the tx_match_reconcile and order_timeout anchor slots —
-    # both families stay driver-green via their ref_* and streaming_*
-    # entries)
-    "streaming_histogram_replay",
-    "streaming_uv_hll_replay",
-    # relational/extension queries past the r2 window
-    "pricing_summary",
-    "shipping_priority",
-    "local_supplier_volume",
-    "market_share",
-    "quantity_tiers",
-    "large_volume_orders",
-    "ann_topk_quantized",
-    "top_return_customers",
-    # new this round — never driver-checked, so they take window slots
-    # from r2-judge-green extension queries (video_features,
-    # pricing_rollup, order_priority_checking, parts_never_shipped,
-    # embedding_quantize, latest_state, quality_gate rotate out; the
-    # sampled oracle-check pytest still covers them)
-    "promo_revenue_share",
-    "customers_without_recent_orders",
-    "top_supplier",
-    "nation_trade_volume",
-    "event_transitions",
-    "rolling_active_users",
-    "event_props_stats",
-    # newly hash-checkable this round (magic-byte codec dispatch)
-    "media_features",
-    # parity-set anchors: keep the reference's headline analytics
-    # driver-green every round
-    # (login_fail_relaxed, unique_visitors and hot_pages rotated out for
-    # the three new streaming replays — their operator families stay
-    # driver-green via ref_login_fail / login_fail_strict,
-    # streaming_unique_visitors_replay and ref_network_flow_top5; the
-    # sampled oracle pytest covers the rotated-out trio)
+    # ---- r4 window: the 46 queries that have never had a driver
+    # CORRECTNESS row (r1-r3 covered 99 of 153), plus 4 pinned anchors.
+    # r1-r3 evidence for everything rotated out stays on record in
+    # CORRECTNESS_r01-03.json, and tests/test_oracle_rotation.py
+    # re-verifies a daily-seeded sample so rotated-out queries cannot
+    # rot unnoticed.  Deferred to r5 (families already driver-green via
+    # siblings): pack_sequences, unigram_logprob, video_features,
+    # embedding_quantize, latest_state, quality_gate,
+    # dedup_substring_spans, hot_items_report.
+    #
+    # pinned anchors: flagship analytic, tumbling-PV, the byte-exact
+    # report render over the reference's apache.log fixture, and the
+    # end-to-end streaming report replay.
     "hot_items",
     "page_view",
-    "login_fail_strict",
+    "ref_network_flow_report",
+    "streaming_hot_items_report_replay",
+    # sequences family (operators/sequences.py) — keyed-state
+    # attribution, session funnels, anomaly, conversion lag
+    "attribution_last_touch",
+    "session_paths",
+    "anomaly_zscore",
+    "time_to_convert",
+    # TPC-H shapes never driver-checked (plans/relational.py):
+    # Q17 Q2 Q11 Q21 Q13 Q19 Q6 Q9 Q12 Q16 Q20
+    "small_quantity_revenue",
+    "min_cost_supplier",
+    "important_supply_values",
+    "sole_returning_supplier",
+    "customer_order_distribution",
+    "disjunctive_bracket_revenue",
+    "forecast_revenue_change",
+    "product_type_profit",
+    "shipping_delay_priority_counts",
+    "supplier_counts_by_part_attrs",
+    "excess_share_suppliers",
+    # sketches + graph
+    "token_cms_estimates",
+    "uv_hll_portable",
+    "histogram_quantiles",
+    "item_pagerank",
+    "item_triangles",
+    # sampling / mixture / curation wave
+    "importance_sample",
+    "stratified_sample",
+    "temperature_mixture",
+    "vocab_coverage",
+    "keyword_search",
+    # multimodal wave
+    "audio_chunks",
+    "image_phash_dedup",
+    "video_frame_sample",
+    # infra wave: join opt, upserts, formats, quality
+    "bloom_filter_join",
+    "salted_type_enrich",
+    "scd2_user_state",
+    "merge_upsert_users",
+    "incremental_page_view",
+    "events_jsonl_roundtrip",
+    "events_orc_roundtrip",
+    "events_schema_evolution",
+    "dq_audit",
+    # wide-sketch dedup scale path (round-3 additions)
+    "dedup_simhash_wide",
+    "dedup_clusters_wide",
+    "dedup_embedding_lsh",
+    # embeddings: hashing-trick docs, end-to-end search, ANN variants
+    "doc_embed_hashing",
+    "doc_ann_topk",
+    "ann_topk_lsh_indexed",
+    "ann_topk_lsh_multiprobe",
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
 ]
 
 
