@@ -737,3 +737,67 @@ def test_simhash_scale_wall_autoroutes_to_wide(spark):
         (r.doc_a, r.doc_b, r.hamming)
         for r in simhash_pairs(docs, block=False).collect()
     }
+
+
+def test_ann_pq_fixed_recall_and_determinism(spark):
+    """The md5-landmark fixed-codebook PQ (the hash-checkable sibling)
+    must still recover nearly all brute neighbors on separable
+    clusters — the exact rerank restores top-k from the integer ADC
+    shortlist — and reproduce byte-identical rows run-to-run."""
+    import random
+
+    from userbehavioranalysis_spark.operators.embeddings import ann_topk_pq_fixed
+
+    rng = random.Random(53)
+    vecs = []
+    for c in range(6):
+        center = [0.0] * 16
+        center[c * 2] = 1.0
+        center[c * 2 + 1] = -0.8
+        for _ in range(15):
+            vecs.append([x + rng.uniform(-0.06, 0.06) for x in center])
+    emb = _embs(spark, vecs)
+    q = emb.filter(F.col("vec_id") < 4)
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_topk_brute(emb, q, k=5).collect()
+    }
+    rows = ann_topk_pq_fixed(emb, q, k=5, m=4, n_codes=16, rerank_n=20).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.9, f"fixed-PQ recall {recall}"
+    again = ann_topk_pq_fixed(emb, q, k=5, m=4, n_codes=16, rerank_n=20).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ann_ivfpq_fixed_recall(spark):
+    """Fixed-codebook IVFPQ: integer coarse routing + integer ADC +
+    exact rerank recovers brute neighbors when clusters separate."""
+    import random
+
+    from userbehavioranalysis_spark.operators.embeddings import (
+        ann_topk_ivfpq_fixed,
+    )
+    from userbehavioranalysis_spark.operators.similarity import assign_ivf_clusters
+
+    rng = random.Random(59)
+    vecs = []
+    for c in range(8):
+        center = [0.0] * 16
+        center[c * 2] = 1.0
+        center[c * 2 + 1] = 0.5
+        for _ in range(12):
+            vecs.append([x + rng.uniform(-0.05, 0.05) for x in center])
+    emb = _embs(spark, vecs)
+    clustered = assign_ivf_clusters(emb, n_clusters=8, iters=2)
+    q = emb.filter(F.col("vec_id") < 4)
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_topk_brute(emb, q, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_ivfpq_fixed(
+            clustered, q, k=5, cluster_col="cluster", m=4, n_codes=16, rerank_n=20
+        ).collect()
+    }
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.9, f"fixed-IVFPQ recall {recall}"

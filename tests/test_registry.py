@@ -31,10 +31,16 @@ def test_oracles_cover_all_but_documented_rows_only():
     rows_only = set(QUERIES) - set(ORACLES)
     # the four approximate queries, each justified in its docstring —
     # additions to this set need the same justification.  (media_features
-    # graduated to a hash oracle via magic-byte codec dispatch; the
-    # PQ/IVFPQ float k-means stages are not SQL-replayable — recall +
-    # determinism are pytest-pinned instead.)
-    assert rows_only == {"uv_approx", "ann_topk_ivf", "ann_topk_pq", "ann_topk_ivfpq"}
+    # graduated to a hash oracle via magic-byte codec dispatch in r3;
+    # ann_topk_pq / ann_topk_ivfpq graduated in r4 via md5-landmark
+    # integer codebooks; the float k-means forms remain as _kmeans
+    # siblings — not SQL-replayable, recall + determinism pytest-pinned.)
+    assert rows_only == {
+        "uv_approx",
+        "ann_topk_ivf",
+        "ann_topk_pq_kmeans",
+        "ann_topk_ivfpq_kmeans",
+    }
 
 
 def test_driver_window_r4_covers_never_checked_queries():

@@ -632,3 +632,328 @@ def ann_topk_ivfpq(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# -- Fixed-codebook (hash-checkable) PQ / IVFPQ -------------------------------
+#
+# The float-k-means PQ/IVFPQ above are the production-realistic forms,
+# but their codebooks cannot be replayed in SQL, so the registry records
+# only rows-only checks for them.  These siblings make the SAME routing
+# machinery (subspace codes, ADC table lookups, coarse-cluster probing,
+# shortlist + exact rerank) value-hash-checkable end to end, the way
+# `ann_topk_lsh`'s integer signatures already are:
+#
+#  - vectors L2-normalize then quantize with a FIXED scale 127
+#    (`floor(x / ||x|| * 127 + 0.5)`) — metrically sound (everything on
+#    one sphere) and IEEE-identical cross-engine;
+#  - the codebook is not trained: its `n_codes` entries are the
+#    quantized subvectors of deterministic LANDMARK rows — the corpus
+#    rows with the smallest md5-derived h64(vec_id), the same seeding
+#    primitive as the LSH hyperplanes (a random-sample codebook equals
+#    k-means initialization; the exact rerank restores top-k quality);
+#  - code assignment, ADC tables, and ADC scores are EXACT int64
+#    arithmetic (ties -> lowest code / lowest id), so the shortlist is
+#    engine-independent by construction; only the final rerank divides
+#    floats, with the corpus-wide proven round-to-6dp + id tie-break.
+
+
+def _quantize127(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, qv8) — L2-normalize then fixed-scale-127 integer lanes.
+
+    Zero vectors are excluded (no direction to quantize), mirroring the
+    zero-vector guards in the other ANN operators.
+    """
+    dv = _DVEC.format(c=vec_col)
+    nrm = f"sqrt(aggregate({dv}, cast(0 as double), (acc, x) -> acc + x * x))"
+    return (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.expr(nrm).alias("_nrm"),
+            F.expr(
+                f"transform({dv}, x -> cast(floor(x / {nrm} * 127.0d + 0.5d)"
+                " as bigint))"
+            ).alias("qv8"),
+        )
+        .filter(F.col("_nrm") > 0)
+        .drop("_nrm")
+    )
+
+
+def _fixed_codebooks(q8: DataFrame, m: int, n_codes: int):
+    """(m, n_codes, dim/m) int64 codebooks from the md5-landmark rows.
+
+    Landmark order (h64(vec_id), vec_id) is the code index — the same
+    deterministic ordering the DuckDB oracle replays with a
+    row_number() window.  Driver-held state: n_codes rows, bounded."""
+    import numpy as np
+
+    h = "cast(conv(substr(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint)"
+    rows = q8.orderBy(F.expr(h), F.col("vec_id")).limit(n_codes).collect()
+    x = np.vstack([r["qv8"] for r in rows]).astype("int64")
+    dim = x.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
+    sub = dim // m
+    return np.stack([x[:, j * sub : (j + 1) * sub] for j in range(m)]), sub
+
+
+def _fixed_encode(q8: DataFrame, books, m: int, sub: int) -> DataFrame:
+    """(vec_id, codes array<int>) — int64 argmin per subspace, ties ->
+    lowest code (numpy argmin's first-occurrence == the oracle's
+    row_number ORDER BY dist, code)."""
+    import pandas as pd
+
+    def enc(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["qv8"].to_numpy()).astype("int64")
+            codes = np.empty((len(pdf), m), dtype="int32")
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    return q8.mapInPandas(enc, "vec_id long, codes array<int>")
+
+
+def _rerank_exact(shortlist: DataFrame, embeddings: DataFrame,
+                  queries: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine rerank of a (query_id, neighbor_id) shortlist —
+    the shared tail of every ANN operator here."""
+    from pyspark.sql import Window
+
+    from userbehavioranalysis_spark.operators.similarity import _DOT, _normed
+
+    qn = _normed(queries, "query_id", "qv")
+    cn = _normed(embeddings, "neighbor_id", "cv")
+    reranked = (
+        shortlist.join(F.broadcast(qn), on="query_id")
+        .join(cn, on="neighbor_id")
+        .withColumn(
+            "cosine_r6",
+            F.round(
+                F.expr(_DOT) / (F.col("query_id_norm") * F.col("neighbor_id_norm")), 6
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_r6"), F.asc("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine_r6",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ann_topk_pq_fixed(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank_n: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ + ADC + exact rerank with the md5-landmark integer codebook —
+    the hash-checkable sibling of :func:`ann_topk_pq` (see the section
+    comment above).  Same plan shape and output schema; the ADC scan
+    still touches only the m-byte code column, so the scale argument
+    (memory-bound corpus pass) is identical — only the codebook source
+    differs."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from userbehavioranalysis_spark.operators.cachepool import (
+        pooled_cache,
+        release_pooled,
+    )
+
+    q8 = _quantize127(embeddings, id_col, vec_col)
+    books, sub = _fixed_codebooks(q8, m, n_codes)
+    release_pooled()
+    codes = pooled_cache(_fixed_encode(q8, books, m, sub))
+
+    qrows = (
+        _quantize127(queries, id_col, vec_col).orderBy(F.col("vec_id")).collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows])
+    qx = np.vstack([r["qv8"] for r in qrows]).astype("int64")
+    # integer ADC tables: (nq, m, n_codes)
+    tables = np.stack(
+        [
+            ((qx[:, j * sub : (j + 1) * sub][:, None, :] - books[j][None, :, :]) ** 2)
+            .sum(axis=2)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.vstack(pdf["codes"].to_numpy())
+            d = np.zeros((len(qids), len(pdf)), dtype="int64")
+            for j in range(m):
+                d += tables[:, j, :][:, c[:, j]]
+            nid = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, len(pdf)),
+                    "neighbor_id": np.tile(nid, len(qids)),
+                    "adc": d.ravel(),
+                }
+            )
+
+    scored = codes.mapInPandas(
+        score, "query_id long, neighbor_id long, adc long"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= rerank_n)
+        .select("query_id", "neighbor_id")
+    )
+    return _rerank_exact(shortlist, embeddings, queries, k)
+
+
+def ann_topk_ivfpq_fixed(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    cluster_col: str = "label",
+    n_probe: int = 3,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank_n: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF routing × fixed-codebook PQ × exact rerank — the
+    hash-checkable sibling of :func:`ann_topk_ivfpq`.
+
+    Coarse routing is integer-exact too: the per-cluster "centroid" is
+    the integer SUM of quantized lanes (mean direction × count — count
+    cancels in cosine), the query-centroid similarity is
+    ``int_dot / sqrt(int_self_dot)`` — two exact integers through one
+    IEEE division and sqrt, bit-identical on any engine — and probes
+    take the n_probe best (sim DESC, cluster ASC).  The ADC scan then
+    touches only code rows in probed clusters: the same partition-
+    pruning story as the float form, with every routing decision
+    replayable in SQL."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from userbehavioranalysis_spark.operators.cachepool import (
+        pooled_cache,
+        release_pooled,
+    )
+
+    q8 = _quantize127(embeddings, id_col, vec_col)
+    books, sub = _fixed_codebooks(q8, m, n_codes)
+    dim = m * sub
+    labels = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(cluster_col).cast("int").alias("cluster")
+    )
+    release_pooled()
+    codes = pooled_cache(_fixed_encode(q8, books, m, sub).join(labels, on="vec_id"))
+
+    # integer centroid sums per cluster: <= n_clusters rows collected
+    cent_rows = (
+        q8.join(labels, on="vec_id")
+        .groupBy("cluster")
+        .agg(*[F.sum(F.expr(f"qv8[{d}]")).alias(f"s{d}") for d in range(dim)])
+        .collect()
+    )
+    cents = {
+        r["cluster"]: np.array([r[f"s{d}"] for d in range(dim)], dtype="int64")
+        for r in cent_rows
+    }
+
+    qrows = (
+        _quantize127(queries, id_col, vec_col).orderBy(F.col("vec_id")).collect()
+    )
+    qids = [r["vec_id"] for r in qrows]
+    qxs = {r["vec_id"]: np.array(r["qv8"], dtype="int64") for r in qrows}
+    probes = []
+    for qid in qids:
+        sims = []
+        for cl, sv in cents.items():
+            s2 = int((sv * sv).sum())
+            if s2 == 0:
+                continue
+            # exact ints -> one IEEE division over one IEEE sqrt:
+            # bit-identical in Spark, DuckDB, and CPython
+            sims.append((-(int((qxs[qid] * sv).sum()) / math.sqrt(s2)), cl))
+        for _, cl in sorted(sims)[:n_probe]:
+            probes.append((int(qid), int(cl)))
+    probe_df = embeddings.sparkSession.createDataFrame(
+        probes, "query_id long, cluster int"
+    )
+
+    qarr = np.vstack([qxs[q] for q in qids]).astype("int64")
+    tables = {
+        qid: np.stack(
+            [
+                ((qarr[i, j * sub : (j + 1) * sub][None, :] - books[j]) ** 2).sum(axis=1)
+                for j in range(m)
+            ]
+        )
+        for i, qid in enumerate(qids)
+    }
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for qid, g in pdf.groupby("query_id"):
+                t = tables[qid]
+                cc = np.vstack(g["codes"].to_numpy())
+                d = np.zeros(len(g), dtype="int64")
+                for j in range(m):
+                    d += t[j][cc[:, j]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": g["vec_id"].to_numpy(),
+                            "adc": d,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    routed = codes.join(F.broadcast(probe_df), on="cluster").select(
+        "query_id", "vec_id", "codes"
+    )
+    scored = routed.mapInPandas(
+        score, "query_id long, neighbor_id long, adc long"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= rerank_n)
+        .select("query_id", "neighbor_id")
+    )
+    return _rerank_exact(shortlist, embeddings, queries, k)

@@ -5193,33 +5193,175 @@ def q_ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh_multiprobe(emb, emb.filter(_F.col("vec_id") < 5))
 
 
-# IVFPQ composes two float-k-means stages: rows-only check + pytest
-# recall pins (on this crowded corpus it matches plain IVF's recall at
-# equal n_probe — the rerank fully recovers the PQ error — while the
-# probed scan touches only the 8-byte code column).
-@query("ann_topk_ivfpq")
-def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+# IVFPQ with float k-means codebooks (the production-realistic form):
+# rows-only check + pytest recall pins (on this crowded corpus it
+# matches plain IVF's recall at equal n_probe — the rerank fully
+# recovers the PQ error — while the probed scan touches only the
+# 8-byte code column).  The hash-checkable routing proof lives in the
+# fixed-codebook sibling `ann_topk_ivfpq` below.
+@query("ann_topk_ivfpq_kmeans")
+def q_ann_topk_ivfpq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FAISS-IVFPQ-shaped ANN: coarse-cluster routing (partition
-    pruning at scale) × PQ-ADC code scan × exact top-100 rerank."""
+    pruning at scale) × PQ-ADC code scan × exact top-100 rerank —
+    float-k-means codebooks, rows-only + recall-tested."""
     from userbehavioranalysis_spark.operators.embeddings import ann_topk_ivfpq
 
     emb = _tables(spark, sf_dir)["embeddings"]
     return ann_topk_ivfpq(emb, emb.filter(_F.col("vec_id") < 5))
 
 
-# PQ codebooks are float k-means (deterministic per corpus but not
-# SQL-replayable): rows-only driver check + recall-vs-brute test, the
-# IVF precedent.
-@query("ann_topk_pq")
-def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: 8×64-code codebooks → 8-byte codes
-    (32× lighter corpus scan than float32), ADC table-lookup shortlist,
-    exact-cosine rerank of the top-100 — the memory-bound ANN path
-    (FAISS IVFPQ shape) beside brute/LSH/IVF/int8."""
+# PQ with float-k-means codebooks (deterministic per corpus but not
+# SQL-replayable): rows-only driver check + recall-vs-brute test.
+@query("ann_topk_pq_kmeans")
+def q_ann_topk_pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 8×64-code k-means codebooks → 8-byte
+    codes (32× lighter corpus scan than float32), ADC table-lookup
+    shortlist, exact-cosine rerank of the top-100 — the memory-bound
+    ANN path (FAISS IVFPQ shape) beside brute/LSH/IVF/int8."""
     from userbehavioranalysis_spark.operators.embeddings import ann_topk_pq
 
     emb = _tables(spark, sf_dir)["embeddings"]
     return ann_topk_pq(emb, emb.filter(_F.col("vec_id") < 5))
+
+
+# Shared SQL fragments for the fixed-codebook PQ/IVFPQ oracles: L2
+# normalize + fixed-scale-127 integer quantization, md5-landmark
+# codebook, per-(vector, subspace, code) integer distances.
+_PQF_COMMON = """
+    v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ve,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ), q8 AS (
+        SELECT vec_id,
+               list_transform(ve, x -> CAST(floor(x / nrm * 127.0 + 0.5)
+                                            AS BIGINT)) AS qv
+        FROM v WHERE nrm > 0
+    ), land AS (
+        SELECT * FROM (
+            SELECT qv, row_number() OVER (
+                ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+                         vec_id
+            ) - 1 AS code
+            FROM q8
+        ) WHERE code < 16
+    ), dists AS (
+        SELECT c.vec_id, g.j, l.code,
+               list_sum(list_transform(range(1, 9),
+                   d -> (c.qv[g.j * 8 + d] - l.qv[g.j * 8 + d])
+                      * (c.qv[g.j * 8 + d] - l.qv[g.j * 8 + d]))) AS dist
+        FROM q8 c CROSS JOIN generate_series(0, 7) g(j) CROSS JOIN land l
+    ), enc AS (
+        SELECT vec_id, j, code FROM dists
+        QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                                   ORDER BY dist, code) = 1
+    ), qtab AS (
+        SELECT vec_id AS query_id, j, code, dist FROM dists WHERE vec_id < 5
+    )
+"""
+
+_PQF_TAIL = """
+    , short AS (
+        SELECT query_id, neighbor_id FROM adc
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, neighbor_id) <= 100
+    ), rr AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_sum(list_transform(range(1, len(q.ve) + 1),
+                                             i -> q.ve[i] * c.ve[i]))
+                     / (q.nrm * c.nrm), 6) AS cosine_r6
+        FROM short s
+        JOIN v q ON q.vec_id = s.query_id
+        JOIN v c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_r6, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_r6 DESC,
+                                              neighbor_id ASC) AS rank
+        FROM rr
+    ) WHERE rank <= 10
+"""
+
+
+@query(
+    "ann_topk_pq",
+    oracle=f"""
+    WITH {_PQF_COMMON}
+    , adc AS (
+        SELECT t.query_id, en.vec_id AS neighbor_id, sum(t.dist) AS adc
+        FROM enc en JOIN qtab t ON t.j = en.j AND t.code = en.code
+        WHERE t.query_id <> en.vec_id
+        GROUP BY 1, 2
+    )
+    {_PQF_TAIL}
+    """,
+)
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable PQ ANN: md5-landmark INTEGER codebooks (the LSH-
+    plane seeding move applied to product quantization), int64 code
+    assignment and ADC tables (ties → lowest code/id, engine-exact),
+    top-100 shortlist, exact-cosine rerank.  Same ADC routing machinery
+    and 8-byte-code corpus scan as the k-means sibling — every stage
+    replayed value-for-value by the DuckDB oracle."""
+    from userbehavioranalysis_spark.operators.embeddings import ann_topk_pq_fixed
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    return ann_topk_pq_fixed(emb, emb.filter(_F.col("vec_id") < 5))
+
+
+@query(
+    "ann_topk_ivfpq",
+    oracle=f"""
+    WITH {_PQF_COMMON}
+    , cent AS (
+        SELECT e.label AS cluster, g.d, sum(q.qv[g.d]) AS s
+        FROM q8 q JOIN embeddings e USING (vec_id)
+        CROSS JOIN generate_series(1, 64) g(d)
+        GROUP BY 1, 2
+    ), centv AS (
+        SELECT cluster, list(s ORDER BY d) AS sv FROM cent GROUP BY cluster
+    ), probe AS (
+        SELECT q.vec_id AS query_id, c.cluster
+        FROM (SELECT * FROM q8 WHERE vec_id < 5) q CROSS JOIN (
+            SELECT cluster, sv,
+                   list_sum(list_transform(sv, x -> x * x)) AS s2
+            FROM centv
+        ) c
+        WHERE c.s2 > 0
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY CAST(list_sum(list_transform(range(1, 65),
+                                                  i -> q.qv[i] * c.sv[i]))
+                          AS DOUBLE) / sqrt(CAST(c.s2 AS DOUBLE)) DESC,
+                     c.cluster ASC
+        ) <= 3
+    ), adc AS (
+        SELECT t.query_id, en.vec_id AS neighbor_id, sum(t.dist) AS adc
+        FROM enc en
+        JOIN embeddings el ON el.vec_id = en.vec_id
+        JOIN probe p ON p.cluster = el.label
+        JOIN qtab t ON t.query_id = p.query_id
+                   AND t.j = en.j AND t.code = en.code
+        WHERE t.query_id <> en.vec_id
+        GROUP BY 1, 2
+    )
+    {_PQF_TAIL}
+    """,
+)
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable IVFPQ ANN: integer coarse-centroid SUMS route each
+    query to its 3 best clusters (int dot / sqrt(int self-dot) — exact
+    integers through one IEEE division, bit-identical on any engine),
+    then the fixed-codebook ADC scan runs only inside probed clusters
+    (the partition-pruning story, now value-replayable in SQL), with
+    the shared top-100 exact rerank."""
+    from userbehavioranalysis_spark.operators.embeddings import (
+        ann_topk_ivfpq_fixed,
+    )
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    return ann_topk_ivfpq_fixed(emb, emb.filter(_F.col("vec_id") < 5))
 
 
 # --------------------------------------------------------------------------
