@@ -290,3 +290,38 @@ def test_cms_sketch_size_independent_of_corpus(spark):
     rows = token_cms_estimates(small, width=8, depth=3).collect()
     assert {r.token for r in rows} == {"a", "b", "c"}
     assert all(r.est_count == r.exact_count == 1 for r in rows)
+
+
+def test_bm25_search_matches_hand_computation(spark):
+    """BM25 on a 4-doc corpus vs an independent Python computation of
+    the Lucene-form formula (idf = ln(1 + (N-df+0.5)/(df+0.5)))."""
+    import math
+
+    from userbehavioranalysis_spark.operators.text_analysis import bm25_search
+
+    texts = [
+        "spark hash window spark",          # all terms, tf(spark)=2
+        "spark table row scan",             # one term
+        "window window window pad pad pad", # one term, high tf, longer
+        "alpha beta gamma delta",           # no terms
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.score_r4 for r in bm25_search(docs, k=10).collect()}
+
+    k1, b = 1.2, 0.75
+    n_docs, dls = 4, [4, 4, 6, 4]
+    avgdl = sum(dls) / n_docs
+    tfs = {0: {"spark": 2, "hash": 1, "window": 1}, 1: {"spark": 1}, 2: {"window": 3}}
+    dfs = {"spark": 2, "hash": 1, "window": 2}
+    want = {}
+    for d, tf in tfs.items():
+        s = 0.0
+        for t, f in tf.items():
+            idf = math.log(1 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += idf * f * (k1 + 1) / (f + k1 * (1 - b + b * (dls[d] / avgdl)))
+        want[d] = round(s, 4)
+    assert got == want
+    assert 3 not in got  # no-term doc unscored
+    assert got[0] > got[1]  # multi-term match outranks single-term

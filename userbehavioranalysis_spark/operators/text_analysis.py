@@ -781,3 +781,69 @@ def keyword_search(
         .where(F.col("rank") <= k)
         .select("doc_id", "n_hits", "total_tf", "rank")
     )
+
+
+def bm25_search(
+    documents: DataFrame,
+    terms: tuple[str, ...] = ("spark", "hash", "window"),
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked retrieval over the same inverted-index shape as
+    :func:`keyword_search` — the standard relevance function for
+    corpus search / example mining (Robertson-Spärck Jones).
+
+    ``score(d) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+    with ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))`` (the always-
+    positive Lucene form).  Disjunctive (OR) matching: any document
+    containing ≥1 term scores.
+
+    Plan: one corpus explode feeds BOTH aggregates — per-doc length
+    and term postings; df and the (N, avgdl) scalars aggregate from
+    those tiny frames and broadcast back, so the corpus shuffles once
+    (doc_id) regardless of scale.  At 100 TB the postings/doclen
+    tables are the persisted artifacts (bucketed by token / doc) and
+    queries never rescan text.  Float determinism follows the
+    ``unigram_logprob`` precedent: live ``ln`` on identical doubles in
+    both engines, score rounded to 4 dp BEFORE ranking, ties broken on
+    doc_id — hash-checkable top-k.  Returns (doc_id, score_r4, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select("doc_id", F.explode(F.expr(T.TOKENS_SPARK)).alias("t"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+    tf = (
+        toks.where(F.col("t").isin(*terms))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.expr(
+                        f"ln(1 + (n_docs - df + 0.5) / (df + 0.5))"
+                        f" * tf * ({k1} + 1)"
+                        f" / (tf + {k1} * (1 - {b} + {b}"
+                        f" * (dl / (cast(total_tokens as double) / n_docs))))"
+                    )
+                ),
+                4,
+            ).alias("score_r4")
+        )
+    )
+    w = Window.orderBy(F.desc("score_r4"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "score_r4", "rank")
+    )

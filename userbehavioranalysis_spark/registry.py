@@ -4836,6 +4836,50 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_T.TOKENS_DUCK}) AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, t, count(*) AS tf FROM toks
+        WHERE t IN ('spark', 'hash', 'window') GROUP BY 1, 2
+    ),
+    df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75
+                      * (dl.dl / (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))
+               ), 4) AS score_r4
+        FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats s
+        GROUP BY 1
+    )
+    SELECT doc_id, score_r4,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY score_r4 DESC, doc_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked retrieval over the inverted-index shape: Lucene-form
+    idf × saturated tf × length normalization, one corpus shuffle, df
+    and corpus scalars broadcast; score rounded to 4 dp before ranking
+    (the unigram_logprob live-ln precedent), ties on doc_id."""
+    from userbehavioranalysis_spark.operators.text_analysis import bm25_search
+
+    return bm25_search(_tables(spark, sf_dir)["documents"])
+
+
+@query(
     "dq_audit",
     oracle="""
     SELECT 'lineitem.quantity_not_null' AS rule,
