@@ -85,9 +85,12 @@ HEADLINERS = [
     ("incremental_page_view", "MV merge — snapshot enters pre-reduced, delta-sized exchange"),
     ("ann_topk_lsh_indexed", "partition-pruned index probe — PartitionFilters on (band, band_val)"),
     ("events_jsonl_roundtrip", "schema-explicit JSONL scan — no inference pass"),
-    ("dedup_simhash_wide", "126-bit sketch — one 126-vote HashAggregate, 14-bit segment join"),
+    ("dedup_simhash_wide", "120-bit sketch — one 120-vote HashAggregate, 12-15-bit segment join"),
     ("dedup_clusters_wide", "keep/drop over wide edges — scale-guarded pair generator"),
     ("dedup_embedding_lsh", "banded-LSH near-dup — bucket join candidates, cosine verify"),
+    ("bm25_search", "BM25 retrieval — one corpus shuffle, df/scalar broadcasts, rank on rounded score"),
+    ("ann_topk_pq", "fixed-codebook PQ — integer ADC over codes, shortlist rank, exact rerank"),
+    ("ann_topk_ivfpq", "fixed-codebook IVFPQ — broadcast probe routing before the code scan"),
 ]
 
 
