@@ -799,47 +799,51 @@ def bm25_search(
     positive Lucene form).  Disjunctive (OR) matching: any document
     containing ≥1 term scores.
 
-    Plan: one corpus explode feeds BOTH aggregates — per-doc length
-    and term postings; df and the (N, avgdl) scalars aggregate from
-    those tiny frames and broadcast back, so the corpus shuffles once
-    (doc_id) regardless of scale.  At 100 TB the postings/doclen
-    tables are the persisted artifacts (bucketed by token / doc) and
-    queries never rescan text.  Float determinism follows the
-    ``unigram_logprob`` precedent: live ``ln`` on identical doubles in
-    both engines, score rounded to 4 dp BEFORE ranking, ties broken on
-    doc_id — hash-checkable top-k.  Returns (doc_id, score_r4, rank).
+    Plan: ONE corpus explode feeds ONE doc-keyed aggregate that
+    computes the document length AND every term's tf as conditional
+    sums (the simhash-vote shape — fixed small term set, partial agg
+    map-side); per-term df and the (N, avgdl) scalars are one-row
+    aggregates OVER that per-doc frame, broadcast back, and the score
+    is a map-only expression — the corpus is scanned once and shuffled
+    once (doc_id) regardless of scale.  At 100 TB the per-doc frame is
+    the persisted artifact and queries never rescan text.  Float
+    determinism follows the ``unigram_logprob`` precedent: live ``ln``
+    on identical doubles in both engines, score rounded to 4 dp BEFORE
+    ranking, ties broken on doc_id — hash-checkable top-k.  Returns
+    (doc_id, score_r4, rank).
     """
     from pyspark.sql import Window
 
     toks = documents.select("doc_id", F.explode(F.expr(T.TOKENS_SPARK)).alias("t"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("t") == term, 1).otherwise(0)).alias(f"tf{i}")
+            for i, term in enumerate(terms)
+        ],
     )
-    tf = (
-        toks.where(F.col("t").isin(*terms))
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    gl = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
     )
-    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    score = " + ".join(
+        f"if(tf{i} > 0,"
+        f" ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * tf{i} * ({k1} + 1)"
+        f" / (tf{i} + {k1} * (1 - {b} + {b}"
+        f" * (dl / (cast(total_tokens as double) / n_docs)))), 0.0d)"
+        for i in range(len(terms))
+    )
     scored = (
-        tf.join(F.broadcast(df), "t")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(
-                    F.expr(
-                        f"ln(1 + (n_docs - df + 0.5) / (df + 0.5))"
-                        f" * tf * ({k1} + 1)"
-                        f" / (tf + {k1} * (1 - {b} + {b}"
-                        f" * (dl / (cast(total_tokens as double) / n_docs))))"
-                    )
-                ),
-                4,
-            ).alias("score_r4")
+        per_doc.where(
+            " or ".join(f"tf{i} > 0" for i in range(len(terms)))
         )
+        .crossJoin(F.broadcast(gl))
+        .select("doc_id", F.round(F.expr(score), 4).alias("score_r4"))
     )
     w = Window.orderBy(F.desc("score_r4"), F.asc("doc_id"))
     return (
