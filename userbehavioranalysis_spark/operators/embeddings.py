@@ -779,9 +779,12 @@ def ann_topk_pq_fixed(
         release_pooled,
     )
 
-    q8 = _quantize127(embeddings, id_col, vec_col)
-    books, sub = _fixed_codebooks(q8, m, n_codes)
     release_pooled()
+    # q8 feeds the landmark collect AND the encode pass — one scan+
+    # quantize, not two (three in the IVFPQ sibling, which also sums
+    # centroids over it)
+    q8 = pooled_cache(_quantize127(embeddings, id_col, vec_col))
+    books, sub = _fixed_codebooks(q8, m, n_codes)
     codes = pooled_cache(_fixed_encode(q8, books, m, sub))
 
     qrows = (
@@ -866,13 +869,15 @@ def ann_topk_ivfpq_fixed(
         release_pooled,
     )
 
-    q8 = _quantize127(embeddings, id_col, vec_col)
+    release_pooled()
+    # one scan+quantize shared by the landmark collect, the encode
+    # pass, and the centroid sums below
+    q8 = pooled_cache(_quantize127(embeddings, id_col, vec_col))
     books, sub = _fixed_codebooks(q8, m, n_codes)
     dim = m * sub
     labels = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(cluster_col).cast("int").alias("cluster")
     )
-    release_pooled()
     codes = pooled_cache(_fixed_encode(q8, books, m, sub).join(labels, on="vec_id"))
 
     # integer centroid sums per cluster: <= n_clusters rows collected
