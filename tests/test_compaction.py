@@ -76,3 +76,33 @@ def test_quality_gate_per_language_cutoffs(spark):
     for lang, n in totals.items():
         frac = kept_by_lang.get(lang, 0) / n
         assert 0.85 <= frac <= 1.0, (lang, frac)
+
+
+def test_compact_small_files_reduces_count_losslessly(spark, tmp_path):
+    """64 micro-files -> ~4 near-target files via shuffle-free coalesce;
+    content identical; every output file is a real parquet part."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.compaction import compact_small_files
+
+    df = spark.range(0, 20_000).select(
+        F.col("id"), (F.col("id") % 7).alias("v"), F.sha1(F.col("id").cast("string")).alias("pad")
+    )
+    src = str(tmp_path / "small")
+    df.repartition(64).write.parquet(src)
+    n_small = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_small == 64
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    dest = str(tmp_path / "big")
+    back = compact_small_files(spark, src, dest, target_bytes=total // 4 + 1)
+    n_big = sum(f.endswith(".parquet") for f in os.listdir(dest))
+    assert n_big <= 5, n_big
+    assert n_big < n_small
+    # losslessness: same multiset of rows
+    key = lambda frame: sorted(tuple(r) for r in frame.collect())
+    assert key(back) == key(df)

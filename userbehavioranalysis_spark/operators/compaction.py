@@ -190,3 +190,44 @@ def merge_upsert(
     return kept.select(
         *keys, *[pick.getField(p).alias(p) for p in payload]
     )
+
+
+def compact_small_files(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_bytes: int = 128 << 20,
+) -> DataFrame:
+    """Small-file compaction (the lakehouse OPTIMIZE bin-packing step):
+    rewrite a parquet directory of many small files into
+    ``ceil(total_bytes / target_bytes)`` files near the target size.
+
+    Small-file proliferation is the classic streaming-ingest tax — a
+    micro-batch sink writing every trigger leaves thousands of KB-scale
+    files whose open/footer costs dominate later scans.  Compaction
+    math on FILE SIZES, not row counts: the source listing's byte total
+    fixes the output file count, so output size tracks the target
+    regardless of row width.
+
+    Scale: the rewrite uses ``coalesce`` (narrow — each output task
+    concatenates whole input splits, NO shuffle) whenever the target
+    count is below the scan's partition count, falling back to
+    ``repartition`` only when files must be SPLIT (fewer inputs than
+    outputs — rare for compaction).  Content is untouched — the
+    rewritten table value-hashes against the source (registry:
+    ``events_compaction_roundtrip``).
+    """
+    import math
+    import os
+
+    total, n_files = 0, 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+                n_files += 1
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src_path)
+    writer = df.coalesce(n_out) if n_out <= n_files else df.repartition(n_out)
+    writer.write.mode("overwrite").parquet(dest_path)
+    return spark.read.parquet(dest_path)

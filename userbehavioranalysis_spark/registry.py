@@ -4838,6 +4838,50 @@ def q_events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_roundtrip(spark, sf_dir, "orc")
 
 
+@query("events_compaction_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def q_events_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (lakehouse OPTIMIZE bin-packing): events
+    scattered into 64 micro-batch-sized files, compacted by BYTE budget
+    into ~4 via a shuffle-free coalesce rewrite — the oracle reads the
+    ORIGINAL parquet, so the value hash proves the rewrite lossless."""
+    import math
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as _F2
+
+    from userbehavioranalysis_spark.operators.compaction import compact_small_files
+    from userbehavioranalysis_spark.sources.formats import _STAGE_CACHE
+
+    events = _tables(spark, sf_dir)["events"]
+    stage = _STAGE_CACHE.get((sf_dir, "compact"))
+    if stage is None or not os.path.isdir(os.path.join(stage, "small")):
+        stage = tempfile.mkdtemp(prefix="uba_compact_")
+        events.repartition(64).write.mode("overwrite").parquet(
+            os.path.join(stage, "small")
+        )
+        _STAGE_CACHE[(sf_dir, "compact")] = stage
+    src = os.path.join(stage, "small")
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    back = compact_small_files(
+        spark, src, os.path.join(stage, "compacted"),
+        target_bytes=max(1, math.ceil(total / 4)),
+    )
+    return back.select(
+        "event_id",
+        _F2.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        _F2.round("value", 2).alias("value_r2"),
+        "props",
+    )
+
+
 @query(
     "keyword_search",
     oracle=f"""
