@@ -564,30 +564,3 @@ def test_item_pagerank_empty_graph_returns_empty(spark):
                          (2, 0, 2, "view", '{"k": 2}')])
     assert item_pagerank(ev).collect() == []
 
-
-def test_cohort_retention_hand_matrix(spark):
-    """3 users over 3 weekly periods vs the hand-built matrix: cohorts
-    from first activity, per-mille as integer division."""
-    import pyspark.sql.functions as F
-
-    from userbehavioranalysis_spark.operators.sequences import cohort_retention
-
-    day = 86_400
-    rows = []
-    # u1: periods 0,1,2 ; u2: periods 0,2 ; u3: period 1 only
-    for uid, periods in (("u1", (0, 1, 2)), ("u2", (0, 2)), ("u3", (1,))):
-        for p in periods:
-            rows.append((uid, float(p * 7 * day + 3600)))
-    ev = spark.createDataFrame(rows, "user_id string, epoch double").select(
-        "user_id", F.timestamp_seconds("epoch").alias("ts")
-    )
-    got = {
-        (r.cohort_period, r.period_offset): (r.n_active, r.cohort_size, r.retained_pm)
-        for r in cohort_retention(ev, period_days=7).collect()
-    }
-    assert got == {
-        (0, 0): (2, 2, 1000),  # u1,u2
-        (0, 1): (1, 2, 500),   # u1
-        (0, 2): (2, 2, 1000),  # u1,u2
-        (1, 0): (1, 1, 1000),  # u3
-    }

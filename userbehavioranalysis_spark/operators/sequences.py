@@ -359,49 +359,3 @@ def time_to_convert(events: DataFrame) -> DataFrame:
         ).alias("mean_r4"),
     )
 
-
-def cohort_retention(events: DataFrame, period_days: int = 7) -> DataFrame:
-    """Cohort retention matrix — the classic growth analytic the
-    reference's per-user operators stop short of: users grouped by
-    first-activity period (week by default), and for each
-    (cohort, period-offset) the distinct users still active plus the
-    per-mille retention vs the cohort size.
-
-    Everything is exact integer arithmetic (day numbers via
-    ``unix_micros`` floor division, per-mille via integer division),
-    so the whole matrix value-hashes cross-engine.
-
-    Plan shape: the corpus reduces FIRST to distinct (user, period)
-    pairs — a map-side-combined aggregate that is the only full-corpus
-    exchange; cohort assignment (min period per user) rides the same
-    user-keyed partitioning, and the retention matrix + sizes are
-    aggregates over the tiny users×periods frame.  At 100 TB: one
-    user-keyed shuffle of deduped pairs, then broadcast-sized joins.
-    """
-    period = f"(unix_micros(ts) div {US_PER_DAY}) div {period_days}"
-    up = (
-        events.select("user_id", F.expr(period).cast("long").alias("period"))
-        .distinct()
-    )
-    cohort = up.groupBy("user_id").agg(F.min("period").alias("cohort_period"))
-    sizes = cohort.groupBy("cohort_period").agg(
-        F.count(F.lit(1)).cast("long").alias("cohort_size")
-    )
-    ret = (
-        up.join(cohort, "user_id")
-        .groupBy(
-            "cohort_period",
-            (F.col("period") - F.col("cohort_period")).alias("period_offset"),
-        )
-        .agg(F.countDistinct("user_id").alias("n_active"))
-    )
-    return (
-        ret.join(F.broadcast(sizes), "cohort_period")
-        .select(
-            "cohort_period",
-            "period_offset",
-            F.col("n_active").cast("long").alias("n_active"),
-            "cohort_size",
-            F.expr("(1000 * n_active) div cohort_size").cast("long").alias("retained_pm"),
-        )
-    )

@@ -3664,42 +3664,6 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "cohort_retention",
-    oracle="""
-    WITH up AS (
-        SELECT DISTINCT user_id,
-               (epoch_us(ts) // 86400000000) // 1 AS period
-        FROM events
-    ),
-    cohort AS (
-        SELECT user_id, min(period) AS cohort_period FROM up GROUP BY 1
-    ),
-    sizes AS (
-        SELECT cohort_period, CAST(count(*) AS BIGINT) AS cohort_size
-        FROM cohort GROUP BY 1
-    ),
-    ret AS (
-        SELECT c.cohort_period, up.period - c.cohort_period AS period_offset,
-               CAST(count(DISTINCT up.user_id) AS BIGINT) AS n_active
-        FROM up JOIN cohort c USING (user_id)
-        GROUP BY 1, 2
-    )
-    SELECT r.cohort_period, r.period_offset, r.n_active, s.cohort_size,
-           CAST((1000 * r.n_active) // s.cohort_size AS BIGINT) AS retained_pm
-    FROM ret r JOIN sizes s USING (cohort_period)
-    """,
-)
-def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily cohort retention matrix: first-activity cohorts ×
-    period offsets, distinct-active counts and integer per-mille
-    retention — one deduped user-keyed exchange, broadcast sizes.
-    (Daily rather than weekly periods: the testdata spans ~28 days,
-    so days give a real cohorts×offsets matrix; the operator default
-    stays weekly.)"""
-    return _seq.cohort_retention(_tables(spark, sf_dir)["events"], period_days=1)
-
-
-@query(
     "small_quantity_revenue",
     oracle="""
     WITH p AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
