@@ -814,13 +814,24 @@ def bm25_search(
     """
     from pyspark.sql import Window
 
+    from userbehavioranalysis_spark.operators.cachepool import (
+        pooled_cache,
+        release_pooled,
+    )
+
     toks = documents.select("doc_id", F.explode(F.expr(T.TOKENS_SPARK)).alias("t"))
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl"),
-        *[
-            F.sum(F.when(F.col("t") == term, 1).otherwise(0)).alias(f"tf{i}")
-            for i, term in enumerate(terms)
-        ],
+    release_pooled()
+    # per-doc frame (1 long + |terms| ints per doc) feeds both the
+    # one-row global aggregate and the scorer: cache it so the corpus
+    # is scanned/exploded ONCE, not once per branch
+    per_doc = pooled_cache(
+        toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum(F.when(F.col("t") == term, 1).otherwise(0)).alias(f"tf{i}")
+                for i, term in enumerate(terms)
+            ],
+        )
     )
     gl = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
