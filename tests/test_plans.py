@@ -234,3 +234,34 @@ def test_exploded_arrays_never_clone_into_scan_filters(spark):
             for seg in plan.split("DataFilters: [")[1:]
         ]:
             assert "split(trim(" not in scan_filters, scan_filters[:300]
+
+
+def test_bm25_single_corpus_scan_via_cached_per_doc(spark):
+    """BM25's scalar branch and scorer must share the pooled-cached
+    per-doc frame: one InMemoryRelation, no second parquet scan of
+    documents outside it (the first cut re-scanned three times)."""
+    from userbehavioranalysis_spark.operators.text_analysis import bm25_search
+
+    t = load_testdata(spark, SF)
+    plan = _plan(bm25_search(t["documents"]))
+    assert "InMemoryTableScan" in plan, plan
+    # every parquet scan of documents sits under the single cached
+    # relation; the executed plan outside InMemoryRelation has none
+    outside = plan.split("InMemoryRelation")[0]
+    assert "FileScan parquet" not in outside, outside
+
+
+def test_fixed_pq_shortlist_prunes_map_side(spark):
+    """The ADC shortlist rank must plan as WindowGroupLimit (per-
+    partition top-k BEFORE the exchange) with the rerank sides
+    broadcast — the shapes that keep the 100x corpus pass code-column
+    sized."""
+    from userbehavioranalysis_spark.operators.embeddings import ann_topk_pq_fixed
+
+    t = load_testdata(spark, SF)
+    emb = t["embeddings"]
+    plan = _plan(ann_topk_pq_fixed(emb, emb.filter(F.col("vec_id") < 3)))
+    assert "WindowGroupLimit" in plan, plan
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
