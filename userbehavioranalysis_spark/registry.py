@@ -5468,22 +5468,27 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 #              replays, the 15 relational/extension queries after
 #              image_resize — plus media_features (newly hash-checkable
 #              via magic-byte dispatch) and 10 parity-set anchors.
-#   r4+ plan: rotate the r2-green batch families (dedup/ANN/text/media)
-#              and the round-3-continuation set that never had a driver
-#              row (the completed TPC-H shapes Q6/Q9/Q12/Q13/Q16/Q19/
-#              Q20, attribution/sessions/anomaly/lags, stratified +
-#              importance sampling, image_phash_dedup, audio_chunks,
-#              video_frame_sample, item_pagerank, token_cms_estimates,
-#              and the round-3 waves: bloom_filter_join, scd2_user_state,
-#              histogram_quantiles, temperature_mixture, item_triangles,
-#              events_jsonl/orc round-trips, uv_hll_portable,
-#              salted_type_enrich, incremental_page_view,
-#              ann_topk_lsh_indexed, vocab_coverage, merge_upsert_users,
-#              keyword_search, dq_audit, events_schema_evolution)
-#              through slots 27-50 while keeping ref_* + streaming_*
-#              pinned; tests/test_registry.py runs tools/oracle_check.py
-#              on a random sample each round so rotated-out queries
-#              cannot rot unnoticed.
+#   r4 window (below): 46 never-driver-checked queries (TPC-H shapes,
+#              sequences, sketches, graph, sampling/curation, multimodal,
+#              infra, wide-dedup/ANN waves — the full list VERDICT r3
+#              item #1 asked for) + 4 pinned anchors; all 50 verified
+#              hash-green at sf0.01 before shipping (2 of them,
+#              ann_topk_pq/ann_topk_ivfpq, UPGRADED this round from
+#              rows-only to full hash oracles via fixed integer
+#              codebooks).
+#   r5 plan:   the 12 queries still without a driver row — the 8
+#              deferred from r4 (pack_sequences, unigram_logprob,
+#              video_features, embedding_quantize, latest_state,
+#              quality_gate, dedup_substring_spans, hot_items_report)
+#              plus round-4 additions (bm25_search,
+#              events_compaction_roundtrip, ann_topk_pq_kmeans,
+#              ann_topk_ivfpq_kmeans) — fill slots after the anchors;
+#              the remaining ~34 slots re-pin ref_* + streaming replays
+#              (the round-3 window) so the reference-parity spine stays
+#              driver-green on an alternating cadence.
+#              tests/test_oracle_rotation.py runs tools/oracle_check.py
+#              on a daily-seeded random sample each round so rotated-out
+#              queries cannot rot unnoticed.
 _DRIVER_WINDOW = [
     # ---- r4 window: the 46 queries that have never had a driver
     # CORRECTNESS row (r1-r3 covered 99 of 153), plus 4 pinned anchors.
