@@ -40,6 +40,10 @@ HEAVY = [
     "language_id",
     "quality_gate",
     "pipeline_clean_corpus",
+    # round-4 additions
+    "bm25_search",
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
 ]
 
 
