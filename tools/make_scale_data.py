@@ -149,6 +149,23 @@ def _signed_embeddings(emb, r: int, dim: int):
     )
 
 
+# replicas per write: a union plan carries one create_map (vocab-sized
+# literal tree) per document replica, so an unchunked N=1000 plan is a
+# ~30k-literal analysis job; 100-replica chunks with append-mode writes
+# keep plan size constant in N (the N=100 shape that is known to work)
+_CHUNK = 100
+
+
+def _write_chunked(frames, path) -> None:
+    mode = "overwrite"
+    for lo in range(0, len(frames), _CHUNK):
+        union = frames[lo]
+        for rep in frames[lo + 1 : lo + _CHUNK]:
+            union = union.unionByName(rep)
+        union.repartition(32).write.mode(mode).parquet(path)
+        mode = "append"
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -160,43 +177,34 @@ def main() -> None:
 
     fixed, rotating = _vocab(spark, src)
     docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
-    replicas = [_rotated_docs(docs, fixed, rotating, r) for r in range(n)]
-    union = replicas[0]
-    for rep in replicas[1:]:
-        union = union.unionByName(rep)
-    union.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "documents.parquet")
+    _write_chunked(
+        [_rotated_docs(docs, fixed, rotating, r) for r in range(n)],
+        os.path.join(out_dir, "documents.parquet"),
     )
 
     emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
     dim = len(emb.select("embedding").first()["embedding"])
-    ereps = [_signed_embeddings(emb, r, dim) for r in range(n)]
-    eunion = ereps[0]
-    for rep in ereps[1:]:
-        eunion = eunion.unionByName(rep)
-    eunion.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "embeddings.parquet")
+    _write_chunked(
+        [_signed_embeddings(emb, r, dim) for r in range(n)],
+        os.path.join(out_dir, "embeddings.parquet"),
     )
 
     ev = spark.read.schema(schemas.EVENTS_RAW).parquet(
         os.path.join(src, "events.parquet")
     )
-    evreps = [
-        ev.select(
-            (F.col("event_id") + F.lit(r * ID_STRIDE)).alias("event_id"),
-            "ts",
-            (F.col("user_id") + F.lit(r * ID_STRIDE)).alias("user_id"),
-            "event_type",
-            "value",
-            "props",
-        )
-        for r in range(n)
-    ]
-    evunion = evreps[0]
-    for rep in evreps[1:]:
-        evunion = evunion.unionByName(rep)
-    evunion.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "events.parquet")
+    _write_chunked(
+        [
+            ev.select(
+                (F.col("event_id") + F.lit(r * ID_STRIDE)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(r * ID_STRIDE)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            for r in range(n)
+        ],
+        os.path.join(out_dir, "events.parquet"),
     )
 
     for t in schemas.TESTDATA_TABLES:
