@@ -801,3 +801,51 @@ def test_ann_ivfpq_fixed_recall(spark):
     }
     recall = len(brute & got) / len(brute)
     assert recall >= 0.9, f"fixed-IVFPQ recall {recall}"
+
+
+def test_wide_words_needed_tracks_corpus_decades():
+    """The executable width rule sizes the sketch at every decade:
+    2 words to 500k docs, 3 at 5M, 4 at 80M (9 segments, 60-bit words)."""
+    from userbehavioranalysis_spark.operators.dedup import wide_words_needed
+
+    assert wide_words_needed(5_000) == 2
+    assert wide_words_needed(500_000) == 2
+    assert wide_words_needed(5_000_000) == 3
+    assert wide_words_needed(80_000_000) == 4
+    # never below the 120-bit floor, even on tiny corpora
+    assert wide_words_needed(10) == 2
+
+
+def test_simhash_wide_three_words_matches_python_reference(spark):
+    """n_words=3 (180-bit sketch): blocked pairs == brute force over
+    independently computed 3x60-bit python sketches — the generalized
+    word loop and word-local segments stay lossless."""
+    from userbehavioranalysis_spark.operators.dedup import simhash_wide_pairs
+
+    near = BASE.replace("today", "tonight")
+    texts = [
+        BASE,
+        near,
+        BASE,  # exact dup of 0 -> hamming 0
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+    ]
+    max_h = 45  # 46 segments of ~3-4 bits over 180 bits: stresses blocking
+    sk = [tuple(_py_wide_sketch(t, w) for w in range(3)) for t in texts]
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    expected = {
+        (a, b, ham(sk[a], sk[b]))
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        if ham(sk[a], sk[b]) <= max_h
+    }
+    docs = _docs(spark, texts)
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_wide_pairs(docs, max_hamming=max_h, n_words=3).collect()
+    }
+    assert got == expected
+    assert (0, 2, 0) in got
