@@ -705,11 +705,13 @@ def test_ann_lsh_multiprobe_recall_superset(spark):
 
 
 def test_simhash_scale_wall_autoroutes_to_wide(spark):
-    """The SCALE.md segment-width rule is executable: once blocking is
-    selected and n_docs > 2^(seg_bits-2), simhash_pairs must return the
-    WIDE-sketch result (12-15-bit segments) instead of the narrow
-    63-bit blocking that degenerates to n^2/2^7 candidates at scale.
-    40 docs with block=True crosses the mocked wall (2^(7-2)=32)."""
+    """The SCALE.md segment-width rule is executable: when blocking is
+    selected ADAPTIVELY (block=None, corpus over block_threshold) and
+    n_docs > 2^(seg_bits-2), simhash_pairs must return the WIDE-sketch
+    result (12-15-bit segments) instead of the narrow 63-bit blocking
+    that degenerates to n^2/2^7 candidates at scale.  40 docs with
+    block_threshold=30 crosses both the threshold and the mocked wall
+    (2^(7-2)=32)."""
     from userbehavioranalysis_spark.operators.dedup import (
         simhash_pairs,
         simhash_wide_pairs,
@@ -720,7 +722,7 @@ def test_simhash_scale_wall_autoroutes_to_wide(spark):
     docs = _docs(spark, texts)
     routed = {
         (r.doc_a, r.doc_b, r.hamming)
-        for r in simhash_pairs(docs, block=True).collect()
+        for r in simhash_pairs(docs, block_threshold=30).collect()
     }
     wide = {
         (r.doc_a, r.doc_b, r.hamming)
@@ -728,15 +730,26 @@ def test_simhash_scale_wall_autoroutes_to_wide(spark):
     }
     assert routed == wide
     assert (0, 38, 0) in routed  # exact dup survives the reroute
-    # the escape hatch keeps the narrow semantics (hamming over 63 bits)
-    narrow = {
+    # an EXPLICITLY pinned strategy keeps the narrow 63-bit semantics:
+    # block=True and block=False are two physical plans, one result
+    narrow_blocked = {
         (r.doc_a, r.doc_b, r.hamming)
-        for r in simhash_pairs(docs, block=True, allow_narrow_at_scale=True).collect()
+        for r in simhash_pairs(docs, block=True).collect()
     }
-    assert narrow == {
+    narrow_all_pairs = {
         (r.doc_a, r.doc_b, r.hamming)
         for r in simhash_pairs(docs, block=False).collect()
     }
+    assert narrow_blocked == narrow_all_pairs
+    # the adaptive escape hatch also keeps narrow semantics (for
+    # callers pinned to a fixed narrow-semantics oracle at any sf)
+    hatch = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(
+            docs, block_threshold=30, allow_narrow_at_scale=True
+        ).collect()
+    }
+    assert hatch == narrow_all_pairs
 
 
 def test_ann_pq_fixed_recall_and_determinism(spark):

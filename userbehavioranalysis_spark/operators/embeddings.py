@@ -901,12 +901,17 @@ def ann_topk_ivfpq_fixed(
     for qid in qids:
         sims = []
         for cl, sv in cents.items():
-            s2 = int((sv * sv).sum())
+            # accumulate in unbounded Python ints: centroid SUM lanes
+            # grow as 127·cluster_size, so an int64 (sv*sv).sum() would
+            # wrap silently past ~3M vectors per cluster and corrupt
+            # probe routing (the DuckDB oracle sums in HUGEINT)
+            s2 = sum(int(v) * int(v) for v in sv)
             if s2 == 0:
                 continue
+            dot = sum(int(a) * int(b) for a, b in zip(qxs[qid], sv))
             # exact ints -> one IEEE division over one IEEE sqrt:
             # bit-identical in Spark, DuckDB, and CPython
-            sims.append((-(int((qxs[qid] * sv).sum()) / math.sqrt(s2)), cl))
+            sims.append((-(dot / math.sqrt(s2)), cl))
         for _, cl in sorted(sims)[:n_probe]:
             probes.append((int(qid), int(cl)))
     probe_df = embeddings.sparkSession.createDataFrame(

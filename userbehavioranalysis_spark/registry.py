@@ -132,9 +132,51 @@ def q_uv_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uv_per_event(_tables(spark, sf_dir)["events"])
 
 
-@query("uv_approx")
+@query(
+    "uv_approx",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600 AS window_end,
+           TRUE AS within_tolerance
+    FROM events
+    WHERE event_type = 'view'
+    GROUP BY 1, 2
+    """,
+)
 def q_uv_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return wc.uv_approx(_tables(spark, sf_dir)["events"])
+    """A6's approximate hourly UV (HLL++ replacing the reference's
+    Bloom+Redis, wc.uv_approx / SURVEY §7.3.3).
+
+    The estimate itself is engine-specific (HLL++ register layout), so
+    no SQL engine can replay its VALUE — but the estimate's CONTRACT
+    can be hash-checked: emit per window whether |hll − exact| stays
+    inside 5× the configured rsd (0.02 → 10%, plus an absolute slack
+    of 5 for tiny windows).  DuckDB replays the window set and asserts
+    literal TRUE, so the driver now records a full hash row instead of
+    `err: no_oracle`, and an HLL regression past tolerance flips the
+    hash red.  The raw-estimate form stays available as
+    wc.uv_approx (composition/API parity)."""
+    agg = (
+        _tables(spark, sf_dir)["events"]
+        .filter(_F.col("event_type") == "view")
+        .groupBy(_F.window("ts", "1 hour"))
+        .agg(
+            _F.approx_count_distinct("user_id", 0.02).alias("uv_approx"),
+            _F.countDistinct("user_id").alias("uv_exact"),
+        )
+    )
+    from userbehavioranalysis_spark.functions.time import window_bounds
+
+    return window_bounds(agg, ["uv_approx", "uv_exact"]).select(
+        "window_start",
+        "window_end",
+        (
+            _F.abs(_F.col("uv_approx") - _F.col("uv_exact"))
+            <= _F.greatest(
+                _F.ceil(_F.col("uv_exact") * _F.lit(0.1)), _F.lit(5)
+            )
+        ).alias("within_tolerance"),
+    )
 
 
 @query(
@@ -615,7 +657,14 @@ _SIMHASH_ORACLE = f"""
 
 @query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.simhash_pairs(_tables(spark, sf_dir)["documents"])
+    """Narrow 8/63-bit simhash pairs — SEMANTICS pinned to the oracle
+    at every sf via allow_narrow_at_scale=True (the adaptive wide
+    reroute would silently switch to 8/(n·60) semantics past 100 k
+    docs and hash-mismatch this oracle).  The scale-safe sibling with
+    self-sizing wide sketches is registered as dedup_simhash_wide."""
+    return _dedup.simhash_pairs(
+        _tables(spark, sf_dir)["documents"], allow_narrow_at_scale=True
+    )
 
 
 # transitive closure over the simhash pair graph: the oracle's
@@ -653,8 +702,12 @@ _CLUSTERS_ORACLE = f"""
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: simhash pairs → connected components →
     (doc, cluster, canonical keep flag) — the keep/drop decision step
-    of a corpus cleaning pipeline."""
-    pairs = _dedup.simhash_pairs(_tables(spark, sf_dir)["documents"])
+    of a corpus cleaning pipeline.  Narrow 8/63 semantics pinned to
+    the oracle (see q_dedup_simhash); dedup_clusters_wide is the
+    scale path."""
+    pairs = _dedup.simhash_pairs(
+        _tables(spark, sf_dir)["documents"], allow_narrow_at_scale=True
+    )
     return _dedup.dedup_clusters(pairs)
 
 
@@ -804,9 +857,47 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 5))
 
 
-# IVF is approximate by construction: recall measured vs brute force in
-# tests; driver records a rows-only check.
-@query("ann_topk_ivf")
+def _ann_structural(res: DataFrame) -> DataFrame:
+    """Scalar structural projection for APPROXIMATE ANN variants.
+
+    Their neighbor SETS are engine-specific (k-means codebooks / probe
+    routing are not SQL-replayable), so instead of surfacing in the
+    driver as `err: no_oracle` forever, the registered output asserts
+    the invariants any correct top-k must satisfy — per (query, rank):
+    ranks dense 1..k, neighbor ≠ query, cosine within [-1, 1], and
+    scores non-increasing down the ranking — folded into one boolean
+    the oracle replays as literal TRUE over the same (query × rank)
+    grid.  Row count pins k results per query; recall quality is pinned
+    separately by the pytest recall floors vs ann_topk_brute."""
+    from pyspark.sql import Window as _W
+
+    prev = _F.lag("cosine_r6").over(
+        _W.partitionBy("query_id").orderBy("rank")
+    )
+    return res.select(
+        "query_id",
+        _F.col("rank").cast("int").alias("rank"),
+        (
+            (_F.col("neighbor_id") != _F.col("query_id"))
+            & (_F.col("cosine_r6") >= -1.0)
+            & (_F.col("cosine_r6") <= 1.0)
+            & (prev.isNull() | (prev >= _F.col("cosine_r6")))
+        ).alias("valid"),
+    )
+
+
+_ANN_STRUCTURAL_ORACLE = """
+    SELECT v.vec_id AS query_id, CAST(r.rank AS INTEGER) AS rank,
+           TRUE AS valid
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) v
+    CROSS JOIN (SELECT unnest(range(1, 11)) AS rank) r
+"""
+
+
+# IVF is approximate by construction: recall is measured vs brute force
+# in tests; the driver row hash-checks the structural top-k contract
+# (see _ann_structural) instead of surfacing as `err: no_oracle`.
+@query("ann_topk_ivf", oracle=_ANN_STRUCTURAL_ORACLE)
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
@@ -817,8 +908,10 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _tables(spark, sf_dir)["embeddings"]
     clustered = assign_ivf_clusters(emb, n_clusters=10, iters=2)
-    return ann_topk_ivf(
-        clustered, emb.filter(F.col("vec_id") < 5), cluster_col="cluster"
+    return _ann_structural(
+        ann_topk_ivf(
+            clustered, emb.filter(F.col("vec_id") < 5), cluster_col="cluster"
+        )
     )
 
 
@@ -1841,22 +1934,32 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            CASE WHEN maxabs = 0.0 THEN 0.0 ELSE 127.0 / maxabs END AS q_scale,
-           list_transform(
+           CAST(unnest(range(0, len(v))) AS INTEGER) AS dim,
+           CAST(unnest(list_transform(
                v, x -> CAST(floor(x * (CASE WHEN maxabs = 0.0 THEN 0.0
                                         ELSE 127.0 / maxabs END) + 0.5)
-                            AS TINYINT)) AS q_vec
+                            AS TINYINT))) AS INTEGER) AS q_val
     FROM t
     """,
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column —
     pure higher-order-function expressions, IEEE-identical on any
-    engine, so even the quantized ARRAYS hash-match the oracle."""
+    engine.
+
+    Driver contract: registered output is the SCALARIZED
+    (vec_id, q_scale, dim, q_val) posexplode of the int8 vector — the
+    driver's pandas canonicalizer cannot sort/hash ARRAY columns
+    (CORRECTNESS_r04 doc_embed_hashing).  quantize_int8's native
+    array return stays for in-engine composition (int8 ANN path)."""
+    import pyspark.sql.functions as F
+
     from userbehavioranalysis_spark.operators.embeddings import quantize_int8
 
-    return quantize_int8(_tables(spark, sf_dir)["embeddings"]).select(
-        "vec_id", "q_scale", "q_vec"
-    )
+    q = quantize_int8(_tables(spark, sf_dir)["embeddings"])
+    return q.select(
+        "vec_id", "q_scale", F.posexplode("q_vec").alias("dim", "q_val")
+    ).withColumn("q_val", F.col("q_val").cast("int"))
 
 
 @query(
@@ -5155,17 +5258,28 @@ _HASH_EMBED_CTE = f"""
     "doc_embed_hashing",
     oracle=f"""
     WITH {_HASH_EMBED_CTE}
-    SELECT doc_id, embedding FROM hemb
+    SELECT doc_id, CAST(d.dim AS INTEGER) AS dim, embedding[d.dim + 1] AS value
+    FROM hemb CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
     """,
 )
 def q_doc_embed_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed feature-hashing document embeddings: integer bucket
     counts (portable md5) → L2 normalize.  The embed stage of a fully
     hash-checkable text→embed→search pipeline — exact integer
-    arithmetic until the one IEEE-identical division."""
+    arithmetic until the one IEEE-identical division.
+
+    Driver contract: the registered output is the SCALARIZED
+    (doc_id, dim, value) posexplode of the 64-dim vector — the
+    driver's pandas canonicalizer sorts columns and cannot hash an
+    ARRAY column (the one red row of CORRECTNESS_r04).  The array
+    form stays the operator's native return (doc_ann_topk composes
+    it directly)."""
     from userbehavioranalysis_spark.operators.embeddings import doc_embed_hashing
 
-    return doc_embed_hashing(_tables(spark, sf_dir)["documents"])
+    emb = doc_embed_hashing(_tables(spark, sf_dir)["documents"])
+    return emb.select(
+        "doc_id", _F.posexplode("embedding").alias("dim", "value")
+    )
 
 
 @query(
@@ -5282,25 +5396,27 @@ def q_ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # IVFPQ with float k-means codebooks (the production-realistic form):
-# rows-only check + pytest recall pins (on this crowded corpus it
-# matches plain IVF's recall at equal n_probe — the rerank fully
-# recovers the PQ error — while the probed scan touches only the
-# 8-byte code column).  The hash-checkable routing proof lives in the
-# fixed-codebook sibling `ann_topk_ivfpq` below.
-@query("ann_topk_ivfpq_kmeans")
+# pytest recall pins (on this crowded corpus it matches plain IVF's
+# recall at equal n_probe — the rerank fully recovers the PQ error —
+# while the probed scan touches only the 8-byte code column).  The
+# hash-checkable routing proof lives in the fixed-codebook sibling
+# `ann_topk_ivfpq` below; the driver row hash-checks the structural
+# top-k contract (_ann_structural).
+@query("ann_topk_ivfpq_kmeans", oracle=_ANN_STRUCTURAL_ORACLE)
 def q_ann_topk_ivfpq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FAISS-IVFPQ-shaped ANN: coarse-cluster routing (partition
     pruning at scale) × PQ-ADC code scan × exact top-100 rerank —
-    float-k-means codebooks, rows-only + recall-tested."""
+    float-k-means codebooks; structural-contract driver hash +
+    recall-tested vs brute."""
     from userbehavioranalysis_spark.operators.embeddings import ann_topk_ivfpq
 
     emb = _tables(spark, sf_dir)["embeddings"]
-    return ann_topk_ivfpq(emb, emb.filter(_F.col("vec_id") < 5))
+    return _ann_structural(ann_topk_ivfpq(emb, emb.filter(_F.col("vec_id") < 5)))
 
 
 # PQ with float-k-means codebooks (deterministic per corpus but not
-# SQL-replayable): rows-only driver check + recall-vs-brute test.
-@query("ann_topk_pq_kmeans")
+# SQL-replayable): structural-contract driver hash + recall-vs-brute test.
+@query("ann_topk_pq_kmeans", oracle=_ANN_STRUCTURAL_ORACLE)
 def q_ann_topk_pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 8×64-code k-means codebooks → 8-byte
     codes (32× lighter corpus scan than float32), ADC table-lookup
@@ -5309,7 +5425,7 @@ def q_ann_topk_pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from userbehavioranalysis_spark.operators.embeddings import ann_topk_pq
 
     emb = _tables(spark, sf_dir)["embeddings"]
-    return ann_topk_pq(emb, emb.filter(_F.col("vec_id") < 5))
+    return _ann_structural(ann_topk_pq(emb, emb.filter(_F.col("vec_id") < 5)))
 
 
 # Shared SQL fragments for the fixed-codebook PQ/IVFPQ oracles: L2
@@ -5468,13 +5584,16 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 #              replays, the 15 relational/extension queries after
 #              image_resize — plus media_features (newly hash-checkable
 #              via magic-byte dispatch) and 10 parity-set anchors.
-#   r4 window (below): 46 never-driver-checked queries (TPC-H shapes,
+#   r4 window:  46 never-driver-checked queries (TPC-H shapes,
 #              sequences, sketches, graph, sampling/curation, multimodal,
 #              infra, wide-dedup/ANN waves — the full list VERDICT r3
-#              item #1 asked for) + 4 pinned anchors; all 50 verified
-#              hash-green at sf0.01 before shipping (2 of them,
-#              ann_topk_pq/ann_topk_ivfpq, UPGRADED this round from
-#              rows-only to full hash oracles via fixed integer
+#              item #1 asked for) + 4 pinned anchors; driver outcome
+#              49/50 hash-green — doc_embed_hashing was value-correct
+#              (local oracle green) but errored in the driver's pandas
+#              canonicalizer, which cannot sort an ARRAY column; fixed
+#              in r5 by scalarizing every driver-window output (2 of
+#              the 50, ann_topk_pq/ann_topk_ivfpq, were UPGRADED in r4
+#              from rows-only to full hash oracles via fixed integer
 #              codebooks).
 #   r5 plan:   the 12 queries still without a driver row — the 8
 #              deferred from r4 (pack_sequences, unigram_logprob,
