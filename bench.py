@@ -90,6 +90,15 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "parity_15_total": round(sum(parity.values()), 3),
+        # POLICY BREAK between r3 and r4: streaming_* switched from
+        # min-of-2 to single-run (the round-3 judge's request), so
+        # r3 streaming numbers are NOT comparable with r4+ — compare
+        # r4+ replays against the steady-state min-of-2 reference
+        # column in BASELINE.md ("Streaming timing policy") instead.
+        "timing_policy": {
+            "batch": "min-of-2",
+            "streaming": "single-run since r4 (r3 used min-of-2; see BASELINE.md)",
+        },
         "queries": timings,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:

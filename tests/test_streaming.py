@@ -324,3 +324,37 @@ def test_attribution_stateful_state_survives_batch_boundary(spark, tmp_path):
         (1, 200_000_000): 7,      # carried across the batch boundary
         (1, 300_000_000): 7,      # null-campaign click stays transparent
     }
+
+
+def test_run_bounded_cleans_checkpoint_dirs(spark, tmp_path):
+    """Replay checkpoints are worthless once the bounded query ends —
+    _run_bounded must rmtree its checkpoint dir on BOTH the success and
+    the failure path, or a full driver sweep (and every aborted run)
+    leaks a state dir per replay (VERDICT r4 item 7)."""
+    import glob
+    import tempfile
+
+    from userbehavioranalysis_spark import registry as reg
+
+    src = str(tmp_path / "ckpt_probe_src")
+    spark.range(10).withColumnRenamed("id", "v").write.parquet(src)
+
+    def ckpt_dirs(name):
+        return set(glob.glob(os.path.join(tempfile.gettempdir(), f"uba_{name}_*")))
+
+    # success path
+    ok = spark.readStream.schema("v long").parquet(src)
+    out = reg._run_bounded(ok, "ckpt_cleanup_ok")
+    assert out.count() == 10
+    assert ckpt_dirs("ckpt_cleanup_ok") == set()
+
+    # failure path: assert_true poisons the micro-batch, _run_bounded
+    # re-raises — the checkpoint must still be gone
+    boom = (
+        spark.readStream.schema("v long")
+        .parquet(src)
+        .withColumn("boom", F.expr("assert_true(v < 0)"))
+    )
+    with pytest.raises(RuntimeError):
+        reg._run_bounded(boom, "ckpt_cleanup_boom")
+    assert ckpt_dirs("ckpt_cleanup_boom") == set()
