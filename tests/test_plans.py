@@ -265,3 +265,19 @@ def test_fixed_pq_shortlist_prunes_map_side(spark):
     assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ngram_df_prefilter_has_no_sort_or_window(spark):
+    """The df prefilter must plan as partial-agg HashAggregate +
+    shuffle-hash LEFT SEMI join — the count-window form sorts the full
+    posting list per partition (no map-side reduction) and OOM'd the
+    default 8 GB heap at 150 M posting rows (sf100, BASELINE.md)."""
+    from userbehavioranalysis_spark.operators.dedup import ngram_jaccard_pairs
+
+    t = load_testdata(spark, SF)
+    plan = _plan(ngram_jaccard_pairs(t["documents"]))
+    assert "Window" not in plan, plan
+    assert "Sort [" not in plan and " Sort " not in plan, plan
+    assert "LeftSemi" in plan, plan
+    # df count reduces map-side before its exchange
+    assert "partial_count" in plan, plan

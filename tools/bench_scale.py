@@ -25,10 +25,13 @@ HEAVY = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_capped",
-    "dedup_simhash",
+    # narrow-semantics dedup_simhash / dedup_clusters are EXCLUDED: since
+    # r5 the registry pins them to their 8/63-bit oracles at every sf
+    # (allow_narrow_at_scale=True), which past ~500 k docs is the
+    # documented segment-aliasing wall — the _wide siblings below are
+    # the scale path this tool exists to measure.
     "dedup_simhash_wide",
     "dedup_ngram_jaccard",
-    "dedup_clusters",
     "dedup_clusters_wide",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
