@@ -36,6 +36,16 @@ _DEFAULTS: dict[str, str] = {
     # stay broadcast even at large SF; fact-fact joins shuffle.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.sql.shuffle.partitions": "32",
+    # NOTE on adaptive.coalescePartitions.initialPartitionNum: measured
+    # and deliberately NOT set.  512-initial exchanges close corpus-
+    # scale aggregation walls (the sf100 ngram pair agg at a fixed 32
+    # partitions OOM'd the 8 GB heap), but on this single-JVM rig the
+    # per-exchange fixed cost doubles every iteration-heavy query
+    # (item_triangles 5.0 s -> 10.6 s, dedup_clusters 6.2 s -> 8.4 s at
+    # sf0.1 — even 128-initial costs the same).  Operators whose
+    # aggregation state scales with the corpus size their own exchanges
+    # from a corpus count instead (ngram_jaccard_pairs); on a real
+    # cluster, set initialPartitionNum high and let AQE coalesce.
     # Belt-and-braces for ns-typed parquet on sessions that DON'T read
     # through load_testdata (the loader itself is session-independent:
     # explicit LongType schema + unit-agnostic normalization,
