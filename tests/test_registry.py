@@ -131,3 +131,32 @@ def test_coverage_doc_names_resolve():
 
     missing = sorted(n for n in names if not resolves(n))
     assert missing == [], missing
+
+
+def test_ann_structural_detects_contract_violations(spark):
+    """_ann_structural is the hash oracle for the approximate ANN
+    queries — prove it actually FAILS on broken rankings, not just
+    passes on good ones: a self-match, an out-of-range cosine, and a
+    non-monotone score sequence must each flip `valid` to False."""
+    from userbehavioranalysis_spark.registry import _ann_structural
+
+    rows = [
+        # query 1: clean ranking -> all valid
+        (1, 10, 0.9, 1), (1, 11, 0.8, 2), (1, 12, 0.8, 3),
+        # query 2, rank 1: self-match
+        (2, 2, 0.9, 1),
+        # query 2, rank 2: cosine out of range
+        (2, 20, 1.5, 2),
+        # query 2, ranks 3-4: score INCREASES 0.5 -> 0.7 (non-monotone
+        # at rank 4; rank 3 itself is clean)
+        (2, 21, 0.5, 3), (2, 22, 0.7, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, cosine_r6 double, rank int"
+    )
+    got = {(r["query_id"], r["rank"]): r["valid"]
+           for r in _ann_structural(df).collect()}
+    assert got[(1, 1)] and got[(1, 2)] and got[(1, 3)]
+    assert got[(2, 1)] is False   # self-match
+    assert got[(2, 2)] is False   # cosine 1.5 out of range
+    assert got[(2, 4)] is False   # 0.7 after 0.5 — non-monotone
