@@ -862,3 +862,82 @@ def test_simhash_wide_three_words_matches_python_reference(spark):
     }
     assert got == expected
     assert (0, 2, 0) in got
+
+
+def test_chunk_documents_hand_computed(spark):
+    """10 tokens, chunk=4, overlap=1 (stride 3): chunks start at tokens
+    1,4,7,10 -> ceil((10-4)/3)+1 = 3 chunks... verify against the exact
+    hand-computed grid, coverage, and overlap."""
+    from userbehavioranalysis_spark.operators.text_analysis import chunk_documents
+
+    text = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    docs = _docs(spark, [text, "solo"])
+    rows = {
+        (r.doc_id, r.chunk_id): (r.chunk_start, r.chunk_len, r.chunk_text)
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    }
+    # doc 0: n=10, stride=3 -> n_chunks = ceil((10-4)/3)+1 = 3
+    assert rows[(0, 0)] == (1, 4, "t1 t2 t3 t4")
+    assert rows[(0, 1)] == (4, 4, "t4 t5 t6 t7")
+    assert rows[(0, 2)] == (7, 4, "t7 t8 t9 t10")
+    # short doc: exactly one short chunk
+    assert rows[(1, 0)] == (1, 1, "solo")
+    assert len(rows) == 4
+    # invariants: consecutive chunks overlap by exactly `overlap`
+    # tokens and the last chunk ends at n
+    assert rows[(0, 1)][0] == rows[(0, 0)][0] + 3
+    assert rows[(0, 2)][0] + rows[(0, 2)][1] - 1 == 10
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Every token index of every doc falls inside at least one chunk,
+    and chunk grids are identical across doc lengths 1..40."""
+    from userbehavioranalysis_spark.operators.text_analysis import chunk_documents
+
+    docs = _docs(
+        spark, [" ".join(f"w{i}" for i in range(n)) for n in range(1, 41)]
+    )
+    cov = {}
+    for r in chunk_documents(docs, chunk_tokens=8, overlap=3).collect():
+        cov.setdefault(r.doc_id, set()).update(
+            range(r.chunk_start, r.chunk_start + r.chunk_len)
+        )
+    for d, got in cov.items():
+        n = d + 1  # doc_id d has d+1 tokens
+        assert got == set(range(1, n + 1)), (d, sorted(got))
+
+
+def test_minhash_incremental_matches_subset_of_full_pairs(spark):
+    """Incremental (batch vs corpus) must find exactly the full-run
+    pairs that CROSS the batch/corpus boundary — no pair invented, no
+    cross pair lost, and corpus-internal pairs never recomputed."""
+    from userbehavioranalysis_spark.operators.dedup import (
+        minhash_incremental_matches,
+        minhash_lsh_pairs,
+    )
+
+    texts = [BASE, BASE + " extra", "totally different words here entirely",
+             BASE, "another unrelated document about spark engines",
+             BASE + " extra tail"]
+    docs = _docs(spark, texts)
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    thr = 6
+    inc = {
+        (r.new_doc_id, r.corpus_doc_id): r.match_count
+        for r in minhash_incremental_matches(
+            corpus, batch, min_matching_hashes=thr
+        ).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.match_count
+        for r in minhash_lsh_pairs(docs, min_matching_hashes=thr).collect()
+    }
+    crossing = {
+        (max(a, b) if max(a, b) % 2 == 1 else min(a, b),
+         min(a, b) if max(a, b) % 2 == 1 else max(a, b)): m
+        for (a, b), m in full.items()
+        if (a % 2) != (b % 2)
+    }
+    assert inc == crossing, (inc, crossing)
+    assert any(k[1] == 0 or k[1] == 4 for k in inc), inc  # BASE dups found

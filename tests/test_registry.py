@@ -63,9 +63,16 @@ def test_driver_window_r5_closes_the_book():
                 for name, row in json.load(f).items():
                     if row.get("err") is None and row.get("rows_match"):
                         green.add(name)
+    from userbehavioranalysis_spark.registry import R6_WINDOW_CANDIDATES
+
     if green:
-        uncovered = sorted(set(QUERIES) - green - set(window))
+        uncovered = sorted(
+            set(QUERIES) - green - set(window) - R6_WINDOW_CANDIDATES
+        )
         assert uncovered == [], uncovered
+    # additions after the r5 freeze must be tracked for the r6 window,
+    # not silently uncovered
+    assert R6_WINDOW_CANDIDATES <= set(QUERIES)
 
 
 def test_driver_window_outputs_are_scalar(spark):

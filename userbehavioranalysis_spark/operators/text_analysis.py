@@ -529,6 +529,59 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Sliding token-window chunking with overlap — the RAG-indexing /
+    long-document pretraining staple: cut each document into
+    ``chunk_tokens``-token windows advancing by ``chunk_tokens −
+    overlap``, so consecutive chunks share ``overlap`` tokens and no
+    token is lost at a boundary.
+
+    All integer arithmetic (ceil-div via ``div``), so the chunk grid is
+    bit-identical on any engine; the chunk text is a word-exact
+    ``slice`` + join.  Chunk count per doc is
+    ``1 + ceil_div(n − chunk, stride)`` for ``n > chunk`` else 1 (a
+    short document yields exactly one short chunk).
+
+    Scale: map-only — one ``explode`` whose fan-out is n_tokens/stride
+    per document, no shuffle at all; the natural pre-step to
+    ``doc_embed_hashing``/ANN indexing where the unit of retrieval is
+    the chunk, not the document.  Returns (doc_id, chunk_id,
+    chunk_start, chunk_len, chunk_text), 1-based token offsets.
+    """
+    assert 0 <= overlap < chunk_tokens, "overlap must be < chunk_tokens"
+    stride = chunk_tokens - overlap
+    toks = (
+        documents.withColumn("toks", F.expr(T.TOKENS_SPARK))
+        .select("doc_id", "toks", F.expr("cast(size(toks) as bigint)").alias("n"))
+        .withColumn(
+            "n_chunks",
+            F.expr(
+                f"if(n <= {chunk_tokens}, cast(1 as bigint), "
+                f"(n - {chunk_tokens} + {stride} - 1) div {stride} + 1)"
+            ),
+        )
+    )
+    out = exploded(
+        toks, F.expr("sequence(cast(0 as bigint), n_chunks - 1)"),
+        "chunk_id", "doc_id", "toks", "n",
+    )
+    start = F.expr(f"chunk_id * {stride} + 1")
+    clen = F.expr(f"least(cast({chunk_tokens} as bigint), n - (chunk_id * {stride}))")
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("chunk_start"),
+        clen.alias("chunk_len"),
+        F.expr(
+            f"array_join(slice(toks, cast(chunk_id * {stride} + 1 as int), "
+            f"cast(least(cast({chunk_tokens} as bigint), "
+            f"n - (chunk_id * {stride})) as int)), ' ')"
+        ).alias("chunk_text"),
+    )
+
+
 def pack_sequences(documents: DataFrame, seq_len: int = 512) -> DataFrame:
     """Continuous-concatenation sequence packing: map each document onto
     the fixed-length training sequences its tokens land in.

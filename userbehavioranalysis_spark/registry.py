@@ -5575,6 +5575,99 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-5 additions (registered AFTER the r5 window froze; next-window
+# candidates — see R6_WINDOW_CANDIDATES below)
+# --------------------------------------------------------------------------
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_T.TOKENS_DUCK} AS toks,
+               CAST(len({_T.TOKENS_DUCK}) AS BIGINT) AS n
+        FROM documents
+    ), c AS (
+        SELECT doc_id, toks, n,
+               CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END
+                   AS n_chunks
+        FROM t
+    ), e AS (
+        SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_id FROM c
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 24 + 1 AS BIGINT) AS chunk_start,
+           CAST(least(32, n - chunk_id * 24) AS BIGINT) AS chunk_len,
+           array_to_string(
+               toks[(chunk_id * 24 + 1):(chunk_id * 24 + least(32, n - chunk_id * 24))],
+               ' ') AS chunk_text
+    FROM e
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (32-token chunks, 8-token overlap)
+    — the RAG-indexing / long-document unit-of-retrieval step; map-only
+    explode, integer-exact chunk grid, word-exact chunk text (full SQL
+    replay on both)."""
+    from userbehavioranalysis_spark.operators.text_analysis import chunk_documents
+
+    return chunk_documents(
+        _tables(spark, sf_dir)["documents"], chunk_tokens=32, overlap=8
+    )
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents
+    ), sigs AS (
+        SELECT doc_id, {_T.minhash_sig_duck(12)} AS sig
+        FROM (SELECT doc_id, list_distinct(tokens) AS shingles FROM toks)
+    ), bc AS (
+        SELECT doc_id AS corpus_doc_id, b.band_id,
+               array_to_string(sig[b.band_id * 3 + 1 : b.band_id * 3 + 3], '-')
+                   AS band_sig
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
+        WHERE doc_id % 2 = 0
+    ), bn AS (
+        SELECT doc_id AS new_doc_id, b.band_id,
+               array_to_string(sig[b.band_id * 3 + 1 : b.band_id * 3 + 3], '-')
+                   AS band_sig
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
+        WHERE doc_id % 2 = 1
+    ), cand AS (
+        SELECT DISTINCT bn.new_doc_id, bc.corpus_doc_id
+        FROM bn JOIN bc USING (band_id, band_sig)
+    ), scored AS (
+        SELECT cand.new_doc_id, cand.corpus_doc_id,
+               CAST(len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i]))
+                    AS INTEGER) AS match_count
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = cand.new_doc_id
+        JOIN sigs sb ON sb.doc_id = cand.corpus_doc_id
+    )
+    SELECT * FROM scored WHERE match_count >= 6
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW batch (odd doc_ids) against the
+    EXISTING corpus (even doc_ids) via the banded-MinHash index — the
+    daily-refresh shape where only the delta's signatures are computed
+    and the corpus index is the persisted artifact
+    (operators/dedup.minhash_incremental_matches)."""
+    docs = _tables(spark, sf_dir)["documents"]
+    return _dedup.minhash_incremental_matches(
+        docs.filter(_F.col("doc_id") % 2 == 0),
+        docs.filter(_F.col("doc_id") % 2 == 1),
+    )
+
+
+# Registered after the r5 driver window was frozen and locally
+# oracle-verified; first in line for the r6 rotation.
+R6_WINDOW_CANDIDATES = {"doc_chunks", "dedup_incremental"}
+
+
+# --------------------------------------------------------------------------
 # Driver-window ordering + rotation plan
 # --------------------------------------------------------------------------
 # The correctness driver records oracle results for the FIRST 50 registry
