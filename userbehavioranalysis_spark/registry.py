@@ -5662,9 +5662,106 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_incremental_capped",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents
+    ), sigs AS (
+        SELECT doc_id, {_T.minhash_sig_duck(12)} AS sig
+        FROM (SELECT doc_id, list_distinct(tokens) AS shingles FROM toks)
+    ), bc0 AS (
+        SELECT doc_id AS corpus_doc_id, b.band_id,
+               array_to_string(sig[b.band_id * 3 + 1 : b.band_id * 3 + 3], '-')
+                   AS band_sig
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
+        WHERE doc_id % 2 = 0
+    ), bc AS (
+        SELECT corpus_doc_id, band_id, band_sig FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_id, band_sig) AS bsz
+            FROM bc0
+        ) WHERE bsz <= 32
+    ), bn AS (
+        SELECT doc_id AS new_doc_id, b.band_id,
+               array_to_string(sig[b.band_id * 3 + 1 : b.band_id * 3 + 3], '-')
+                   AS band_sig
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
+        WHERE doc_id % 2 = 1
+    ), cand AS (
+        SELECT DISTINCT bn.new_doc_id, bc.corpus_doc_id
+        FROM bn JOIN bc USING (band_id, band_sig)
+    ), scored AS (
+        SELECT cand.new_doc_id, cand.corpus_doc_id,
+               CAST(len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i]))
+                    AS INTEGER) AS match_count
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = cand.new_doc_id
+        JOIN sigs sb ON sb.doc_id = cand.corpus_doc_id
+    )
+    SELECT * FROM scored WHERE match_count >= 6
+    """,
+)
+def q_dedup_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of dedup_incremental: corpus-side band
+    buckets capped at 32 docs (a boilerplate mega-bucket fans every
+    matching new doc into |bucket| candidates; the cap bounds the probe
+    at O(batch · cap) — measured 1.5× wall at 100× data against a 92×
+    output, BASELINE.md round-5 additions)."""
+    docs = _tables(spark, sf_dir)["documents"]
+    return _dedup.minhash_incremental_matches(
+        docs.filter(_F.col("doc_id") % 2 == 0),
+        docs.filter(_F.col("doc_id") % 2 == 1),
+        max_bucket=32,
+    )
+
+
+@query(
+    "hourly_behavior_pivot",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_hourly_behavior_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly behavior matrix via the DataFrame ``pivot`` API — the
+    wide-report shape every BI layer asks of an events table.  The
+    pivot VALUES are pinned explicitly: with an explicit list Spark
+    skips the extra distinct-scan job it otherwise runs to discover
+    the columns (the two-pass trap at 100 TB), plans one partial-agg
+    HashAggregate, and the output schema is stable for the driver
+    hash (missing combinations become 0 via coalesce on both
+    engines)."""
+    ev = _tables(spark, sf_dir)["events"]
+    kinds = ["view", "click", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy(
+            (
+                _F.floor(_F.unix_timestamp("ts") / 3600).cast("long") * 3600
+            ).alias("window_start")
+        )
+        .pivot("event_type", kinds)
+        .count()
+    )
+    return out.select(
+        "window_start",
+        *[_F.coalesce(_F.col(k), _F.lit(0)).cast("long").alias(k) for k in kinds],
+    )
+
+
 # Registered after the r5 driver window was frozen and locally
 # oracle-verified; first in line for the r6 rotation.
-R6_WINDOW_CANDIDATES = {"doc_chunks", "dedup_incremental"}
+R6_WINDOW_CANDIDATES = {
+    "doc_chunks",
+    "dedup_incremental",
+    "dedup_incremental_capped",
+    "hourly_behavior_pivot",
+}
 
 
 # --------------------------------------------------------------------------
