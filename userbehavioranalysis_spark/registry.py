@@ -581,40 +581,80 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.exact_dedup(_tables(spark, sf_dir)["documents"])
 
 
-def _minhash_oracle(max_bucket: int | None = None) -> str:
-    """MinHash-LSH oracle, optionally with the hot-bucket cap the Spark
-    operator applies (identical windowed bucket-size filter)."""
-    if max_bucket is None:
-        kept = "SELECT * FROM buckets"
-    else:
-        kept = f"""SELECT doc_id, band_id, band_sig FROM (
+def _minhash_oracle(
+    max_bucket: int | None = None,
+    incremental_split: tuple[str, str] | None = None,
+    min_match: int = 0,
+) -> str:
+    """MinHash-LSH oracle builder — the single SQL-side source of the
+    band key format (mirror of ``operators/dedup._band_expr``; 12
+    hashes / 4 bands / 3 rows).
+
+    Default: symmetric near-dup pairs (doc_a < doc_b), optionally with
+    the hot-bucket cap the Spark operator applies (identical windowed
+    bucket-size filter).  With ``incremental_split=(corpus_pred,
+    new_pred)``: the batch-vs-corpus incremental form
+    (dedup_incremental), where ``max_bucket`` caps the CORPUS side
+    only — exactly like ``minhash_incremental_matches``."""
+
+    def buckets_of(idcol: str, pred: str) -> str:
+        where = f"\n        WHERE {pred}" if pred else ""
+        return f"""
+        SELECT doc_id AS {idcol}, b.band_id,
+               array_to_string(sig[b.band_id * 3 + 1 : b.band_id * 3 + 3], '-')
+                   AS band_sig
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b{where}"""
+
+    def capped(cte: str, idcol: str) -> str:
+        if max_bucket is None:
+            return f"SELECT * FROM {cte}"
+        return f"""SELECT {idcol}, band_id, band_sig FROM (
             SELECT *, count(*) OVER (PARTITION BY band_id, band_sig) AS bsz
-            FROM buckets
+            FROM {cte}
         ) WHERE bsz <= {max_bucket}"""
-    return f"""
+
+    head = f"""
     WITH toks AS (
         SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents
     ), sigs AS (
         SELECT doc_id, {_T.minhash_sig_duck(12)} AS sig
         FROM (SELECT doc_id, list_distinct(tokens) AS shingles FROM toks)
-    ), buckets AS (
-        SELECT doc_id, b.band_id,
-               array_to_string(sig[b.band_id * 3 + 1 : b.band_id * 3 + 3], '-') AS band_sig
-        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
+    )"""
+    score = (
+        "CAST(len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) "
+        "AS INTEGER)"
+    )
+    if incremental_split is None:
+        assert min_match == 0, "symmetric form registers unfiltered scores"
+        return f"""{head}, buckets AS ({buckets_of('doc_id', '')}
     ), kept AS (
-        {kept}
+        {capped('buckets', 'doc_id')}
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM kept a
         JOIN kept b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
                    AND a.doc_id < b.doc_id
     )
-    SELECT cand.doc_a, cand.doc_b,
-           CAST(len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) AS INTEGER)
-               AS match_count
+    SELECT cand.doc_a, cand.doc_b, {score} AS match_count
     FROM cand
     JOIN sigs sa ON sa.doc_id = cand.doc_a
     JOIN sigs sb ON sb.doc_id = cand.doc_b
+"""
+    corpus_pred, new_pred = incremental_split
+    return f"""{head}, bc0 AS ({buckets_of('corpus_doc_id', corpus_pred)}
+    ), bc AS (
+        {capped('bc0', 'corpus_doc_id')}
+    ), bn AS ({buckets_of('new_doc_id', new_pred)}
+    ), cand AS (
+        SELECT DISTINCT bn.new_doc_id, bc.corpus_doc_id
+        FROM bn JOIN bc USING (band_id, band_sig)
+    ), scored AS (
+        SELECT cand.new_doc_id, cand.corpus_doc_id, {score} AS match_count
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = cand.new_doc_id
+        JOIN sigs sb ON sb.doc_id = cand.corpus_doc_id
+    )
+    SELECT * FROM scored WHERE match_count >= {min_match}
 """
 
 
@@ -5617,37 +5657,9 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_incremental",
-    oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents
-    ), sigs AS (
-        SELECT doc_id, {_T.minhash_sig_duck(12)} AS sig
-        FROM (SELECT doc_id, list_distinct(tokens) AS shingles FROM toks)
-    ), bc AS (
-        SELECT doc_id AS corpus_doc_id, b.band_id,
-               array_to_string(sig[b.band_id * 3 + 1 : b.band_id * 3 + 3], '-')
-                   AS band_sig
-        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
-        WHERE doc_id % 2 = 0
-    ), bn AS (
-        SELECT doc_id AS new_doc_id, b.band_id,
-               array_to_string(sig[b.band_id * 3 + 1 : b.band_id * 3 + 3], '-')
-                   AS band_sig
-        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
-        WHERE doc_id % 2 = 1
-    ), cand AS (
-        SELECT DISTINCT bn.new_doc_id, bc.corpus_doc_id
-        FROM bn JOIN bc USING (band_id, band_sig)
-    ), scored AS (
-        SELECT cand.new_doc_id, cand.corpus_doc_id,
-               CAST(len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i]))
-                    AS INTEGER) AS match_count
-        FROM cand
-        JOIN sigs sa ON sa.doc_id = cand.new_doc_id
-        JOIN sigs sb ON sb.doc_id = cand.corpus_doc_id
-    )
-    SELECT * FROM scored WHERE match_count >= 6
-    """,
+    oracle=_minhash_oracle(
+        incremental_split=("doc_id % 2 = 0", "doc_id % 2 = 1"), min_match=6
+    ),
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup of a NEW batch (odd doc_ids) against the
@@ -5664,42 +5676,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_incremental_capped",
-    oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents
-    ), sigs AS (
-        SELECT doc_id, {_T.minhash_sig_duck(12)} AS sig
-        FROM (SELECT doc_id, list_distinct(tokens) AS shingles FROM toks)
-    ), bc0 AS (
-        SELECT doc_id AS corpus_doc_id, b.band_id,
-               array_to_string(sig[b.band_id * 3 + 1 : b.band_id * 3 + 3], '-')
-                   AS band_sig
-        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
-        WHERE doc_id % 2 = 0
-    ), bc AS (
-        SELECT corpus_doc_id, band_id, band_sig FROM (
-            SELECT *, count(*) OVER (PARTITION BY band_id, band_sig) AS bsz
-            FROM bc0
-        ) WHERE bsz <= 32
-    ), bn AS (
-        SELECT doc_id AS new_doc_id, b.band_id,
-               array_to_string(sig[b.band_id * 3 + 1 : b.band_id * 3 + 3], '-')
-                   AS band_sig
-        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
-        WHERE doc_id % 2 = 1
-    ), cand AS (
-        SELECT DISTINCT bn.new_doc_id, bc.corpus_doc_id
-        FROM bn JOIN bc USING (band_id, band_sig)
-    ), scored AS (
-        SELECT cand.new_doc_id, cand.corpus_doc_id,
-               CAST(len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i]))
-                    AS INTEGER) AS match_count
-        FROM cand
-        JOIN sigs sa ON sa.doc_id = cand.new_doc_id
-        JOIN sigs sb ON sb.doc_id = cand.corpus_doc_id
-    )
-    SELECT * FROM scored WHERE match_count >= 6
-    """,
+    oracle=_minhash_oracle(
+        max_bucket=32,
+        incremental_split=("doc_id % 2 = 0", "doc_id % 2 = 1"),
+        min_match=6,
+    ),
 )
 def q_dedup_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production form of dedup_incremental: corpus-side band
@@ -5810,9 +5791,10 @@ R6_WINDOW_CANDIDATES = {
 #              one missing slot: the stricter
 #              streaming_dedup_watermark_replay stays pinned, and the
 #              plain variant is r3-green and covered by the rotation
-#              sampler).  50 exactly; with this window every
-#              one of the 157 registered queries has >=1 green driver
-#              CORRECTNESS row across r1-r5.
+#              sampler).  50 exactly; with this window every one of
+#              the 157 queries registered at the r5 freeze has >=1
+#              green driver CORRECTNESS row across r1-r5 (the 4 later
+#              r5 additions are tracked in R6_WINDOW_CANDIDATES).
 #              tests/test_oracle_rotation.py runs tools/oracle_check.py
 #              on a daily-seeded random sample each round so rotated-out
 #              queries cannot rot unnoticed.
