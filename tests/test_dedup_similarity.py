@@ -941,3 +941,56 @@ def test_minhash_incremental_matches_subset_of_full_pairs(spark):
     }
     assert inc == crossing, (inc, crossing)
     assert any(k[1] == 0 or k[1] == 4 for k in inc), inc  # BASE dups found
+
+
+def test_chunk_documents_matches_python_reference_grid(spark):
+    """Chunk grid equality against an independent pure-Python reference
+    across (chunk_tokens, overlap) combinations and doc lengths 1..40 —
+    pins the integer ceil-div arithmetic for any parameterization, not
+    just the registered 32/8 form."""
+    from userbehavioranalysis_spark.operators.text_analysis import chunk_documents
+
+    def py_chunks(tokens, chunk, overlap):
+        stride = chunk - overlap
+        n = len(tokens)
+        out = []
+        cid = 0
+        while True:
+            start = cid * stride  # 0-based
+            out.append((cid, start + 1, min(chunk, n - start),
+                        " ".join(tokens[start:start + chunk])))
+            if start + chunk >= n:
+                break
+            cid += 1
+        return out
+
+    docs_tokens = [[f"w{i}" for i in range(n)] for n in range(1, 41)]
+    docs = _docs(spark, [" ".join(t) for t in docs_tokens])
+    for chunk, overlap in [(2, 0), (4, 1), (5, 4), (8, 3), (16, 15), (64, 16)]:
+        got = {
+            (r.doc_id, r.chunk_id): (r.chunk_start, r.chunk_len, r.chunk_text)
+            for r in chunk_documents(
+                docs, chunk_tokens=chunk, overlap=overlap
+            ).collect()
+        }
+        want = {
+            (d, cid): (start, clen, text)
+            for d, toks in enumerate(docs_tokens)
+            for cid, start, clen, text in py_chunks(toks, chunk, overlap)
+        }
+        assert got == want, (chunk, overlap)
+
+
+def test_minhash_incremental_empty_batch_and_disjoint(spark):
+    """Edge cases: an empty new batch yields an empty (not failing)
+    result, and a batch sharing nothing with the corpus matches
+    nothing."""
+    from userbehavioranalysis_spark.operators.dedup import (
+        minhash_incremental_matches,
+    )
+
+    corpus = _docs(spark, [BASE, BASE + " extra"])
+    empty = corpus.filter("doc_id < 0")
+    assert minhash_incremental_matches(corpus, empty).count() == 0
+    disjoint = _docs(spark, ["qqq www eee rrr ttt yyy uuu iii ooo ppp"])
+    assert minhash_incremental_matches(corpus, disjoint).count() == 0
