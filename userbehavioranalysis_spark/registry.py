@@ -5735,6 +5735,61 @@ def q_hourly_behavior_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_dedup_incremental_replay",
+    oracle=_minhash_oracle(
+        incremental_split=("doc_id % 2 = 0", "doc_id % 2 = 1"), min_match=6
+    ),
+)
+def q_streaming_dedup_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup as a STREAM: the new-document delta arrives in
+    3 micro-batches, each matched against the STATIC corpus band index
+    in foreachBatch — the streaming form of the daily-refresh shape
+    (operators/dedup.minhash_incremental_matches).  Per-doc scoring is
+    independent of batching, so the appended union across micro-batches
+    must equal the batch operator's whole-delta result EXACTLY — the
+    oracle is the same full replay SQL as dedup_incremental, so the
+    hash equality proves batching-invariance end-to-end."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    docs = _tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+
+    key = (sf_dir, "docs-incremental")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="uba_docs_incr_")
+        new_docs = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+        for i in range(3):
+            tmp = os.path.join(stage, f"tmp{i}")
+            new_docs.where(
+                F.expr(f"pmod((doc_id - 1) div 2, 3) = {i}")
+            ).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            os.rename(
+                os.path.join(tmp, part), os.path.join(stage, f"batch_{i:03d}.parquet")
+            )
+            shutil.rmtree(tmp)
+        _STREAM_STAGE_CACHE[key] = stage
+    raw = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
+
+    def _batch(bdf):
+        return _dedup.minhash_incremental_matches(corpus, bdf)
+
+    return _run_bounded_foreach(
+        raw, "streaming_dedup_incremental_replay", _batch
+    )
+
+
 # Registered after the r5 driver window was frozen and locally
 # oracle-verified; first in line for the r6 rotation.
 R6_WINDOW_CANDIDATES = {
@@ -5742,6 +5797,7 @@ R6_WINDOW_CANDIDATES = {
     "dedup_incremental",
     "dedup_incremental_capped",
     "hourly_behavior_pivot",
+    "streaming_dedup_incremental_replay",
 }
 
 
