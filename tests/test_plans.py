@@ -281,3 +281,28 @@ def test_ngram_df_prefilter_has_no_sort_or_window(spark):
     assert "LeftSemi" in plan, plan
     # df count reduces map-side before its exchange
     assert "partial_count" in plan, plan
+
+
+def test_chunk_documents_is_map_only(spark):
+    """Chunking must stay embarrassingly parallel: no Exchange anywhere
+    in the plan (one scan, one Generate, projections) — the property
+    that makes it free at 100 TB."""
+    from userbehavioranalysis_spark.operators.text_analysis import chunk_documents
+
+    t = load_testdata(spark, SF)
+    plan = _plan(chunk_documents(t["documents"]))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
+
+
+def test_behavior_pivot_single_aggregate_no_discovery(spark):
+    """Pinned pivot values must plan as ONE partial+final aggregate
+    pair over the scan — no join, no second scan (the implicit
+    distinct-discovery pass Spark runs for pivot without explicit
+    values is a separate job; pinning removes it entirely)."""
+    from userbehavioranalysis_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["hourly_behavior_pivot"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan or "partial_pivotfirst" in plan.lower() or "HashAggregate" in plan, plan
+    assert "Join" not in plan, plan
