@@ -38,6 +38,9 @@ HEADLINERS = [
     ("ann_topk_lsh", "integer LSH bands — broadcast query side, codegen'd signature fold"),
     ("token_topk", "skewed token counts — partial agg + TakeOrderedAndProject"),
     ("curate_sample", "md5 sample gate pushed map-side before the rank window"),
+    ("doc_chunks", "sliding token-window chunking — map-only, zero Exchange"),
+    ("hourly_behavior_pivot", "pinned-values pivot — one aggregate, no discovery scan"),
+    ("dedup_incremental_capped", "delta vs corpus band index — capped bucket probe"),
     ("decontaminate", "broadcast benchmark shingle set — corpus side unshuffled"),
     ("asof_click_purchase", "as-of join via tagged union + one last() window"),
     ("quantity_tiers", "range join — BroadcastNestedLoopJoin over the tier dim"),
