@@ -61,7 +61,14 @@ def test_driver_window_r5_closes_the_book():
         if os.path.exists(path):
             with open(path) as f:
                 for name, row in json.load(f).items():
-                    if row.get("err") is None and row.get("rows_match"):
+                    # a row counts as green only if the VALUE hash
+                    # matched — rows_match alone would let a same-count
+                    # wrong-values row satisfy the coverage guard
+                    if (
+                        row.get("err") is None
+                        and row.get("rows_match")
+                        and row.get("hash_match")
+                    ):
                         green.add(name)
     from userbehavioranalysis_spark.registry import R6_WINDOW_CANDIDATES
 

@@ -567,17 +567,26 @@ def chunk_documents(
         toks, F.expr("sequence(cast(0 as bigint), n_chunks - 1)"),
         "chunk_id", "doc_id", "toks", "n",
     )
-    start = F.expr(f"chunk_id * {stride} + 1")
-    clen = F.expr(f"least(cast({chunk_tokens} as bigint), n - (chunk_id * {stride}))")
-    return out.select(
+    # grid arithmetic computed ONCE; chunk_text slices by the same
+    # chunk_start/chunk_len columns it reports, so the text can never
+    # desynchronize from the reported grid
+    grid = out.select(
         "doc_id",
         "chunk_id",
-        start.alias("chunk_start"),
-        clen.alias("chunk_len"),
+        F.expr(f"chunk_id * {stride} + 1").alias("chunk_start"),
         F.expr(
-            f"array_join(slice(toks, cast(chunk_id * {stride} + 1 as int), "
-            f"cast(least(cast({chunk_tokens} as bigint), "
-            f"n - (chunk_id * {stride})) as int)), ' ')"
+            f"least(cast({chunk_tokens} as bigint), n - (chunk_id * {stride}))"
+        ).alias("chunk_len"),
+        "toks",
+    )
+    return grid.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        "chunk_len",
+        F.expr(
+            "array_join(slice(toks, cast(chunk_start as int), "
+            "cast(chunk_len as int)), ' ')"
         ).alias("chunk_text"),
     )
 

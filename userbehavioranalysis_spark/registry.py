@@ -5782,12 +5782,24 @@ def q_streaming_dedup_incremental_replay(spark: SparkSession, sf_dir: str) -> Da
         .load(stage)
     )
 
-    def _batch(bdf):
-        return _dedup.minhash_incremental_matches(corpus, bdf)
+    # the PERSISTED index shape for real: signatures + band buckets are
+    # built and cached ONCE, every micro-batch only probes them (the
+    # first cut rebuilt the whole corpus index inside each batch)
+    sig_c, bk_c = _dedup.minhash_corpus_index(corpus)
+    sig_c, bk_c = sig_c.cache(), bk_c.cache()
+    try:
 
-    return _run_bounded_foreach(
-        raw, "streaming_dedup_incremental_replay", _batch
-    )
+        def _batch(bdf):
+            return _dedup.minhash_incremental_matches(
+                None, bdf, corpus_index=(sig_c, bk_c)
+            )
+
+        return _run_bounded_foreach(
+            raw, "streaming_dedup_incremental_replay", _batch
+        )
+    finally:
+        sig_c.unpersist()
+        bk_c.unpersist()
 
 
 # Registered after the r5 driver window was frozen and locally
@@ -5849,8 +5861,10 @@ R6_WINDOW_CANDIDATES = {
 #              plain variant is r3-green and covered by the rotation
 #              sampler).  50 exactly; with this window every one of
 #              the 157 queries registered at the r5 freeze has >=1
-#              green driver CORRECTNESS row across r1-r5 (the 4 later
-#              r5 additions are tracked in R6_WINDOW_CANDIDATES).
+#              green driver CORRECTNESS row across r1-r5 (later r5
+#              additions are tracked in R6_WINDOW_CANDIDATES — the
+#              test pins that set against the registry, so count it
+#              there, not here).
 #              tests/test_oracle_rotation.py runs tools/oracle_check.py
 #              on a daily-seeded random sample each round so rotated-out
 #              queries cannot rot unnoticed.
