@@ -5738,18 +5738,25 @@ def q_hourly_behavior_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_dedup_incremental_replay",
     oracle=_minhash_oracle(
-        incremental_split=("doc_id % 2 = 0", "doc_id % 2 = 1"), min_match=6
+        max_bucket=32,
+        incremental_split=("doc_id % 2 = 0", "doc_id % 2 = 1"),
+        min_match=6,
     ),
 )
 def q_streaming_dedup_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup as a STREAM: the new-document delta arrives in
     3 micro-batches, each matched against the STATIC corpus band index
     in foreachBatch — the streaming form of the daily-refresh shape
-    (operators/dedup.minhash_incremental_matches).  Per-doc scoring is
-    independent of batching, so the appended union across micro-batches
-    must equal the batch operator's whole-delta result EXACTLY — the
-    oracle is the same full replay SQL as dedup_incremental, so the
-    hash equality proves batching-invariance end-to-end."""
+    (operators/dedup.minhash_incremental_matches), with the production
+    32-doc bucket cap on the persisted index (the uncapped semantics
+    are driver-checked via the batch dedup_incremental; on this
+    dup-dense synthetic corpus the uncapped sf0.1 replay emits 3.6 M
+    matches — 300× the capped output — for no extra coverage).
+    Per-doc scoring is independent of batching, so the appended union
+    across micro-batches must equal the batch operator's whole-delta
+    result EXACTLY — the oracle is the same capped replay SQL as
+    dedup_incremental_capped, so the hash equality proves
+    batching-invariance end-to-end."""
     import os
     import shutil
     import tempfile
@@ -5785,7 +5792,7 @@ def q_streaming_dedup_incremental_replay(spark: SparkSession, sf_dir: str) -> Da
     # the PERSISTED index shape for real: signatures + band buckets are
     # built and cached ONCE, every micro-batch only probes them (the
     # first cut rebuilt the whole corpus index inside each batch)
-    sig_c, bk_c = _dedup.minhash_corpus_index(corpus)
+    sig_c, bk_c = _dedup.minhash_corpus_index(corpus, max_bucket=32)
     sig_c, bk_c = sig_c.cache(), bk_c.cache()
     try:
 
