@@ -994,3 +994,31 @@ def test_minhash_incremental_empty_batch_and_disjoint(spark):
     assert minhash_incremental_matches(corpus, empty).count() == 0
     disjoint = _docs(spark, ["qqq www eee rrr ttt yyy uuu iii ooo ppp"])
     assert minhash_incremental_matches(corpus, disjoint).count() == 0
+
+
+def test_minhash_corpus_index_path_equals_direct(spark):
+    """The persisted-index probe (corpus_index=...) must return exactly
+    the direct path's matches — the refactor that lets a refresh loop
+    build the index once can never change results."""
+    from userbehavioranalysis_spark.operators.dedup import (
+        minhash_corpus_index,
+        minhash_incremental_matches,
+    )
+
+    texts = [BASE, BASE + " extra", "totally different words here entirely",
+             BASE, "another unrelated document about spark engines",
+             BASE + " extra tail"]
+    docs = _docs(spark, texts)
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    direct = {
+        tuple(r) for r in minhash_incremental_matches(corpus, batch).collect()
+    }
+    idx = minhash_corpus_index(corpus)
+    via_index = {
+        tuple(r)
+        for r in minhash_incremental_matches(
+            None, batch, corpus_index=idx
+        ).collect()
+    }
+    assert direct == via_index and direct
