@@ -926,11 +926,23 @@ def _ann_structural(res: DataFrame) -> DataFrame:
     )
 
 
-_ANN_STRUCTURAL_ORACLE = """
+# The structural oracle replays a FIXED (query × rank) grid, so it
+# assumes every structural ANN query (a) filters queries to
+# vec_id < _ANN_NQ and (b) returns a full dense 1.._ANN_K ranking per
+# query (true whenever the probed candidate pool has ≥ k neighbors —
+# holds at every tested sf; a variant that can legitimately return
+# fewer must NOT use this oracle or a real contract violation becomes
+# indistinguishable from under-filling).  Both constants are shared
+# with the query definitions below so a future k / query-count change
+# cannot desynchronize the grid from the queries.
+_ANN_NQ = 5
+_ANN_K = 10
+
+_ANN_STRUCTURAL_ORACLE = f"""
     SELECT v.vec_id AS query_id, CAST(r.rank AS INTEGER) AS rank,
            TRUE AS valid
-    FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) v
-    CROSS JOIN (SELECT unnest(range(1, 11)) AS rank) r
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id < {_ANN_NQ}) v
+    CROSS JOIN (SELECT unnest(range(1, {_ANN_K} + 1)) AS rank) r
 """
 
 
@@ -950,7 +962,10 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered = assign_ivf_clusters(emb, n_clusters=10, iters=2)
     return _ann_structural(
         ann_topk_ivf(
-            clustered, emb.filter(F.col("vec_id") < 5), cluster_col="cluster"
+            clustered,
+            emb.filter(F.col("vec_id") < _ANN_NQ),
+            k=_ANN_K,
+            cluster_col="cluster",
         )
     )
 
@@ -5457,7 +5472,9 @@ def q_ann_topk_ivfpq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from userbehavioranalysis_spark.operators.embeddings import ann_topk_ivfpq
 
     emb = _tables(spark, sf_dir)["embeddings"]
-    return _ann_structural(ann_topk_ivfpq(emb, emb.filter(_F.col("vec_id") < 5)))
+    return _ann_structural(
+        ann_topk_ivfpq(emb, emb.filter(_F.col("vec_id") < _ANN_NQ), k=_ANN_K)
+    )
 
 
 # PQ with float-k-means codebooks (deterministic per corpus but not
@@ -5471,7 +5488,9 @@ def q_ann_topk_pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from userbehavioranalysis_spark.operators.embeddings import ann_topk_pq
 
     emb = _tables(spark, sf_dir)["embeddings"]
-    return _ann_structural(ann_topk_pq(emb, emb.filter(_F.col("vec_id") < 5)))
+    return _ann_structural(
+        ann_topk_pq(emb, emb.filter(_F.col("vec_id") < _ANN_NQ), k=_ANN_K)
+    )
 
 
 # Shared SQL fragments for the fixed-codebook PQ/IVFPQ oracles: L2
