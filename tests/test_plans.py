@@ -306,3 +306,58 @@ def test_behavior_pivot_single_aggregate_no_discovery(spark):
     assert plan.count("FileScan parquet") == 1, plan
     assert "partial_count" in plan or "partial_pivotfirst" in plan.lower() or "HashAggregate" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_minhash_index_probe_prunes_partitions_and_matches_memory(spark, tmp_path):
+    """The persisted incremental-dedup probe must (a) carry non-empty
+    PartitionFilters on the bucket scan — the pruned-listing property
+    that makes a daily-delta probe touch shards, never the corpus —
+    and (b) hash-match the in-memory capped path exactly."""
+    import re
+
+    from userbehavioranalysis_spark.operators.dedup import (
+        minhash_incremental_matches,
+        minhash_incremental_matches_indexed,
+        minhash_index_write,
+    )
+
+    docs = load_testdata(spark, SF)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "index")
+    minhash_index_write(corpus, path, max_bucket=32)
+
+    out = minhash_incremental_matches_indexed(batch, path)
+    plan = _plan(out)
+    assert "PartitionFilters: [" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "empty PartitionFilters — probe not pruned"
+
+    want = {
+        (r.new_doc_id, r.corpus_doc_id, r.match_count)
+        for r in minhash_incremental_matches(corpus, batch, max_bucket=32).collect()
+    }
+    got = {(r.new_doc_id, r.corpus_doc_id, r.match_count) for r in out.collect()}
+    assert got == want
+
+
+def test_minhash_index_probe_prunes_to_few_shards_for_tiny_batch(spark, tmp_path):
+    """A one-document delta observes ≤ bands shards, so the predicate
+    must enumerate at most `bands` (band_id, sig_shard) pairs — the
+    probe cost scales with the BATCH's shard footprint, not the index."""
+    from userbehavioranalysis_spark.operators.dedup import (
+        minhash_incremental_matches_indexed,
+        minhash_index_write,
+    )
+
+    docs = load_testdata(spark, SF)["documents"]
+    minhash_index_write(
+        docs.filter(F.col("doc_id") % 2 == 0), str(tmp_path / "index"), max_bucket=32
+    )
+    one = docs.filter(F.col("doc_id") == 1)
+    out = minhash_incremental_matches_indexed(one, str(tmp_path / "index"))
+    plan = _plan(out)
+    # 4 bands -> at most 4 probed (band_id, sig_shard) leaves in the
+    # partition predicate; count the sig_shard equality terms
+    assert plan.count("sig_shard#") <= 16  # OR-tree mentions, loose bound
+    out.collect()  # and it actually runs

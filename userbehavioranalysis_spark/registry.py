@@ -5828,6 +5828,50 @@ def q_streaming_dedup_incremental_replay(spark: SparkSession, sf_dir: str) -> Da
         bk_c.unpersist()
 
 
+# --------------------------------------------------------------------------
+# Round-6 additions
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_incremental_indexed",
+    oracle=_minhash_oracle(
+        max_bucket=32,
+        incremental_split=("doc_id % 2 = 0", "doc_id % 2 = 1"),
+        min_match=6,
+    ),
+)
+def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental_capped probing a PERSISTED parquet band index
+    (operators/dedup.minhash_index_write): corpus signatures + band
+    buckets Hive-partitioned by (band_id, sig_shard), built once and
+    cached across calls; the probe turns the batch's observed shards
+    into partition-pruning predicates (PartitionFilters asserted in
+    tests/test_plans.py).  Same capped semantics, same oracle — hash
+    equality proves the persisted path end-to-end."""
+    import os
+    import tempfile
+
+    from userbehavioranalysis_spark.operators.dedup import (
+        minhash_incremental_matches_indexed,
+        minhash_index_write,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    key = (sf_dir, "minhash-index")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(os.path.join(stage, "index", "buckets")):
+        stage = tempfile.mkdtemp(prefix="uba_minhash_index_")
+        minhash_index_write(
+            docs.filter(_F.col("doc_id") % 2 == 0),
+            os.path.join(stage, "index"),
+            max_bucket=32,
+        )
+        _STREAM_STAGE_CACHE[key] = stage
+    return minhash_incremental_matches_indexed(
+        docs.filter(_F.col("doc_id") % 2 == 1), os.path.join(stage, "index")
+    )
+
+
 # Registered after the r5 driver window was frozen and locally
 # oracle-verified; first in line for the r6 rotation.
 R6_WINDOW_CANDIDATES = {
