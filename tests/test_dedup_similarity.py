@@ -1022,3 +1022,76 @@ def test_minhash_corpus_index_path_equals_direct(spark):
         ).collect()
     }
     assert direct == via_index and direct
+
+
+def test_ann_pq_mllib_codebooks_recall(spark):
+    """PQ with MLlib-distributed codebooks (full-corpus k-means|| per
+    subspace) must recover nearly all brute-force neighbors, and the
+    injected-books path must honor the (m, n_codes) contract."""
+    import random
+
+    import pytest
+
+    from userbehavioranalysis_spark.operators.embeddings import ann_topk_pq
+    from userbehavioranalysis_spark.operators.mlcodebooks import (
+        pq_codebooks_distributed,
+    )
+
+    rng = random.Random(43)
+    vecs = []
+    for c in range(6):
+        center = [0.0] * 16
+        center[c * 2] = 1.0
+        center[c * 2 + 1] = -0.8
+        for _ in range(15):
+            vecs.append([x + rng.uniform(-0.06, 0.06) for x in center])
+    emb = _embs(spark, vecs)
+    q = emb.filter(F.col("vec_id") < 4)
+    books = pq_codebooks_distributed(emb, m=4, n_codes=16)
+    assert books.shape == (4, 16, 4)
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_topk_brute(emb, q, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_pq(
+            emb, q, k=5, m=4, n_codes=16, rerank_n=20, books=books
+        ).collect()
+    }
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.9, f"MLlib-PQ recall {recall}"
+    with pytest.raises(AssertionError):  # shape contract is enforced
+        ann_topk_pq(emb, q, k=5, m=8, n_codes=16, books=books)
+
+
+def test_ann_ivf_mllib_centroids_recall(spark):
+    """IVF with MLlib-distributed coarse centroids must recover nearly
+    all brute-force neighbors when clusters are separable."""
+    import random
+
+    from userbehavioranalysis_spark.operators.mlcodebooks import (
+        ivf_clusters_distributed,
+    )
+    from userbehavioranalysis_spark.operators.similarity import ann_topk_ivf
+
+    rng = random.Random(59)
+    vecs = []
+    for c in range(8):
+        center = [0.0] * 16
+        center[c * 2] = 1.0
+        center[c * 2 + 1] = 0.5
+        for _ in range(12):
+            vecs.append([x + rng.uniform(-0.05, 0.05) for x in center])
+    emb = _embs(spark, vecs)
+    clustered = ivf_clusters_distributed(emb, n_clusters=8)
+    assert set(clustered.columns) == {"vec_id", "embedding", "cluster"}
+    q = emb.filter(F.col("vec_id") < 4)
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_topk_brute(emb, q, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_ivf(clustered, q, k=5, cluster_col="cluster").collect()
+    }
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.9, f"MLlib-IVF recall {recall}"

@@ -288,8 +288,13 @@ def ann_topk_pq(
     rerank_n: int = 100,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    books=None,
 ) -> DataFrame:
     """PQ + ADC shortlist + exact rerank — the memory-bound ANN path.
+
+    ``books`` injects pre-trained codebooks (an ``(m, n_codes, dim/m)``
+    array, e.g. from mlcodebooks.pq_codebooks_distributed); ``None``
+    trains the default sample-k-means codebooks here.
 
     Defaults (8 subspaces × 64 codes, rerank 100) measure 0.86
     recall@10 on the sf0.1 corpus, whose top-10 cosines crowd within a
@@ -325,9 +330,11 @@ def ann_topk_pq(
     )
     from pyspark.sql import Window
 
-    books = pq_codebooks(
-        embeddings, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col
-    )
+    if books is None:
+        books = pq_codebooks(
+            embeddings, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col
+        )
+    assert books.shape[:2] == (m, n_codes), "books shape must match (m, n_codes)"
     release_pooled()
     codes = pooled_cache(pq_encode(embeddings, books, vec_col=vec_col, id_col=id_col))
     qrows = (

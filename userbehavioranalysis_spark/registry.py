@@ -5872,6 +5872,59 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The north star names "Structured Streaming + MLlib"; these are the
+# MLlib leg — codebook/centroid training as DISTRIBUTED k-means|| jobs
+# over the full corpus (vs the hand-rolled sample trainers), feeding
+# the exact same search paths.  Float k-means isn't SQL-replayable, so
+# both carry the structural top-k contract + pytest recall floors —
+# the same standing as the sample-k-means siblings.
+@query("ann_topk_pq_mllib", oracle=_ANN_STRUCTURAL_ORACLE)
+def q_ann_topk_pq_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with codebooks trained by pyspark.ml KMeans over the FULL
+    corpus (one distributed fit per subspace, k-means|| init) — the
+    100 TB training leg; ADC scan + exact rerank are shared with
+    ann_topk_pq_kmeans."""
+    from userbehavioranalysis_spark.operators.embeddings import ann_topk_pq
+    from userbehavioranalysis_spark.operators.mlcodebooks import (
+        pq_codebooks_distributed,
+    )
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    books = pq_codebooks_distributed(emb, m=8, n_codes=16)
+    return _ann_structural(
+        ann_topk_pq(
+            emb,
+            emb.filter(_F.col("vec_id") < _ANN_NQ),
+            k=_ANN_K,
+            m=8,
+            n_codes=16,
+            books=books,
+        )
+    )
+
+
+@query("ann_topk_ivf_mllib", oracle=_ANN_STRUCTURAL_ORACLE)
+def q_ann_topk_ivf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with coarse centroids trained by one distributed
+    pyspark.ml KMeans over the full corpus; probe routing and rerank
+    are shared with ann_topk_ivf."""
+    from userbehavioranalysis_spark.operators.mlcodebooks import (
+        ivf_clusters_distributed,
+    )
+    from userbehavioranalysis_spark.operators.similarity import ann_topk_ivf
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    clustered = ivf_clusters_distributed(emb, n_clusters=10)
+    return _ann_structural(
+        ann_topk_ivf(
+            clustered,
+            emb.filter(_F.col("vec_id") < _ANN_NQ),
+            k=_ANN_K,
+            cluster_col="cluster",
+        )
+    )
+
+
 # Registered after the r5 driver window was frozen and locally
 # oracle-verified; first in line for the r6 rotation.
 R6_WINDOW_CANDIDATES = {
