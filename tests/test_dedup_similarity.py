@@ -1095,3 +1095,69 @@ def test_ann_ivf_mllib_centroids_recall(spark):
     }
     recall = len(brute & got) / len(brute)
     assert recall >= 0.9, f"MLlib-IVF recall {recall}"
+
+
+def test_incremental_refresh_every_gate_fires(spark):
+    """One batch doc per gate: quality, language, exact-vs-corpus,
+    near-dup-vs-corpus, exact/near self-dup — each drops exactly its
+    target and the clean survivors come through with their stats."""
+    from userbehavioranalysis_spark.operators.pipeline import incremental_refresh
+
+    corpus_texts = [
+        "the cat sat on the mat and the dog slept near a door of wood",
+        "a tall ship of oak sailed the wide sea and the wind was cold",
+    ]
+    batch = [
+        (1, "the cat sat on the mat and the dog slept near a door of pine"),  # near-dup of corpus 0
+        (3, "a tall ship of oak sailed the wide sea and the wind was cold"),  # exact dup of corpus 1
+        (5, "the green hill of stone rose over a valley and the mist hung low"),  # keeper of self-dup pair
+        (7, "the green hill of stone rose over a valley and the mist hung low"),  # self exact dup -> drop
+        (9, "der hund und die katze und das haus und der baum und das brot"),  # german -> drop
+        (11, "the the the"),  # quality -> drop
+        (13, "a quiet owl of night flew past the barn and the moon was bright"),  # survivor
+    ]
+    corpus = spark.createDataFrame(
+        [(2 * i, t) for i, t in enumerate(corpus_texts)], "doc_id long, text string"
+    )
+    new_docs = spark.createDataFrame(batch, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_tokens, r.score_r4)
+        for r in incremental_refresh(
+            corpus, new_docs, min_score=0.3, near_dup_min_matches=9
+        ).collect()
+    }
+    assert set(out) == {5, 13}
+    assert out[5][0] == 14 and out[13][0] == 14
+
+
+def test_incremental_refresh_accepts_persisted_index(spark, tmp_path):
+    """Passing the parquet-read corpus index must produce the same
+    survivors as deriving the index from the corpus frame."""
+    from userbehavioranalysis_spark.operators.dedup import minhash_index_write
+    from userbehavioranalysis_spark.operators.pipeline import incremental_refresh
+    from userbehavioranalysis_spark.sources.readers import load_testdata
+
+    docs = load_testdata(spark, "/root/testdata/sf0.001")["documents"]
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    path = str(tmp_path / "index")
+    minhash_index_write(corpus, path)
+    spark_read = spark.read
+    sig_c = spark_read.parquet(f"{path}/signatures").withColumn(
+        "sig", F.array(*[F.col(f"m{i}") for i in range(12)])
+    )
+    bk_c = spark_read.parquet(f"{path}/buckets").select(
+        "corpus_doc_id", "band_id", "band_sig"
+    )
+
+    direct = {
+        tuple(r) for r in incremental_refresh(corpus, batch).collect()
+    }
+    via_index = {
+        tuple(r)
+        for r in incremental_refresh(
+            corpus, batch, corpus_index=(sig_c, bk_c)
+        ).collect()
+    }
+    assert direct == via_index and direct

@@ -75,3 +75,94 @@ def clean_corpus(
         .join(exact_keepers, "doc_id", "left_semi")
         .join(near_losers, "doc_id", "left_anti")
     )
+
+
+def incremental_refresh(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    min_score: float = 0.5,
+    lang: str = "en",
+    near_dup_min_matches: int = 9,
+    max_bucket: int | None = None,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """The daily-crawl refresh loop, composed end-to-end: which NEW
+    documents earn a place in the already-cleaned corpus.
+
+        new batch
+          → quality gate          (score_r4 ≥ min_score)
+          → language gate         (lang_guess == lang)
+          → exact self-dedup      (keep lowest doc_id per md5 group)
+          → exact corpus check    (md5 already in corpus → drop)
+          → near-dup self-dedup   (minhash_lsh_pairs on the batch;
+                                   higher doc_id of each pair drops)
+          → near-dup corpus probe (minhash_incremental_matches vs the
+                                   persisted band index; any match →
+                                   drop — the corpus is never touched)
+          → append list           (doc_id, n_tokens, score_r4)
+
+    This is the production shape the incremental operators were built
+    for: every corpus-sized computation (signatures, band buckets, the
+    md5 set) is the PERSISTED artifact a real pipeline builds once —
+    pass ``corpus_index`` (from dedup.minhash_corpus_index or read back
+    from dedup.minhash_index_write's parquet) to probe it; only the
+    batch is tokenized, hashed and gated per run, so the per-refresh
+    cost is O(batch), not O(corpus).  Like clean_corpus, the whole
+    thing is one declarative plan — the gates are joins Catalyst
+    reorders and collapses around the shared batch scan.
+
+    ``max_bucket`` forwards to BOTH near-dup stages (the corpus side of
+    the probe and the batch's self-LSH); ``None`` keeps exact
+    semantics — the registered query uses that form so the oracle is a
+    full SQL replay.
+    """
+    from userbehavioranalysis_spark.operators.dedup import (
+        minhash_corpus_index,
+        minhash_incremental_matches,
+    )
+
+    if corpus_index is None:
+        corpus_index = minhash_corpus_index(corpus, max_bucket=max_bucket)
+    quality_ok = text_analysis.quality_score(new_docs).filter(
+        F.col("score_r4") >= min_score
+    )
+    lang_ok = text_analysis.language_id(new_docs).filter(F.col("lang_guess") == lang)
+    self_exact_keepers = exact_dedup(new_docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    corpus_md5 = corpus.select(F.md5("text").alias("text_md5")).distinct()
+    corpus_exact_losers = (
+        new_docs.select("doc_id", F.md5("text").alias("text_md5"))
+        .join(corpus_md5, "text_md5", "left_semi")
+        .select("doc_id")
+    )
+    corpus_near_losers = (
+        minhash_incremental_matches(
+            None,
+            new_docs,
+            min_matching_hashes=near_dup_min_matches,
+            corpus_index=corpus_index,
+        )
+        .select(F.col("new_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    # self-LSH last: its release_pooled() only drops its own pool, and
+    # its batch-signature subtree is plan-identical to the probe's
+    # cached sig_n, so the CacheManager serves it from the same blocks
+    self_near_losers = (
+        minhash_lsh_pairs(
+            new_docs,
+            min_matching_hashes=near_dup_min_matches,
+            max_bucket=max_bucket,
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        quality_ok.select("doc_id", "n_tokens", "score_r4")
+        .join(lang_ok.select("doc_id"), "doc_id")
+        .join(self_exact_keepers, "doc_id", "left_semi")
+        .join(corpus_exact_losers, "doc_id", "left_anti")
+        .join(self_near_losers, "doc_id", "left_anti")
+        .join(corpus_near_losers, "doc_id", "left_anti")
+    )

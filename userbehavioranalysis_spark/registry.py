@@ -5925,6 +5925,98 @@ def q_ann_topk_ivf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCR_REFRESH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents
+    ), q AS (
+        SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+               round(least(len(tokens)::DOUBLE / 100, 1.0) * 0.5
+                     + (1.0 - len(list_filter(tokens, x -> x IN ('the','a','of','and')))::DOUBLE
+                              / len(tokens)) * 0.5, 4) AS score_r4
+        FROM toks WHERE doc_id % 2 = 1
+    ), hits AS (
+        SELECT doc_id,
+           len(list_filter(tokens, x -> x IN ('der','die','und','das'))) AS h_de,
+           len(list_filter(tokens, x -> x IN ('the','a','of','and'))) AS h_en,
+           len(list_filter(tokens, x -> x IN ('el','la','de','y'))) AS h_es,
+           len(list_filter(tokens, x -> x IN ('le','la','et','les'))) AS h_fr
+        FROM toks WHERE doc_id % 2 = 1
+    ), lang AS (
+        SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                ELSE 'de' END AS lang_guess
+        FROM hits
+    ), keepers AS (
+        SELECT min(doc_id) AS doc_id FROM documents WHERE doc_id % 2 = 1
+        GROUP BY md5(text)
+    ), corpus_exact_losers AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 2 = 1 AND md5(text) IN (
+            SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+    ), sigs AS (
+        SELECT doc_id, {_T.minhash_sig_duck(12)} AS sig
+        FROM (SELECT doc_id, list_distinct(tokens) AS shingles FROM toks)
+    ), buckets AS (
+        SELECT doc_id, b.band_id,
+               array_to_string(sig[b.band_id * 3 + 1 : b.band_id * 3 + 3], '-')
+                   AS band_sig
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
+    ), self_losers AS (
+        SELECT DISTINCT c.doc_b AS doc_id
+        FROM (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a
+            JOIN buckets b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                          AND a.doc_id < b.doc_id
+            WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+        ) c
+        JOIN sigs sa ON sa.doc_id = c.doc_a
+        JOIN sigs sb ON sb.doc_id = c.doc_b
+        WHERE len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) >= 9
+    ), cross_losers AS (
+        SELECT DISTINCT c.new_doc_id AS doc_id
+        FROM (
+            SELECT DISTINCT bn.doc_id AS new_doc_id, bc.doc_id AS corpus_doc_id
+            FROM buckets bn
+            JOIN buckets bc ON bn.band_id = bc.band_id
+                           AND bn.band_sig = bc.band_sig
+            WHERE bn.doc_id % 2 = 1 AND bc.doc_id % 2 = 0
+        ) c
+        JOIN sigs sa ON sa.doc_id = c.new_doc_id
+        JOIN sigs sb ON sb.doc_id = c.corpus_doc_id
+        WHERE len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) >= 9
+    )
+    SELECT q.doc_id, q.n_tokens, q.score_r4
+    FROM q
+    JOIN lang ON q.doc_id = lang.doc_id
+    WHERE lang.lang_guess = 'en' AND q.score_r4 >= 0.5
+      AND q.doc_id IN (SELECT doc_id FROM keepers)
+      AND q.doc_id NOT IN (SELECT doc_id FROM corpus_exact_losers)
+      AND q.doc_id NOT IN (SELECT doc_id FROM self_losers)
+      AND q.doc_id NOT IN (SELECT doc_id FROM cross_losers)
+"""
+
+
+@query("pipeline_incremental_refresh", oracle=_INCR_REFRESH_ORACLE)
+def q_pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed daily-refresh loop (pipeline.incremental_refresh):
+    a new batch (odd doc_ids) is quality- and language-gated, exact-
+    deduped against itself AND the existing corpus (even doc_ids), then
+    near-dup-probed against the corpus band index — the full SQL oracle
+    replays every stage, so the hash pins the composition end-to-end,
+    not just the parts."""
+    from userbehavioranalysis_spark.operators.pipeline import incremental_refresh
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return incremental_refresh(
+        docs.filter(_F.col("doc_id") % 2 == 0),
+        docs.filter(_F.col("doc_id") % 2 == 1),
+    )
+
+
 # Registered after the r5 driver window was frozen and locally
 # oracle-verified; first in line for the r6 rotation.
 R6_WINDOW_CANDIDATES = {
