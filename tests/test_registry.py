@@ -35,13 +35,13 @@ def test_every_query_has_an_oracle():
     assert set(ORACLES) == set(QUERIES)
 
 
-def test_driver_window_r5_closes_the_book():
+def test_driver_window_r6_covers_every_query():
     """The correctness driver records only the first 50 registry
-    entries; the round-5 rotation holds every query that still lacks a
-    GREEN driver row after rounds 1-4 (r4's doc_embed_hashing error,
-    the r1-errored relational trio, the former no_oracle rows, and the
-    12 never-checked queries), so that after r5 every registered query
-    has >=1 green driver CORRECTNESS row across r1-r5."""
+    entries; after the r5 book-closing rotation, the r6 window holds
+    the 4 anchors, EVERY query with no driver row yet (the post-freeze
+    r5 additions + the round-6 additions, tracked in
+    R6_WINDOW_CANDIDATES), and the stalest greens — so every registered
+    query is either already green in r1-r5 or checked this round."""
     import json
     import os
 
@@ -56,7 +56,7 @@ def test_driver_window_r5_closes_the_book():
     assert anchors <= set(window)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green: set[str] = set()
-    for rnd in ("r01", "r02", "r03", "r04"):
+    for rnd in ("r01", "r02", "r03", "r04", "r05"):
         path = os.path.join(root, f"CORRECTNESS_{rnd}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -73,12 +73,11 @@ def test_driver_window_r5_closes_the_book():
     from userbehavioranalysis_spark.registry import R6_WINDOW_CANDIDATES
 
     if green:
-        uncovered = sorted(
-            set(QUERIES) - green - set(window) - R6_WINDOW_CANDIDATES
-        )
+        uncovered = sorted(set(QUERIES) - green - set(window))
         assert uncovered == [], uncovered
-    # additions after the r5 freeze must be tracked for the r6 window,
-    # not silently uncovered
+        # every never-driver-checked query must be IN the r6 window,
+        # not merely tracked
+        assert R6_WINDOW_CANDIDATES <= set(window)
     assert R6_WINDOW_CANDIDATES <= set(QUERIES)
 
 

@@ -334,7 +334,7 @@ def test_run_bounded_cleans_checkpoint_dirs(spark, tmp_path):
     import glob
     import tempfile
 
-    from userbehavioranalysis_spark import registry as reg
+    from userbehavioranalysis_spark.registry import streaming as reg
 
     src = str(tmp_path / "ckpt_probe_src")
     spark.range(10).withColumnRenamed("id", "v").write.parquet(src)
