@@ -47,6 +47,12 @@ HEAVY = [
     "bm25_search",
     "ann_topk_pq",
     "ann_topk_ivfpq",
+    # round-6 additions (dedup_incremental_indexed's registered form
+    # caches its index per sf_dir, so its first timing includes the
+    # one-time write — the split write/probe numbers are measured
+    # separately and recorded in BASELINE.md "Round-6 additions")
+    "dedup_incremental_indexed",
+    "pipeline_incremental_refresh",
 ]
 
 
