@@ -361,3 +361,31 @@ def test_minhash_index_probe_prunes_to_few_shards_for_tiny_batch(spark, tmp_path
     # partition predicate; count the sig_shard equality terms
     assert plan.count("sig_shard#") <= 16  # OR-tree mentions, loose bound
     out.collect()  # and it actually runs
+
+
+def test_minhash_index_append_equals_one_shot_index(spark, tmp_path):
+    """write(A) + append(B) must probe exactly like write(A∪B): same
+    matches, and the appended files land in the same partition layout
+    so the probe still carries PartitionFilters."""
+    from userbehavioranalysis_spark.operators.dedup import (
+        minhash_incremental_matches_indexed,
+        minhash_index_append,
+        minhash_index_write,
+    )
+
+    docs = load_testdata(spark, SF)["documents"]
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    full_path = str(tmp_path / "full")
+    app_path = str(tmp_path / "appended")
+    minhash_index_write(docs.filter(F.col("doc_id") % 2 == 0), full_path)
+    minhash_index_write(docs.filter(F.col("doc_id") % 4 == 0), app_path)
+    minhash_index_append(docs.filter(F.col("doc_id") % 4 == 2), app_path)
+
+    want = {
+        tuple(r)
+        for r in minhash_incremental_matches_indexed(batch, full_path).collect()
+    }
+    out = minhash_incremental_matches_indexed(batch, app_path)
+    got = {tuple(r) for r in out.collect()}
+    assert got == want and got
+    assert "PartitionFilters: [" in _plan(out)

@@ -589,6 +589,49 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_incremental_index_append",
+    oracle=_minhash_oracle(
+        incremental_split=("doc_id % 2 = 0", "doc_id % 2 = 1"), min_match=6
+    ),
+)
+def q_dedup_incremental_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE proof: the corpus index is written from HALF
+    the corpus (doc_id % 4 == 0), the other half (% 4 == 2) is
+    APPENDED (operators/dedup.minhash_index_append — new parquet files
+    into the same partition layout, no rewrite), and the probe of the
+    appended index must hash-equal the one-shot index over the full
+    corpus — the same full SQL oracle as dedup_incremental.  This is
+    the daily loop's closing step: gate → dedup → append survivors, so
+    tomorrow's delta probes today's corpus.  Uncapped on both write and
+    append (the cap is a rewrite-time property; see the operator
+    docstring)."""
+    import os
+    import tempfile
+
+    from userbehavioranalysis_spark.operators.dedup import (
+        minhash_incremental_matches_indexed,
+        minhash_index_append,
+        minhash_index_write,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    key = (sf_dir, "minhash-index-append")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(os.path.join(stage, "index", "buckets")):
+        stage = tempfile.mkdtemp(prefix="uba_minhash_idx_app_")
+        minhash_index_write(
+            docs.filter(_F.col("doc_id") % 4 == 0), os.path.join(stage, "index")
+        )
+        minhash_index_append(
+            docs.filter(_F.col("doc_id") % 4 == 2), os.path.join(stage, "index")
+        )
+        _STREAM_STAGE_CACHE[key] = stage
+    return minhash_incremental_matches_indexed(
+        docs.filter(_F.col("doc_id") % 2 == 1), os.path.join(stage, "index")
+    )
+
+
 _INCR_REFRESH_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents
