@@ -166,3 +166,57 @@ def incremental_refresh(
         .join(self_near_losers, "doc_id", "left_anti")
         .join(corpus_near_losers, "doc_id", "left_anti")
     )
+
+
+def screen_against_corpus(
+    corpus_md5: DataFrame,
+    corpus_index: tuple[DataFrame, DataFrame],
+    new_docs: DataFrame,
+    min_score: float = 0.5,
+    lang: str = "en",
+    near_dup_min_matches: int = 9,
+) -> DataFrame:
+    """Per-document corpus screening — the STREAMING-shaped subset of
+    :func:`incremental_refresh`: quality gate, language gate, exact
+    md5-vs-corpus check, and the near-dup probe of the persisted corpus
+    index.  Every gate is PER-DOC (no within-delta keepers or self
+    pairs), so the result is batching-invariant by construction: the
+    union over any micro-batching of ``new_docs`` equals the
+    whole-delta result exactly — the property the streaming replay's
+    hash oracle proves end-to-end.  Within-delta self-dedup is the
+    daily REWRITE's job (incremental_refresh); this is the arrival-time
+    screen that keeps obvious corpus dups out of the landing zone.
+
+    Both corpus artifacts are caller-owned persisted state (the md5
+    set and the band index a production pipeline builds once), so each
+    call costs O(batch).
+    """
+    from userbehavioranalysis_spark.operators.dedup import (
+        minhash_incremental_matches,
+    )
+
+    quality_ok = text_analysis.quality_score(new_docs).filter(
+        F.col("score_r4") >= min_score
+    )
+    lang_ok = text_analysis.language_id(new_docs).filter(F.col("lang_guess") == lang)
+    corpus_exact_losers = (
+        new_docs.select("doc_id", F.md5("text").alias("text_md5"))
+        .join(corpus_md5, "text_md5", "left_semi")
+        .select("doc_id")
+    )
+    corpus_near_losers = (
+        minhash_incremental_matches(
+            None,
+            new_docs,
+            min_matching_hashes=near_dup_min_matches,
+            corpus_index=corpus_index,
+        )
+        .select(F.col("new_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        quality_ok.select("doc_id", "n_tokens", "score_r4")
+        .join(lang_ok.select("doc_id"), "doc_id")
+        .join(corpus_exact_losers, "doc_id", "left_anti")
+        .join(corpus_near_losers, "doc_id", "left_anti")
+    )

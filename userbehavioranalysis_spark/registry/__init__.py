@@ -61,6 +61,7 @@ R6_WINDOW_CANDIDATES = {
     "ann_topk_ivf_mllib",
     "pipeline_incremental_refresh",
     "dedup_incremental_index_append",
+    "streaming_corpus_screen_replay",
 }
 
 
@@ -79,12 +80,14 @@ R6_WINDOW_CANDIDATES = {
 #              driver row yet (5 post-freeze r5 additions + 4 round-6
 #              additions), and the 37 STALEST greens (last green r2) —
 #              freshness rotation so no query's last green row ages
-#              past three rounds without re-checking.  The 8 r2 greens
+#              past three rounds without re-checking.  The 9 r2 greens
 #              that didn't fit (uv_per_event, hot_pages,
 #              dedup_minhash_lsh, ad_clicks_by_geo, audio_features,
-#              image_features, image_resize, token_counts — the last
-#              bumped for dedup_incremental_index_append, a never-
-#              checked round-6 addition) are first in line for r7,
+#              image_features, image_resize, token_counts,
+#              doc_fingerprints — the last two bumped for the never-
+#              checked round-6 additions dedup_incremental_index_append
+#              and streaming_corpus_screen_replay) are first in line
+#              for r7,
 #              each pinned meanwhile by its own pytest (property tests
 #              for uv_per_event, real-decoder round-trips for the
 #              multimodal trio) or by a driver-green sibling sharing
@@ -112,6 +115,7 @@ _DRIVER_WINDOW = [
     "ann_topk_ivf_mllib",
     "pipeline_incremental_refresh",
     "dedup_incremental_index_append",
+    "streaming_corpus_screen_replay",
     # ---- stalest greens (last green r2), in r2 definition order
     "unique_visitors",
     "user_sessions",
@@ -147,7 +151,6 @@ _DRIVER_WINDOW = [
     "asof_click_purchase",
     "doc_embedding_stats",
     "quality_score",
-    "doc_fingerprints",
     "pipeline_clean_corpus",
 ]
 

@@ -1357,3 +1357,127 @@ def q_streaming_dedup_incremental_replay(spark: SparkSession, sf_dir: str) -> Da
     finally:
         sig_c.unpersist()
         bk_c.unpersist()
+
+
+_CORPUS_SCREEN_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents
+    ), q AS (
+        SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+               round(least(len(tokens)::DOUBLE / 100, 1.0) * 0.5
+                     + (1.0 - len(list_filter(tokens, x -> x IN ('the','a','of','and')))::DOUBLE
+                              / len(tokens)) * 0.5, 4) AS score_r4
+        FROM toks WHERE doc_id % 2 = 1
+    ), hits AS (
+        SELECT doc_id,
+           len(list_filter(tokens, x -> x IN ('der','die','und','das'))) AS h_de,
+           len(list_filter(tokens, x -> x IN ('the','a','of','and'))) AS h_en,
+           len(list_filter(tokens, x -> x IN ('el','la','de','y'))) AS h_es,
+           len(list_filter(tokens, x -> x IN ('le','la','et','les'))) AS h_fr
+        FROM toks WHERE doc_id % 2 = 1
+    ), lang AS (
+        SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                ELSE 'de' END AS lang_guess
+        FROM hits
+    ), corpus_exact_losers AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 2 = 1 AND md5(text) IN (
+            SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+    ), sigs AS (
+        SELECT doc_id, {_T.minhash_sig_duck(12)} AS sig
+        FROM (SELECT doc_id, list_distinct(tokens) AS shingles FROM toks)
+    ), buckets AS (
+        SELECT doc_id, b.band_id,
+               array_to_string(sig[b.band_id * 3 + 1 : b.band_id * 3 + 3], '-')
+                   AS band_sig
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
+    ), cross_losers AS (
+        SELECT DISTINCT c.new_doc_id AS doc_id
+        FROM (
+            SELECT DISTINCT bn.doc_id AS new_doc_id, bc.doc_id AS corpus_doc_id
+            FROM buckets bn
+            JOIN buckets bc ON bn.band_id = bc.band_id
+                           AND bn.band_sig = bc.band_sig
+            WHERE bn.doc_id % 2 = 1 AND bc.doc_id % 2 = 0
+        ) c
+        JOIN sigs sa ON sa.doc_id = c.new_doc_id
+        JOIN sigs sb ON sb.doc_id = c.corpus_doc_id
+        WHERE len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) >= 9
+    )
+    SELECT q.doc_id, q.n_tokens, q.score_r4
+    FROM q
+    JOIN lang ON q.doc_id = lang.doc_id
+    WHERE lang.lang_guess = 'en' AND q.score_r4 >= 0.5
+      AND q.doc_id NOT IN (SELECT doc_id FROM corpus_exact_losers)
+      AND q.doc_id NOT IN (SELECT doc_id FROM cross_losers)
+"""
+
+
+@query("streaming_corpus_screen_replay", oracle=_CORPUS_SCREEN_ORACLE)
+def q_streaming_corpus_screen_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arrival-time corpus SCREEN as a stream: the new-document
+    delta arrives in 3 micro-batches, each pushed through
+    pipeline.screen_against_corpus (quality gate → language gate →
+    exact md5-vs-corpus → near-dup probe) against corpus artifacts —
+    the md5 set and the band index — built and cached ONCE.  Every
+    gate is per-doc, so the appended union across micro-batches must
+    equal the whole-delta screen EXACTLY; the oracle replays all four
+    gates in SQL, so the hash proves both the composition and its
+    batching-invariance.  (Within-delta self-dedup is deliberately not
+    here — that's the daily rewrite's job, pipeline_incremental_refresh;
+    see screen_against_corpus's docstring.)"""
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.dedup import minhash_corpus_index
+    from userbehavioranalysis_spark.operators.pipeline import screen_against_corpus
+
+    docs = _tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+
+    key = (sf_dir, "docs-incremental")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="uba_docs_incr_")
+        new_docs = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+        for i in range(3):
+            tmp = os.path.join(stage, f"tmp{i}")
+            new_docs.where(
+                F.expr(f"pmod((doc_id - 1) div 2, 3) = {i}")
+            ).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            os.rename(
+                os.path.join(tmp, part), os.path.join(stage, f"batch_{i:03d}.parquet")
+            )
+            shutil.rmtree(tmp)
+        _STREAM_STAGE_CACHE[key] = stage
+    raw = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
+
+    # corpus artifacts built + cached ONCE; micro-batches only probe
+    sig_c, bk_c = minhash_corpus_index(corpus)
+    sig_c, bk_c = sig_c.cache(), bk_c.cache()
+    corpus_md5 = corpus.select(F.md5("text").alias("text_md5")).distinct().cache()
+    try:
+
+        def _batch(bdf):
+            return screen_against_corpus(corpus_md5, (sig_c, bk_c), bdf)
+
+        return _run_bounded_foreach(
+            raw, "streaming_corpus_screen_replay", _batch
+        )
+    finally:
+        sig_c.unpersist()
+        bk_c.unpersist()
+        corpus_md5.unpersist()
