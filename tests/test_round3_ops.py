@@ -570,3 +570,37 @@ def test_schema_evolution_nulls_old_rows(spark):
             assert r.event_type is None and r.value_r2 is None
         else:
             assert r.event_type is not None
+
+
+def test_ivf_index_probe_prunes_partitions_and_matches_memory(spark, tmp_path):
+    """The persisted IVF probe must carry non-empty PartitionFilters on
+    the vector scan (reads only routed cluster directories) and must
+    reproduce ann_topk_ivf's output on the same clustered corpus."""
+    import re
+
+    from userbehavioranalysis_spark.operators.similarity import (
+        ann_topk_ivf,
+        ann_topk_ivf_indexed,
+        assign_ivf_clusters,
+        ivf_index_write,
+    )
+    from userbehavioranalysis_spark.sources.readers import load_testdata
+
+    emb = load_testdata(spark, SF)["embeddings"]
+    clustered = assign_ivf_clusters(emb, n_clusters=8, iters=2)
+    path = str(tmp_path / "index")
+    ivf_index_write(clustered, path)
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    out = ann_topk_ivf_indexed(queries, path, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "empty PartitionFilters — probe not pruned"
+
+    want = {
+        (r.query_id, r.neighbor_id, r.cosine_r6, r.rank)
+        for r in ann_topk_ivf(clustered, queries, k=5, cluster_col="cluster").collect()
+    }
+    got = {(r.query_id, r.neighbor_id, r.cosine_r6, r.rank) for r in out.collect()}
+    assert got == want and got

@@ -482,6 +482,106 @@ def ann_topk_ivf(
     )
 
 
+def ivf_index_write(
+    clustered: DataFrame,
+    path: str,
+    cluster_col: str = "cluster",
+) -> None:
+    """Materialize an IVF corpus as a cluster-partitioned parquet INDEX
+    plus its centroid table — the "train once, bucket the corpus by
+    cluster id" persistence the IVF docstrings promise.
+
+    ``{path}/vectors`` is Hive-partitioned by ``cluster`` (one
+    directory per coarse cell — the FAISS inverted-list layout in
+    parquet terms; ``repartition`` first keeps one file per cell);
+    ``{path}/centroids`` is the n_clusters-row routing table (the same
+    fused partial-sum means :func:`ann_topk_ivf` computes in memory).
+    A probe then reads ONLY its ``n_probe`` routed directories — scan
+    cost tracks probed cells, not corpus size.
+    """
+    parts = (
+        clustered.select(
+            F.col(cluster_col).cast("int").alias("cluster"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        .mapInPandas(_sum_by_cluster(), _PSUM_SCHEMA)
+        .collect()
+    )
+    means = _combine_means(parts)
+    clustered.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in mean]) for c, mean in sorted(means.items())],
+        "cluster int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        clustered.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
+            F.col(cluster_col).cast("int").alias("cluster"),
+        )
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def ann_topk_ivf_indexed(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """:func:`ann_topk_ivf` probing the PERSISTED cluster-partitioned
+    index with partition pruning: queries route against the stored
+    centroid table, the routed cluster ids (a collect bounded by
+    |queries| × n_probe and by the cluster domain) become a partition
+    predicate, and the vector scan lists/reads ONLY the probed cluster
+    directories (PartitionFilters in the plan, asserted in tests).
+    Scoring and ranking are identical to ``ann_topk_ivf`` on the same
+    clustered corpus — equality-tested, structural-contract oracle.
+    """
+    from pyspark.sql import SparkSession as _S
+
+    spark = _S.getActiveSession()
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    cos = _cosine_udf()
+    q = _normed(queries, "query_id", "qv")
+    qc = (
+        q.join(F.broadcast(centroids))
+        .withColumn("cdist", F.round(cos(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cdist"), F.asc("cluster"))
+            ),
+        )
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qv", "query_id_norm", "cluster")
+    )
+    probed = sorted({r["cluster"] for r in qc.select("cluster").distinct().collect()})
+    vecs = spark.read.parquet(f"{index_path}/vectors")
+    pred = F.lit(False)  # no queries -> no probes -> empty result
+    for cid in probed:
+        pred = pred | (F.col("cluster") == cid)
+    c = vecs.where(pred).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cluster",
+        F.col("embedding").alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(qc), on="cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_r6", F.round(cos(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine_r6", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
 def ann_index_write(
     embeddings: DataFrame,
     path: str,

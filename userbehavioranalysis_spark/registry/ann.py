@@ -744,3 +744,38 @@ def q_ann_topk_ivf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
             cluster_col="cluster",
         )
     )
+
+
+@query("ann_topk_ivf_indexed", oracle=_ANN_STRUCTURAL_ORACLE)
+def q_ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_topk_ivf probing a PERSISTED cluster-partitioned parquet
+    index (operators/similarity.ivf_index_write — the FAISS
+    inverted-list layout in parquet terms: one directory per coarse
+    cell + a stored centroid routing table, built once and cached
+    across calls); the probe reads only its n_probe routed directories
+    (PartitionFilters asserted in tests).  Same routing/scoring as
+    ann_topk_ivf — equality-tested; structural-contract driver hash."""
+    import os
+    import tempfile
+
+    from userbehavioranalysis_spark.operators.similarity import (
+        ann_topk_ivf_indexed,
+        assign_ivf_clusters,
+        ivf_index_write,
+    )
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    key = (sf_dir, "ivf-index")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(os.path.join(stage, "index", "vectors")):
+        stage = tempfile.mkdtemp(prefix="uba_ivf_index_")
+        clustered = assign_ivf_clusters(emb, n_clusters=10, iters=2)
+        ivf_index_write(clustered, os.path.join(stage, "index"))
+        _STREAM_STAGE_CACHE[key] = stage
+    return _ann_structural(
+        ann_topk_ivf_indexed(
+            emb.filter(_F.col("vec_id") < _ANN_NQ),
+            os.path.join(stage, "index"),
+            k=_ANN_K,
+        )
+    )
