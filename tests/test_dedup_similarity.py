@@ -1161,3 +1161,58 @@ def test_incremental_refresh_accepts_persisted_index(spark, tmp_path):
         ).collect()
     }
     assert direct == via_index and direct
+
+
+def test_daily_refresh_sequential_semantics_differ_from_whole_batch(spark, tmp_path):
+    """The sequential loop must differ from whole-batch refresh exactly
+    where the semantics say so: a near-dup pair split across days whose
+    EARLIER member was quality-gated (so never appended) keeps the
+    later member — whole-batch refresh drops it (self pairs are
+    computed pre-gate over the whole delta)."""
+    import os
+
+    from userbehavioranalysis_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_write,
+    )
+    from userbehavioranalysis_spark.operators.pipeline import (
+        incremental_refresh,
+        refresh_against_persisted,
+    )
+
+    words = " ".join(f"w{i}" for i in range(10))
+    low_q = ("the " * 10).strip() + " " + words            # stop-heavy, short
+    high_q = "the " + " ".join([words] * 10)               # same DISTINCT tokens
+    corpus = spark.createDataFrame(
+        [(0, "a quiet owl of night flew past the barn and the moon was bright")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame([(1, low_q)], "doc_id long, text string")
+    b2 = spark.createDataFrame([(3, high_q)], "doc_id long, text string")
+
+    # whole-batch refresh: (1,3) is a self near-dup pair -> 3 drops; 1 is
+    # quality-gated -> nothing survives
+    whole = incremental_refresh(corpus, b1.union(b2)).collect()
+    assert whole == []
+
+    # sequential loop: day 1 gates doc 1 out (never appended); day 2's
+    # doc 3 finds no match in the index and survives
+    idx = str(tmp_path / "index")
+    md5p = str(tmp_path / "md5")
+    minhash_index_write(corpus, idx)
+    corpus.select(F.md5("text").alias("text_md5")).distinct().write.parquet(md5p)
+    # day 3: an exact copy of day 2's survivor (caught by the appended
+    # md5 set) and a near-dup of it (caught by the appended band index)
+    near_dup = "the xq " + " ".join([words] * 10)
+    b3 = spark.createDataFrame(
+        [(5, high_q), (7, near_dup)], "doc_id long, text string"
+    )
+    survivors = []
+    for bdf in (b1, b2, b3):
+        res = refresh_against_persisted(bdf, idx, md5p).localCheckpoint()
+        surv = bdf.join(res.select("doc_id"), "doc_id", "left_semi").localCheckpoint()
+        minhash_index_append(surv, idx)
+        surv.select(F.md5("text").alias("text_md5")).write.mode("append").parquet(md5p)
+        survivors += [r.doc_id for r in res.collect()]
+    assert survivors == [3]
+    assert os.path.isdir(idx)

@@ -220,3 +220,62 @@ def screen_against_corpus(
         .join(corpus_exact_losers, "doc_id", "left_anti")
         .join(corpus_near_losers, "doc_id", "left_anti")
     )
+
+
+def refresh_against_persisted(
+    new_docs: DataFrame,
+    index_path: str,
+    md5_path: str,
+    min_score: float = 0.5,
+    lang: str = "en",
+    near_dup_min_matches: int = 9,
+) -> DataFrame:
+    """:func:`incremental_refresh` with BOTH corpus artifacts read from
+    disk — the md5 set parquet and the band index written by
+    dedup.minhash_index_write — so the caller can run the true daily
+    loop: probe, gate, then APPEND the survivors' artifacts
+    (dedup.minhash_index_append + an md5 append) before the next batch
+    arrives.  All six gates, O(batch) per call, corpus touched only
+    through its persisted artifacts.
+
+    The probe order matters for the shared-subtree cache: the indexed
+    corpus probe runs first (it caches the batch signature subtree),
+    and the self-LSH's plan-identical subtree then hits those blocks.
+    """
+    from userbehavioranalysis_spark.operators.dedup import (
+        minhash_incremental_matches_indexed,
+    )
+
+    spark = new_docs.sparkSession
+    quality_ok = text_analysis.quality_score(new_docs).filter(
+        F.col("score_r4") >= min_score
+    )
+    lang_ok = text_analysis.language_id(new_docs).filter(F.col("lang_guess") == lang)
+    self_exact_keepers = exact_dedup(new_docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    corpus_exact_losers = (
+        new_docs.select("doc_id", F.md5("text").alias("text_md5"))
+        .join(spark.read.parquet(md5_path), "text_md5", "left_semi")
+        .select("doc_id")
+    )
+    corpus_near_losers = (
+        minhash_incremental_matches_indexed(
+            new_docs, index_path, min_matching_hashes=near_dup_min_matches
+        )
+        .select(F.col("new_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    self_near_losers = (
+        minhash_lsh_pairs(new_docs, min_matching_hashes=near_dup_min_matches)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        quality_ok.select("doc_id", "n_tokens", "score_r4")
+        .join(lang_ok.select("doc_id"), "doc_id")
+        .join(self_exact_keepers, "doc_id", "left_semi")
+        .join(corpus_exact_losers, "doc_id", "left_anti")
+        .join(self_near_losers, "doc_id", "left_anti")
+        .join(corpus_near_losers, "doc_id", "left_anti")
+    )
