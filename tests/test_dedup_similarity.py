@@ -1216,3 +1216,29 @@ def test_daily_refresh_sequential_semantics_differ_from_whole_batch(spark, tmp_p
         survivors += [r.doc_id for r in res.collect()]
     assert survivors == [3]
     assert os.path.isdir(idx)
+
+
+def test_embedding_dedup_incremental_matches_sources_and_is_one_sided(spark):
+    """A re-crawled delta (one zeroed dimension) must match its source
+    vectors through the banded probe at high recall, every match must
+    verify at the cosine threshold, and the output must be strictly
+    batch-vs-corpus (never corpus-vs-corpus pairs)."""
+    from userbehavioranalysis_spark.operators.dedup import (
+        embedding_dedup_incremental,
+    )
+    from userbehavioranalysis_spark.sources.readers import load_testdata
+
+    emb = load_testdata(spark, "/root/testdata/sf0.001")["embeddings"]
+    batch = emb.filter(F.col("vec_id") % 16 == 0).select(
+        (F.col("vec_id") + 10000000).alias("vec_id"),
+        F.expr(
+            "transform(embedding,"
+            " (x, i) -> case when i = 0 then cast(0.0 as float) else x end)"
+        ).alias("embedding"),
+    )
+    n_batch = batch.count()
+    rows = embedding_dedup_incremental(emb, batch).collect()
+    assert all(r.new_vec_id >= 10000000 > r.corpus_vec_id for r in rows)
+    hits = {r.new_vec_id - 10000000 for r in rows if
+            r.new_vec_id - 10000000 == r.corpus_vec_id}
+    assert len(hits) >= 0.9 * n_batch, f"{len(hits)}/{n_batch} sources found"

@@ -722,3 +722,72 @@ def q_pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFram
         docs.filter(_F.col("doc_id") % 2 == 0),
         docs.filter(_F.col("doc_id") % 2 == 1),
     )
+
+
+@query(
+    "dedup_embedding_incremental",
+    oracle=f"""
+    WITH vc AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ), vb AS (
+        -- the derived delta: every 16th vector re-crawled with its
+        -- first dimension zeroed (a deterministic near-dup both
+        -- engines construct identically)
+        SELECT vec_id + 10000000 AS vec_id,
+               list_transform(range(1, len(e) + 1),
+                              i -> CASE WHEN i = 1 THEN 0.0 ELSE e[i] END) AS ve
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+              WHERE vec_id % 16 = 0)
+    ), allv AS (
+        SELECT * FROM vc UNION ALL SELECT * FROM vb
+    ), v AS (
+        SELECT vec_id, ve,
+               sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm,
+               list_transform(ve, x -> CAST(round(x * 1000000) AS BIGINT)) AS qint
+        FROM allv
+    ), planes AS (
+        SELECT * FROM (VALUES {_sim._planes_duck_values(128)}) t(p, pl)
+    ), dots AS (
+        SELECT vec_id, planes.p,
+               list_sum(list_transform(range(0, len(qint)),
+                   d -> qint[d + 1] * planes.pl[d + 1])) AS dot
+        FROM v CROSS JOIN planes
+    ), bands AS (
+        SELECT vec_id, p // 16 AS band,
+               CAST(sum(CASE WHEN dot > 0 THEN (1 << (p % 16)) ELSE 0 END) AS BIGINT) AS band_val
+        FROM dots GROUP BY vec_id, p // 16
+    ), cand AS (
+        SELECT DISTINCT n.vec_id AS new_vec_id, c.vec_id AS corpus_vec_id
+        FROM bands n JOIN bands c
+          ON n.band = c.band AND n.band_val = c.band_val
+        WHERE n.vec_id >= 10000000 AND c.vec_id < 10000000
+    )
+    SELECT cand.new_vec_id, cand.corpus_vec_id
+    FROM cand JOIN v a ON a.vec_id = cand.new_vec_id
+              JOIN v b ON b.vec_id = cand.corpus_vec_id
+    WHERE list_sum(list_transform(range(1, len(a.ve) + 1), i -> a.ve[i] * b.ve[i]))
+          >= a.nrm * b.nrm * 0.4
+    """,
+)
+def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING dedup: a derived delta (every 16th vector
+    "re-crawled" with one zeroed dimension — a deterministic near-dup
+    both engines construct identically; the natural corpus has ~no
+    cross-vector near-dups at this threshold) matched against the full
+    corpus via banded hyperplane LSH — the semantic-dedup sibling of
+    dedup_incremental, completing the incremental family across
+    modalities.  Only the delta is signed fresh; the corpus band table
+    is the persisted artifact (the SAME integer-exact signatures the
+    ANN index stores, so dedup probe and vector store share one signing
+    scheme).  Deterministic candidates + exact cosine => full SQL
+    replay; 31 of the 32 sf0.01 delta vectors match their source
+    through >=1 surviving band."""
+    emb = _tables(spark, sf_dir)["embeddings"]
+    batch = emb.filter(_F.col("vec_id") % 16 == 0).select(
+        (_F.col("vec_id") + 10000000).alias("vec_id"),
+        _F.expr(
+            "transform(embedding,"
+            " (x, i) -> case when i = 0 then cast(0.0 as float) else x end)"
+        ).alias("embedding"),
+    )
+    return _dedup.embedding_dedup_incremental(emb, batch)
