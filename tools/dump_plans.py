@@ -94,6 +94,12 @@ HEADLINERS = [
     ("bm25_search", "BM25 retrieval — one corpus shuffle, df/scalar broadcasts, rank on rounded score"),
     ("ann_topk_pq", "fixed-codebook PQ — integer ADC over codes, shortlist rank, exact rerank"),
     ("ann_topk_ivfpq", "fixed-codebook IVFPQ — broadcast probe routing before the code scan"),
+    # round-6 additions
+    ("dedup_incremental_indexed", "persisted band index — PartitionFilters on the shard probe"),
+    ("dedup_incremental_index_append", "appended index — same pruned probe over write+append files"),
+    ("ann_topk_ivf_indexed", "persisted IVF — cluster-directory pruning + broadcast routing"),
+    ("pipeline_incremental_refresh", "six-gate refresh — semi/anti assembly, cached signature subtrees"),
+    ("dedup_embedding_incremental", "delta-vs-corpus hyperplane LSH — bands join, cosine verify"),
 ]
 
 
