@@ -389,3 +389,38 @@ def test_minhash_index_append_equals_one_shot_index(spark, tmp_path):
     got = {tuple(r) for r in out.collect()}
     assert got == want and got
     assert "PartitionFilters: [" in _plan(out)
+
+
+def test_time_partitioned_lake_prunes_hour_directories(spark, tmp_path):
+    """The time-range read must carry PartitionFilters on
+    (event_date, event_hour) — directory pruning, not just row-group
+    stats — and reproduce the flat-table filter exactly."""
+    import re
+
+    from userbehavioranalysis_spark.sources.writers import (
+        read_time_range,
+        write_time_partitioned_events,
+    )
+
+    ev = load_testdata(spark, SF)["events"]
+    path = str(tmp_path / "lake")
+    write_time_partitioned_events(ev, path)
+
+    lo, hi = "2024-01-10 06:30:00", "2024-01-12 18:45:00"
+    out = read_time_range(spark, path, lo, hi)
+    plan = _plan(out)
+    assert "PartitionFilters: [" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan
+
+    want = {
+        tuple(r)
+        for r in ev.where(
+            (F.col("ts") >= F.to_timestamp(F.lit(lo)))
+            & (F.col("ts") < F.to_timestamp(F.lit(hi)))
+        )
+        .select(sorted(ev.columns))
+        .collect()
+    }
+    got = {tuple(r) for r in out.select(sorted(ev.columns)).collect()}
+    assert got == want and got

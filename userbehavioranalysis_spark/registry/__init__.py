@@ -65,6 +65,7 @@ R6_WINDOW_CANDIDATES = {
     "ann_topk_ivf_indexed",
     "streaming_daily_refresh_replay",
     "dedup_embedding_incremental",
+    "events_time_range_scan",
 }
 
 
@@ -83,16 +84,18 @@ R6_WINDOW_CANDIDATES = {
 #              driver row yet (5 post-freeze r5 additions + 4 round-6
 #              additions), and the 37 STALEST greens (last green r2) —
 #              freshness rotation so no query's last green row ages
-#              past three rounds without re-checking.  The 12 r2 greens
+#              past three rounds without re-checking.  The 13 r2 greens
 #              that didn't fit (uv_per_event, hot_pages,
 #              dedup_minhash_lsh, ad_clicks_by_geo, audio_features,
 #              image_features, image_resize, token_counts,
-#              doc_fingerprints, quality_score, doc_rarity, pack_shards
-#              — the last five bumped for the never-checked round-6
-#              additions dedup_incremental_index_append,
+#              doc_fingerprints, quality_score, doc_rarity, pack_shards,
+#              length_quantiles — the last six bumped one-for-one as the
+#              never-checked round-6 additions landed:
+#              dedup_incremental_index_append,
 #              streaming_corpus_screen_replay, ann_topk_ivf_indexed,
-#              streaming_daily_refresh_replay and
-#              dedup_embedding_incremental) are first in line for r7,
+#              streaming_daily_refresh_replay,
+#              dedup_embedding_incremental, events_time_range_scan) are
+#              first in line for r7,
 #              each pinned meanwhile by its own pytest (property tests
 #              for uv_per_event, real-decoder round-trips for the
 #              multimodal trio) or by a driver-green sibling sharing
@@ -124,6 +127,7 @@ _DRIVER_WINDOW = [
     "ann_topk_ivf_indexed",
     "streaming_daily_refresh_replay",
     "dedup_embedding_incremental",
+    "events_time_range_scan",
     # ---- stalest greens (last green r2), in r2 definition order
     "unique_visitors",
     "user_sessions",
@@ -153,7 +157,6 @@ _DRIVER_WINDOW = [
     "decontaminate",
     "mixture_sample",
     "split_assign",
-    "length_quantiles",
     "asof_click_purchase",
     "doc_embedding_stats",
     "pipeline_clean_corpus",

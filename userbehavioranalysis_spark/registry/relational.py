@@ -882,3 +882,54 @@ def q_events_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from userbehavioranalysis_spark.sources.formats import events_schema_evolution
 
     return events_schema_evolution(spark, sf_dir)
+
+
+@query(
+    "events_time_range_scan",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 06:30:00'
+      AND ts <  TIMESTAMP '2024-01-12 18:45:00'
+    GROUP BY 1, 2
+    """,
+)
+def q_events_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-partitioned event-lake scan: the events table is written
+    ONCE as Hive-partitioned (event_date, event_hour) parquet
+    (sources/writers.write_time_partitioned_events — one file per
+    hour, rows ts-sorted) and a 2.5-day range query reads it back
+    through read_time_range, whose predicate prunes whole hour
+    DIRECTORIES (PartitionFilters asserted in tests) before the exact
+    row-level bound applies.  The oracle runs the same range aggregate
+    over the ORIGINAL flat table — hash equality proves the
+    partitioned layout is lossless and the pruning result-preserving."""
+    import os
+    import tempfile
+
+    from userbehavioranalysis_spark.sources.writers import (
+        read_time_range,
+        write_time_partitioned_events,
+    )
+
+    ev = _tables(spark, sf_dir)["events"]
+    key = (sf_dir, "events-time-lake")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(os.path.join(stage, "lake")):
+        stage = tempfile.mkdtemp(prefix="uba_time_lake_")
+        write_time_partitioned_events(ev, os.path.join(stage, "lake"))
+        _STREAM_STAGE_CACHE[key] = stage
+    ranged = read_time_range(
+        spark,
+        os.path.join(stage, "lake"),
+        "2024-01-10 06:30:00",
+        "2024-01-12 18:45:00",
+    )
+    return ranged.groupBy(
+        (_F.floor(_F.unix_timestamp("ts") / 3600).cast("long") * 3600).alias(
+            "window_start"
+        ),
+        "event_type",
+    ).agg(_F.count(_F.lit(1)).alias("n"))

@@ -109,3 +109,77 @@ def write_zordered(
         .option("parquet.block.size", rowgroup_bytes)
         .parquet(path)
     )
+
+
+def write_time_partitioned_events(
+    events: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    mode: str = "overwrite",
+) -> None:
+    """Write an events table Hive-partitioned by (event_date,
+    event_hour) — THE standard 100 TB event-lake layout: every
+    time-windowed analytic in this engine filters on event time, and
+    with this layout those filters prune whole hour directories before
+    a single row is read (vs row-group statistics alone on a flat
+    table, which still lists and opens every file).
+
+    Same writer discipline as :func:`write_partitioned_corpus`:
+    ``repartition`` on the partition columns first (one file per hour,
+    not one per task×hour), rows sorted by the timestamp within each
+    file so parquet min/max stay tight for sub-hour predicates.
+    Partition values derive from the SAME session-timezone-free event
+    time the queries window on, so pruning is always consistent with
+    window assignment.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        events.withColumn("event_date", F.to_date(ts_col))
+        .withColumn("event_hour", F.hour(ts_col).cast("int"))
+        .repartition("event_date", "event_hour")
+        .sortWithinPartitions(ts_col)
+        .write.mode(mode)
+        .partitionBy("event_date", "event_hour")
+        .parquet(path)
+    )
+
+
+def read_time_range(
+    spark,
+    path: str,
+    start_ts: str,
+    end_ts: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Read a :func:`write_time_partitioned_events` lake restricted to
+    ``[start_ts, end_ts)`` — the predicate is expressed on BOTH the
+    partition columns (directory pruning: only the covered date/hour
+    directories are listed or opened, PartitionFilters in the plan)
+    and the row-level timestamp (exact sub-hour bounds within the edge
+    partitions).
+    """
+    from pyspark.sql import functions as F
+
+    lo = F.to_timestamp(F.lit(start_ts))
+    hi = F.to_timestamp(F.lit(end_ts))
+    df = spark.read.parquet(path)
+    part_pred = (
+        F.col("event_date").between(F.to_date(lo), F.to_date(hi))
+        # hour bound only applies on the edge dates; interior dates
+        # keep every hour.  Expressed disjunctively so Catalyst can
+        # push each branch into the partition listing.
+        & (
+            (F.col("event_date") > F.to_date(lo))
+            | (F.col("event_hour") >= F.hour(lo))
+        )
+        & (
+            (F.col("event_date") < F.to_date(hi))
+            | (F.col("event_hour") <= F.hour(hi))
+        )
+    )
+    return (
+        df.where(part_pred)
+        .where((F.col(ts_col) >= lo) & (F.col(ts_col) < hi))
+        .drop("event_date", "event_hour")
+    )
