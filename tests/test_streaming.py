@@ -358,3 +358,47 @@ def test_run_bounded_cleans_checkpoint_dirs(spark, tmp_path):
     with pytest.raises(RuntimeError):
         reg._run_bounded(boom, "ckpt_cleanup_boom")
     assert ckpt_dirs("ckpt_cleanup_boom") == set()
+
+
+def test_streaming_checkpoint_recovery_is_exactly_once(spark, tmp_path):
+    """Fault-recovery semantics under the replay machinery's own
+    source/sink shape: a bounded run consumes what exists, the query
+    dies, MORE data arrives, and a restart from the SAME checkpoint
+    must process only the new files — the sink ends with every row
+    exactly once (a re-read of file 1 would show up as duplicates)."""
+    import os
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def stage(lo, hi, name):
+        tmp = str(tmp_path / f"tmp_{name}")
+        spark.range(lo, hi).withColumnRenamed("id", "v").coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(src, f"{name}.parquet"))
+
+    def run_once():
+        q = (
+            spark.readStream.schema("v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    stage(0, 10, "batch_000")
+    run_once()  # consumes file 1, checkpoints its offset, terminates
+    first = sorted(r.v for r in spark.read.parquet(sink).collect())
+    assert first == list(range(10))
+
+    stage(10, 20, "batch_001")
+    stage(20, 30, "batch_002")
+    run_once()  # restart from the same checkpoint: only files 2-3
+    final = sorted(r.v for r in spark.read.parquet(sink).collect())
+    assert final == list(range(30)), "duplicate or lost rows across restart"
