@@ -424,3 +424,64 @@ def test_time_partitioned_lake_prunes_hour_directories(spark, tmp_path):
     }
     got = {tuple(r) for r in out.select(sorted(ev.columns)).collect()}
     assert got == want and got
+
+
+def test_partition_scoped_delete_touches_only_affected_partitions(spark, tmp_path):
+    """delete_rows_partition_scoped must (a) leave the lake exactly
+    equal to the flat table minus the deleted user, (b) leave every
+    UNAFFECTED partition's files physically untouched (same inode and
+    mtime — never rewritten, never re-listed into a new file), and
+    (c) report audit stats consistent with what it did."""
+    import os
+
+    from userbehavioranalysis_spark.sources.writers import (
+        delete_rows_partition_scoped,
+        write_time_partitioned_events,
+    )
+
+    ev = load_testdata(spark, SF)["events"]
+    path = str(tmp_path / "lake")
+    write_time_partitioned_events(ev, path)
+
+    def file_ids():
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_ino, st.st_mtime_ns)
+        return out
+
+    before = file_ids()
+    affected_dirs = {
+        os.path.dirname(p)
+        for p in before
+        if spark.read.parquet(os.path.dirname(p))
+        .where(F.col("user_id") == 7)
+        .head()
+        is not None
+    }
+    stats = delete_rows_partition_scoped(spark, path, F.col("user_id") == 7)
+    after = file_ids()
+
+    # (a) content: lake == original minus user 7
+    cols = sorted(ev.columns)
+    want = {
+        tuple(r)
+        for r in ev.where(F.col("user_id") != 7).select(cols).collect()
+    }
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .drop("event_date", "event_hour")
+        .select(cols)
+        .collect()
+    }
+    assert got == want and got
+
+    # (b) untouched partitions byte-identical; affected ones replaced
+    untouched = {p for p in before if os.path.dirname(p) not in affected_dirs}
+    assert untouched and all(before[p] == after.get(p) for p in untouched)
+    assert stats["affected"] == len(affected_dirs) > 0
+    assert stats["affected"] == stats["rewritten"] + stats["emptied"]

@@ -66,6 +66,7 @@ R6_WINDOW_CANDIDATES = {
     "streaming_daily_refresh_replay",
     "dedup_embedding_incremental",
     "events_time_range_scan",
+    "events_user_delete",
 }
 
 
@@ -89,13 +90,13 @@ R6_WINDOW_CANDIDATES = {
 #              dedup_minhash_lsh, ad_clicks_by_geo, audio_features,
 #              image_features, image_resize, token_counts,
 #              doc_fingerprints, quality_score, doc_rarity, pack_shards,
-#              length_quantiles — the last six bumped one-for-one as the
-#              never-checked round-6 additions landed:
+#              length_quantiles, decontaminate — bumped one-for-one as
+#              the never-checked round-6 additions landed:
 #              dedup_incremental_index_append,
 #              streaming_corpus_screen_replay, ann_topk_ivf_indexed,
 #              streaming_daily_refresh_replay,
-#              dedup_embedding_incremental, events_time_range_scan) are
-#              first in line for r7,
+#              dedup_embedding_incremental, events_time_range_scan,
+#              events_user_delete) are first in line for r7,
 #              each pinned meanwhile by its own pytest (property tests
 #              for uv_per_event, real-decoder round-trips for the
 #              multimodal trio) or by a driver-green sibling sharing
@@ -128,6 +129,7 @@ _DRIVER_WINDOW = [
     "streaming_daily_refresh_replay",
     "dedup_embedding_incremental",
     "events_time_range_scan",
+    "events_user_delete",
     # ---- stalest greens (last green r2), in r2 definition order
     "unique_visitors",
     "user_sessions",
@@ -154,7 +156,6 @@ _DRIVER_WINDOW = [
     "retention_cohorts",
     "token_topk",
     "repetition_score",
-    "decontaminate",
     "mixture_sample",
     "split_assign",
     "asof_click_purchase",

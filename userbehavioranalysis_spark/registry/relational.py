@@ -933,3 +933,55 @@ def q_events_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "event_type",
     ).agg(_F.count(_F.lit(1)).alias("n"))
+
+
+@query(
+    "events_user_delete",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE user_id <> 7
+    GROUP BY 1, 2
+    """,
+)
+def q_events_user_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten on the time-partitioned lake: user 7's
+    rows are deleted by rewriting ONLY the hour partitions that
+    contain them (sources/writers.delete_rows_partition_scoped —
+    dynamic partition overwrite + empty-partition removal; untouched
+    partitions proven byte-identical in tests), then the whole lake is
+    re-aggregated.  The oracle aggregates the ORIGINAL flat table
+    minus the user — hash equality proves the delete removed exactly
+    the target rows and nothing else.  Fresh lake per invocation: the
+    delete mutates it."""
+    import os
+    import shutil
+    import tempfile
+
+    from userbehavioranalysis_spark.sources.writers import (
+        delete_rows_partition_scoped,
+        write_time_partitioned_events,
+    )
+
+    ev = _tables(spark, sf_dir)["events"]
+    stage = tempfile.mkdtemp(prefix="uba_delete_lake_")
+    lake = os.path.join(stage, "lake")
+    try:
+        write_time_partitioned_events(ev, lake)
+        delete_rows_partition_scoped(spark, lake, _F.col("user_id") == 7)
+        out = (
+            spark.read.parquet(lake)
+            .groupBy(
+                (_F.floor(_F.unix_timestamp("ts") / 3600).cast("long") * 3600).alias(
+                    "window_start"
+                ),
+                "event_type",
+            )
+            .agg(_F.count(_F.lit(1)).alias("n"))
+            .localCheckpoint()  # materialize before the lake dir vanishes
+        )
+        return out
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
