@@ -966,10 +966,19 @@ def q_events_user_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _tables(spark, sf_dir)["events"]
+    # the delete MUTATES its lake, so each invocation works on an
+    # OS-level copy of a once-built pristine lake (copytree of the
+    # hour dirs is far cheaper than re-running the partitioned write)
+    key = (sf_dir, "pristine-time-lake")
+    pristine = _STREAM_STAGE_CACHE.get(key)
+    if pristine is None or not os.path.isdir(os.path.join(pristine, "lake")):
+        pristine = tempfile.mkdtemp(prefix="uba_pristine_lake_")
+        write_time_partitioned_events(ev, os.path.join(pristine, "lake"))
+        _STREAM_STAGE_CACHE[key] = pristine
     stage = tempfile.mkdtemp(prefix="uba_delete_lake_")
     lake = os.path.join(stage, "lake")
     try:
-        write_time_partitioned_events(ev, lake)
+        shutil.copytree(os.path.join(pristine, "lake"), lake)
         delete_rows_partition_scoped(spark, lake, _F.col("user_id") == 7)
         out = (
             spark.read.parquet(lake)
