@@ -485,3 +485,34 @@ def test_partition_scoped_delete_touches_only_affected_partitions(spark, tmp_pat
     assert untouched and all(before[p] == after.get(p) for p in untouched)
     assert stats["affected"] == len(affected_dirs) > 0
     assert stats["affected"] == stats["rewritten"] + stats["emptied"]
+
+
+def test_partition_scoped_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """Rows where the delete predicate evaluates to NULL (e.g. NULL
+    user_id under user_id = X) must SURVIVE the rewrite — under
+    three-valued logic a naive ~predicate filter would silently drop
+    them from the rewritten partitions."""
+    from userbehavioranalysis_spark.sources.writers import (
+        delete_rows_partition_scoped,
+        write_time_partitioned_events,
+    )
+
+    rows = [
+        (1, "2024-01-05 10:00:00", 7, "view", 1.0, "a"),
+        (2, "2024-01-05 10:30:00", None, "view", 1.0, "b"),  # NULL user
+        (3, "2024-01-05 11:00:00", 3, "view", 1.0, "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    path = str(tmp_path / "lake")
+    write_time_partitioned_events(ev, path)
+    stats = delete_rows_partition_scoped(spark, path, F.col("user_id") == 7)
+    left = {
+        r.event_id for r in spark.read.parquet(path).select("event_id").collect()
+    }
+    assert left == {2, 3}, left  # user 7 gone; the NULL-user row KEPT
+    assert stats["affected"] == 1

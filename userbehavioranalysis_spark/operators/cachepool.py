@@ -19,20 +19,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_POOL: list[DataFrame] = []
+_POOLS: dict[str, list[DataFrame]] = {}
 
 
-def pooled_cache(df: DataFrame) -> DataFrame:
-    """cache() a DataFrame and register it for later pooled release."""
+def pooled_cache(df: DataFrame, pool: str = "default") -> DataFrame:
+    """cache() a DataFrame and register it for later pooled release.
+
+    ``pool`` names an independent release scope: the incremental-dedup
+    PROBE path uses pool="probe" so that releasing the previous
+    micro-batch's batch-signature cache on entry (single-slot — the
+    fix for unbounded per-batch cache accumulation in refresh loops)
+    never drops a caller-owned corpus index or another operator's
+    default-pool caches.
+    """
     df = df.cache()
-    _POOL.append(df)
+    _POOLS.setdefault(pool, []).append(df)
     return df
 
 
-def release_pooled() -> None:
-    """Unpersist every pooled cache (best-effort, never raises)."""
-    while _POOL:
+def release_pooled(pool: str = "default") -> None:
+    """Unpersist every cache in ``pool`` (best-effort, never raises)."""
+    entries = _POOLS.get(pool, [])
+    while entries:
         try:
-            _POOL.pop().unpersist()
+            entries.pop().unpersist()
         except Exception:
             pass

@@ -122,7 +122,13 @@ def incremental_refresh(
     )
 
     if corpus_index is None:
-        corpus_index = minhash_corpus_index(corpus, max_bucket=max_bucket)
+        # cache the internally-built index: its signature subtree feeds
+        # two plan branches of the probe (band join + score join) — a
+        # plain lazy pair would tokenize+minhash the CORPUS twice in
+        # one job.  Caller-owned caches (one-shot per refresh; Spark's
+        # LRU reclaims after the composed plan is consumed).
+        sig_c, bk_c = minhash_corpus_index(corpus, max_bucket=max_bucket)
+        corpus_index = (sig_c.cache(), bk_c.cache())
     quality_ok = text_analysis.quality_score(new_docs).filter(
         F.col("score_r4") >= min_score
     )

@@ -437,19 +437,7 @@ def ann_topk_ivf(
     # per-cluster means via the same fused partial-sum map pass as
     # training (no dims-wide F.avg aggregate, no shuffle); the centroid
     # table is n_clusters rows built driver-side and broadcast back
-    parts = (
-        embeddings.select(
-            F.col(cluster_col).cast("int").alias("cluster"),
-            F.col("embedding").cast("array<double>").alias("qv"),
-        )
-        .mapInPandas(_sum_by_cluster(), _PSUM_SCHEMA)
-        .collect()
-    )
-    means = _combine_means(parts)
-    centroids = embeddings.sparkSession.createDataFrame(
-        [(int(c), [float(x) for x in mean]) for c, mean in sorted(means.items())],
-        "cluster int, cv array<double>",
-    )
+    centroids = _cluster_centroids(embeddings, cluster_col)
     cos = _cosine_udf()
     q = _normed(queries, "query_id", "qv")
     qc = (
@@ -482,6 +470,27 @@ def ann_topk_ivf(
     )
 
 
+def _cluster_centroids(clustered: DataFrame, cluster_col: str) -> DataFrame:
+    """Per-cluster mean vectors as an n_clusters-row (cluster, cv)
+    frame — ONE fused partial-sum map pass (no dims-wide aggregate, no
+    shuffle), driver-combined.  The single source for IVF routing
+    tables: ann_topk_ivf's in-memory centroids and ivf_index_write's
+    persisted ones come from here, so they cannot diverge."""
+    parts = (
+        clustered.select(
+            F.col(cluster_col).cast("int").alias("cluster"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        .mapInPandas(_sum_by_cluster(), _PSUM_SCHEMA)
+        .collect()
+    )
+    means = _combine_means(parts)
+    return clustered.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in mean]) for c, mean in sorted(means.items())],
+        "cluster int, cv array<double>",
+    )
+
+
 def ivf_index_write(
     clustered: DataFrame,
     path: str,
@@ -495,23 +504,15 @@ def ivf_index_write(
     directory per coarse cell — the FAISS inverted-list layout in
     parquet terms; ``repartition`` first keeps one file per cell);
     ``{path}/centroids`` is the n_clusters-row routing table (the same
-    fused partial-sum means :func:`ann_topk_ivf` computes in memory).
+    fused partial-sum means :func:`ann_topk_ivf` computes in memory —
+    one shared helper, so the persisted routing table can never
+    diverge from the in-memory path the tests compare against).
     A probe then reads ONLY its ``n_probe`` routed directories — scan
     cost tracks probed cells, not corpus size.
     """
-    parts = (
-        clustered.select(
-            F.col(cluster_col).cast("int").alias("cluster"),
-            F.col("embedding").cast("array<double>").alias("qv"),
-        )
-        .mapInPandas(_sum_by_cluster(), _PSUM_SCHEMA)
-        .collect()
-    )
-    means = _combine_means(parts)
-    clustered.sparkSession.createDataFrame(
-        [(int(c), [float(x) for x in mean]) for c, mean in sorted(means.items())],
-        "cluster int, cv array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _cluster_centroids(clustered, cluster_col).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
     (
         clustered.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
@@ -539,9 +540,7 @@ def ann_topk_ivf_indexed(
     Scoring and ranking are identical to ``ann_topk_ivf`` on the same
     clustered corpus — equality-tested, structural-contract oracle.
     """
-    from pyspark.sql import SparkSession as _S
-
-    spark = _S.getActiveSession()
+    spark = queries.sparkSession
     centroids = spark.read.parquet(f"{index_path}/centroids")
     cos = _cosine_udf()
     q = _normed(queries, "query_id", "qv")
@@ -557,6 +556,17 @@ def ann_topk_ivf_indexed(
         .filter(F.col("crank") <= n_probe)
         .select("query_id", "qv", "query_id_norm", "cluster")
     )
+    # cached: the routing subplan (Python cosine UDF over queries ×
+    # centroids + rank window) feeds both the probed-cluster collect
+    # and the scored join — uncached it would run twice per probe.
+    # Single-slot probe pool, same discipline as the minhash probe.
+    from userbehavioranalysis_spark.operators.cachepool import (
+        pooled_cache,
+        release_pooled,
+    )
+
+    release_pooled("probe")
+    qc = pooled_cache(qc, pool="probe")
     probed = sorted({r["cluster"] for r in qc.select("cluster").distinct().collect()})
     vecs = spark.read.parquet(f"{index_path}/vectors")
     pred = F.lit(False)  # no queries -> no probes -> empty result

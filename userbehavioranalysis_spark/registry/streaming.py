@@ -205,6 +205,39 @@ def _run_bounded(sdf, name: str, partitions: int = 8, output_mode: str = "append
     return spark.read.parquet(out)
 
 
+def _stage_doc_batches(sf_dir: str, docs) -> str:
+    """Stage the new-document delta (odd doc_ids) as 3 single-file
+    parquet micro-batches (tertile by pmod((doc_id-1)/2, 3)) — ONE
+    staging dir shared by every incremental-replay query on the same
+    sf_dir, cached so repeated driver runs don't accumulate tempdirs.
+    The single shared implementation keeps the three replays that
+    assert against the same batching scheme (dedup-incremental, corpus
+    screen, daily refresh) impossible to desynchronize."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    key = (sf_dir, "docs-incremental")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="uba_docs_incr_")
+        new_docs = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+        for i in range(3):
+            tmp = os.path.join(stage, f"tmp{i}")
+            new_docs.where(
+                F.expr(f"pmod((doc_id - 1) div 2, 3) = {i}")
+            ).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            os.rename(
+                os.path.join(tmp, part), os.path.join(stage, f"batch_{i:03d}.parquet")
+            )
+            shutil.rmtree(tmp)
+        _STREAM_STAGE_CACHE[key] = stage
+    return stage
+
+
 def _run_bounded_foreach(sdf, name: str, batch_fn, partitions: int = 8):
     """Bounded foreachBatch replay: apply ``batch_fn`` per micro-batch,
     append results to parquet (no driver-side collect — the sink is
@@ -1316,22 +1349,7 @@ def q_streaming_dedup_incremental_replay(spark: SparkSession, sf_dir: str) -> Da
     docs = _tables(spark, sf_dir)["documents"]
     corpus = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
 
-    key = (sf_dir, "docs-incremental")
-    stage = _STREAM_STAGE_CACHE.get(key)
-    if stage is None or not os.path.isdir(stage):
-        stage = tempfile.mkdtemp(prefix="uba_docs_incr_")
-        new_docs = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
-        for i in range(3):
-            tmp = os.path.join(stage, f"tmp{i}")
-            new_docs.where(
-                F.expr(f"pmod((doc_id - 1) div 2, 3) = {i}")
-            ).coalesce(1).write.parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-            os.rename(
-                os.path.join(tmp, part), os.path.join(stage, f"batch_{i:03d}.parquet")
-            )
-            shutil.rmtree(tmp)
-        _STREAM_STAGE_CACHE[key] = stage
+    stage = _stage_doc_batches(sf_dir, docs)
     raw = (
         spark.readStream.format("parquet")
         .schema("doc_id long, text string")
@@ -1442,22 +1460,7 @@ def q_streaming_corpus_screen_replay(spark: SparkSession, sf_dir: str) -> DataFr
     docs = _tables(spark, sf_dir)["documents"]
     corpus = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
 
-    key = (sf_dir, "docs-incremental")
-    stage = _STREAM_STAGE_CACHE.get(key)
-    if stage is None or not os.path.isdir(stage):
-        stage = tempfile.mkdtemp(prefix="uba_docs_incr_")
-        new_docs = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
-        for i in range(3):
-            tmp = os.path.join(stage, f"tmp{i}")
-            new_docs.where(
-                F.expr(f"pmod((doc_id - 1) div 2, 3) = {i}")
-            ).coalesce(1).write.parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-            os.rename(
-                os.path.join(tmp, part), os.path.join(stage, f"batch_{i:03d}.parquet")
-            )
-            shutil.rmtree(tmp)
-        _STREAM_STAGE_CACHE[key] = stage
+    stage = _stage_doc_batches(sf_dir, docs)
     raw = (
         spark.readStream.format("parquet")
         .schema("doc_id long, text string")
@@ -1612,22 +1615,7 @@ def q_streaming_daily_refresh_replay(spark: SparkSession, sf_dir: str) -> DataFr
     docs = _tables(spark, sf_dir)["documents"]
     corpus = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
 
-    key = (sf_dir, "docs-incremental")
-    stage = _STREAM_STAGE_CACHE.get(key)
-    if stage is None or not os.path.isdir(stage):
-        stage = tempfile.mkdtemp(prefix="uba_docs_incr_")
-        new_docs = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
-        for i in range(3):
-            tmp = os.path.join(stage, f"tmp{i}")
-            new_docs.where(
-                F.expr(f"pmod((doc_id - 1) div 2, 3) = {i}")
-            ).coalesce(1).write.parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-            os.rename(
-                os.path.join(tmp, part), os.path.join(stage, f"batch_{i:03d}.parquet")
-            )
-            shutil.rmtree(tmp)
-        _STREAM_STAGE_CACHE[key] = stage
+    stage = _stage_doc_batches(sf_dir, docs)
     raw = (
         spark.readStream.format("parquet")
         .schema("doc_id long, text string")

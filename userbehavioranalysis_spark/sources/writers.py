@@ -128,10 +128,18 @@ def write_time_partitioned_events(
     ``repartition`` on the partition columns first (one file per hour,
     not one per task×hour), rows sorted by the timestamp within each
     file so parquet min/max stay tight for sub-hour predicates.
-    Partition values derive from the SAME session-timezone-free event
-    time the queries window on, so pruning is always consistent with
-    window assignment.
+
+    Partition values derive via ``to_date``/``hour``, which on
+    TimestampType are SESSION-TIMEZONE-dependent — so the writer
+    records the session timezone in a ``_lake_manifest.json`` sidecar
+    and :func:`read_time_range` REFUSES to prune under a different
+    session timezone (the mismatch would silently prune directories
+    containing in-range rows).  The engine pins UTC session-wide
+    (session.py), so in practice this is a belt-and-braces guard.
     """
+    import json
+    import os
+
     from pyspark.sql import functions as F
 
     (
@@ -143,6 +151,14 @@ def write_time_partitioned_events(
         .partitionBy("event_date", "event_hour")
         .parquet(path)
     )
+    with open(os.path.join(path, "_lake_manifest.json"), "w") as f:
+        json.dump(
+            {"session_tz": spark_tz(events.sparkSession), "ts_col": ts_col}, f
+        )
+
+
+def spark_tz(spark) -> str:
+    return spark.conf.get("spark.sql.session.timeZone")
 
 
 def read_time_range(
@@ -158,9 +174,29 @@ def read_time_range(
     directories are listed or opened, PartitionFilters in the plan)
     and the row-level timestamp (exact sub-hour bounds within the edge
     partitions).
+
+    Refuses to run under a session timezone different from the one the
+    lake was written with (``_lake_manifest.json``): partition values
+    are timezone-derived, so a mismatched reader would silently prune
+    directories that contain in-range rows.
     """
+    import json
+    import os
+
     from pyspark.sql import functions as F
 
+    mp = os.path.join(path, "_lake_manifest.json")
+    if os.path.exists(mp):
+        with open(mp) as f:
+            written_tz = json.load(f)["session_tz"]
+        if written_tz != spark_tz(spark):
+            raise ValueError(
+                f"lake at {path!r} was written under session timezone "
+                f"{written_tz!r} but this session uses "
+                f"{spark_tz(spark)!r}; partition pruning would silently "
+                "drop in-range rows — set spark.sql.session.timeZone to "
+                "match the lake"
+            )
     lo = F.to_timestamp(F.lit(start_ts))
     hi = F.to_timestamp(F.lit(end_ts))
     df = spark.read.parquet(path)
@@ -231,7 +267,16 @@ def delete_rows_partition_scoped(spark, path: str, predicate) -> dict:
         part_pred = part_pred | (
             (F.col("event_date") == F.lit(d)) & (F.col("event_hour") == h)
         )
-    keep = lake.where(part_pred).where(~predicate).localCheckpoint()
+    # ~coalesce(p, false), NOT ~p: under SQL three-valued logic a row
+    # where the predicate evaluates to NULL (e.g. a NULL user_id on a
+    # user_id = X delete) fails BOTH p and ~p — plain ~p would silently
+    # drop such rows from the rewrite even though they never matched
+    # the delete.  NULL-predicate rows must be KEPT.
+    keep = (
+        lake.where(part_pred)
+        .where(~F.coalesce(predicate, F.lit(False)))
+        .localCheckpoint()
+    )
     survivors = {
         (r["event_date"], r["event_hour"])
         for r in keep.select("event_date", "event_hour").distinct().collect()
