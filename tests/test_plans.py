@@ -516,3 +516,155 @@ def test_partition_scoped_delete_keeps_null_predicate_rows(spark, tmp_path):
     }
     assert left == {2, 3}, left  # user 7 gone; the NULL-user row KEPT
     assert stats["affected"] == 1
+
+
+def test_embedding_index_probe_prunes_partitions_and_matches_memory(spark, tmp_path):
+    """The persisted EMBEDDING-dedup probe must (a) carry non-empty
+    PartitionFilters on the band scan — so a delta probe touches
+    shards, never the corpus — and (b) exactly match the in-memory
+    path that re-signs the corpus per call (the equality that makes
+    the persisted artifact trustworthy)."""
+    import re
+
+    from userbehavioranalysis_spark.operators.dedup import (
+        embedding_dedup_incremental,
+        embedding_dedup_incremental_indexed,
+        embedding_index_write,
+    )
+
+    emb = load_testdata(spark, SF)["embeddings"]
+    batch = emb.filter(F.col("vec_id") % 16 == 0).select(
+        (F.col("vec_id") + 10000000).alias("vec_id"),
+        F.expr(
+            "transform(embedding,"
+            " (x, i) -> case when i = 0 then cast(0.0 as float) else x end)"
+        ).alias("embedding"),
+    )
+    path = str(tmp_path / "embidx")
+    embedding_index_write(emb, path)
+
+    out = embedding_dedup_incremental_indexed(batch, path)
+    plan = _plan(out)
+    assert "PartitionFilters: [" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "empty PartitionFilters — probe not pruned"
+
+    want = {
+        (r.new_vec_id, r.corpus_vec_id)
+        for r in embedding_dedup_incremental(emb, batch).collect()
+    }
+    got = {(r.new_vec_id, r.corpus_vec_id) for r in out.collect()}
+    assert got == want and got
+
+
+def test_embedding_index_append_equals_one_shot_index(spark, tmp_path):
+    """write(A) + append(B) must probe exactly like write(A∪B): same
+    matches, and the appended files land in the same (band, band_shard)
+    layout so the probe still carries PartitionFilters."""
+    from userbehavioranalysis_spark.operators.dedup import (
+        embedding_dedup_incremental_indexed,
+        embedding_index_append,
+        embedding_index_write,
+    )
+
+    emb = load_testdata(spark, SF)["embeddings"]
+    batch = emb.filter(F.col("vec_id") % 16 == 0).select(
+        (F.col("vec_id") + 10000000).alias("vec_id"), "embedding"
+    )
+    full_path = str(tmp_path / "full")
+    app_path = str(tmp_path / "app")
+    embedding_index_write(emb, full_path)
+    embedding_index_write(emb.filter(F.col("vec_id") % 2 == 0), app_path)
+    embedding_index_append(emb.filter(F.col("vec_id") % 2 == 1), app_path)
+
+    want = {
+        tuple(r)
+        for r in embedding_dedup_incremental_indexed(batch, full_path).collect()
+    }
+    out = embedding_dedup_incremental_indexed(batch, app_path)
+    got = {tuple(r) for r in out.collect()}
+    assert got == want and got
+    assert "PartitionFilters: [" in _plan(out)
+
+
+def test_index_manifest_conflicting_kwargs_raise(spark, tmp_path):
+    """A probe or append that EXPLICITLY passes a signing parameter
+    conflicting with the index manifest must raise — a silent override
+    (or silently honoring the caller) would drop true matches with no
+    error (e.g. half the matches under a mismatched shard count)."""
+    import pytest
+
+    from userbehavioranalysis_spark.operators.dedup import (
+        embedding_dedup_incremental_indexed,
+        embedding_index_write,
+        minhash_incremental_matches_indexed,
+        minhash_index_append,
+        minhash_index_write,
+    )
+
+    docs = load_testdata(spark, SF)["documents"].limit(50)
+    mh_path = str(tmp_path / "mh")
+    minhash_index_write(docs, mh_path, sig_shards=64)
+    with pytest.raises(ValueError, match="sig_shards"):
+        minhash_incremental_matches_indexed(docs, mh_path, sig_shards=128)
+    with pytest.raises(ValueError, match="n_hashes"):
+        minhash_index_append(docs, mh_path, n_hashes=24)
+    # matching explicit values (and omitted ones) still work
+    minhash_incremental_matches_indexed(docs, mh_path, sig_shards=64).collect()
+
+    emb = load_testdata(spark, SF)["embeddings"].limit(20)
+    emb_path = str(tmp_path / "emb")
+    embedding_index_write(emb, emb_path, band_shards=64)
+    with pytest.raises(ValueError, match="band_shards"):
+        embedding_dedup_incremental_indexed(emb, emb_path, band_shards=32)
+
+
+def test_lake_append_under_different_tz_refuses(spark, tmp_path):
+    """Appending to a time-partitioned lake under a session timezone
+    different from the one it was written with must refuse up front:
+    mixing two partition derivations in one tree while recording only
+    one tz would let read_time_range prune silently wrong."""
+    import pytest
+
+    from userbehavioranalysis_spark.sources.writers import (
+        write_time_partitioned_events,
+    )
+
+    ev = load_testdata(spark, SF)["events"]
+    path = str(tmp_path / "lake")
+    write_time_partitioned_events(ev, path)
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="session timezone"):
+            write_time_partitioned_events(ev, path, mode="append")
+        # overwrite under the new tz is allowed and re-stamps the manifest
+        write_time_partitioned_events(ev.limit(10), path, mode="overwrite")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    import json
+    import os
+
+    with open(os.path.join(path, "_lake_manifest.json")) as f:
+        assert json.load(f)["session_tz"] == "America/New_York"
+
+
+def test_full_lake_delete_leaves_readable_empty_lake(spark, tmp_path):
+    """A delete that empties the WHOLE lake must leave a directory
+    spark.read.parquet can still read (as an empty frame with the full
+    schema) — not a schema-inference error over _SUCCESS + manifest."""
+    from userbehavioranalysis_spark.sources.writers import (
+        delete_rows_partition_scoped,
+        write_time_partitioned_events,
+    )
+
+    ev = load_testdata(spark, SF)["events"].where(F.col("user_id") == 7)
+    assert ev.head() is not None
+    path = str(tmp_path / "lake")
+    write_time_partitioned_events(ev, path)
+    stats = delete_rows_partition_scoped(spark, path, F.col("user_id") == 7)
+    assert stats["emptied"] == stats["affected"] > 0
+    back = spark.read.parquet(path)
+    assert back.count() == 0
+    assert {"ts", "user_id", "event_date", "event_hour"} <= set(back.columns)

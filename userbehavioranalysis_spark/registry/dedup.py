@@ -724,9 +724,10 @@ def q_pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query(
-    "dedup_embedding_incremental",
-    oracle=f"""
+# Shared by the in-memory, persisted-index, and index-append forms of
+# incremental embedding dedup: all three must hash-equal this one SQL
+# replay — equality across the three IS the persistence proof.
+_EMB_INCR_ORACLE = f"""
     WITH vc AS (
         SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
     ), vb AS (
@@ -767,8 +768,25 @@ def q_pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFram
               JOIN v b ON b.vec_id = cand.corpus_vec_id
     WHERE list_sum(list_transform(range(1, len(a.ve) + 1), i -> a.ve[i] * b.ve[i]))
           >= a.nrm * b.nrm * 0.4
-    """,
-)
+    """
+
+
+def _emb_delta(emb) -> DataFrame:
+    """The deterministic embedding delta every incremental-embedding
+    query shares: every 16th vector 're-crawled' with its first
+    dimension zeroed — a constructed near-dup both engines derive
+    identically (the natural corpus has ~no cross-vector near-dups at
+    the 0.4 threshold)."""
+    return emb.filter(_F.col("vec_id") % 16 == 0).select(
+        (_F.col("vec_id") + 10000000).alias("vec_id"),
+        _F.expr(
+            "transform(embedding,"
+            " (x, i) -> case when i = 0 then cast(0.0 as float) else x end)"
+        ).alias("embedding"),
+    )
+
+
+@query("dedup_embedding_incremental", oracle=_EMB_INCR_ORACLE)
 def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental EMBEDDING dedup: a derived delta (every 16th vector
     "re-crawled" with one zeroed dimension — a deterministic near-dup
@@ -781,13 +799,77 @@ def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     ANN index stores, so dedup probe and vector store share one signing
     scheme).  Deterministic candidates + exact cosine => full SQL
     replay; 31 of the 32 sf0.01 delta vectors match their source
-    through >=1 surviving band."""
+    through >=1 surviving band.  NOTE: this form re-signs the corpus
+    per call (the in-memory baseline); the production steady state is
+    dedup_embedding_incremental_indexed below."""
     emb = _tables(spark, sf_dir)["embeddings"]
-    batch = emb.filter(_F.col("vec_id") % 16 == 0).select(
-        (_F.col("vec_id") + 10000000).alias("vec_id"),
-        _F.expr(
-            "transform(embedding,"
-            " (x, i) -> case when i = 0 then cast(0.0 as float) else x end)"
-        ).alias("embedding"),
+    return _dedup.embedding_dedup_incremental(emb, _emb_delta(emb))
+
+
+@query("dedup_embedding_incremental_indexed", oracle=_EMB_INCR_ORACLE)
+def q_dedup_embedding_incremental_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_embedding_incremental probing a PERSISTED parquet band
+    index (operators/dedup.embedding_index_write): corpus vectors +
+    hyperplane band signatures Hive-partitioned by (band, band_shard),
+    built once and cached across calls; the probe turns the delta's
+    observed shards into partition-pruning predicates (PartitionFilters
+    asserted in tests/test_plans.py).  Same semantics, same oracle as
+    the in-memory form — hash equality proves the persisted path
+    end-to-end, and the sf100 probe wall decouples from the O(corpus)
+    signature fold the in-memory form pays per call."""
+    import os
+    import tempfile
+
+    from userbehavioranalysis_spark.operators.dedup import (
+        embedding_dedup_incremental_indexed,
+        embedding_index_write,
     )
-    return _dedup.embedding_dedup_incremental(emb, batch)
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    key = (sf_dir, "embedding-index")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(os.path.join(stage, "index", "bands")):
+        stage = tempfile.mkdtemp(prefix="uba_emb_index_")
+        embedding_index_write(emb, os.path.join(stage, "index"))
+        _STREAM_STAGE_CACHE[key] = stage
+    return embedding_dedup_incremental_indexed(
+        _emb_delta(emb), os.path.join(stage, "index")
+    )
+
+
+@query("dedup_embedding_index_append", oracle=_EMB_INCR_ORACLE)
+def q_dedup_embedding_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-index MAINTENANCE proof (mirror of
+    dedup_incremental_index_append): the band index is written from
+    HALF the corpus (even vec_ids), the other half is APPENDED
+    (operators/dedup.embedding_index_append — new parquet files into
+    the same (band, band_shard) layout, no rewrite), and the delta
+    probe of the appended index must hash-equal the same full-corpus
+    SQL oracle as the one-shot index — the closing step of the
+    embedding-side daily loop."""
+    import os
+    import tempfile
+
+    from userbehavioranalysis_spark.operators.dedup import (
+        embedding_dedup_incremental_indexed,
+        embedding_index_append,
+        embedding_index_write,
+    )
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    key = (sf_dir, "embedding-index-append")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(os.path.join(stage, "index", "bands")):
+        stage = tempfile.mkdtemp(prefix="uba_emb_idx_app_")
+        embedding_index_write(
+            emb.filter(_F.col("vec_id") % 2 == 0), os.path.join(stage, "index")
+        )
+        embedding_index_append(
+            emb.filter(_F.col("vec_id") % 2 == 1), os.path.join(stage, "index")
+        )
+        _STREAM_STAGE_CACHE[key] = stage
+    return embedding_dedup_incremental_indexed(
+        _emb_delta(emb), os.path.join(stage, "index")
+    )

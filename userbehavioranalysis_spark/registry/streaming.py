@@ -234,6 +234,17 @@ def _stage_doc_batches(sf_dir: str, docs) -> str:
                 os.path.join(tmp, part), os.path.join(stage, f"batch_{i:03d}.parquet")
             )
             shutil.rmtree(tmp)
+        # Spark's file stream source orders files by MODIFICATION TIME,
+        # and the sequential replays' oracles assume tertile order
+        # (batch 0's survivors feed batch 1's corpus).  Sequential
+        # writes usually produce increasing mtimes, but identical-mtime
+        # ties (coarse fs granularity, copied trees) could reorder the
+        # batches and flake the hash gate — pin strictly increasing
+        # mtimes explicitly.
+        base = os.path.getmtime(os.path.join(stage, "batch_000.parquet"))
+        for i in range(3):
+            t = base + 10.0 * i
+            os.utime(os.path.join(stage, f"batch_{i:03d}.parquet"), (t, t))
         _STREAM_STAGE_CACHE[key] = stage
     return stage
 

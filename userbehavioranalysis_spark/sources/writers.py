@@ -136,12 +136,37 @@ def write_time_partitioned_events(
     session timezone (the mismatch would silently prune directories
     containing in-range rows).  The engine pins UTC session-wide
     (session.py), so in practice this is a belt-and-braces guard.
+
+    The manifest is authoritative for the WHOLE lake, so a
+    non-overwrite write into an existing lake must match it: appending
+    under a different session timezone would mix two partition
+    derivations in one directory tree while recording only the newer
+    tz — read_time_range's guard would then pass and silently prune
+    in-range rows of the older batch.  Such an append REFUSES up
+    front (mirroring the reader's refusal); the manifest is (re)written
+    only when overwriting or creating the lake.
     """
     import json
     import os
 
     from pyspark.sql import functions as F
 
+    mp = os.path.join(path, "_lake_manifest.json")
+    tz = spark_tz(events.sparkSession)
+    fresh = mode == "overwrite" or not os.path.exists(mp)
+    if not fresh:
+        with open(mp) as f:
+            written = json.load(f)
+        if written.get("session_tz") != tz or written.get("ts_col") != ts_col:
+            raise ValueError(
+                f"lake at {path!r} was written under session timezone "
+                f"{written.get('session_tz')!r} (ts_col "
+                f"{written.get('ts_col')!r}) but this append runs under "
+                f"{tz!r} (ts_col {ts_col!r}); mixing partition "
+                "derivations in one lake makes pruning silently drop "
+                "rows — set spark.sql.session.timeZone to match the "
+                "lake or overwrite it"
+            )
     (
         events.withColumn("event_date", F.to_date(ts_col))
         .withColumn("event_hour", F.hour(ts_col).cast("int"))
@@ -151,10 +176,9 @@ def write_time_partitioned_events(
         .partitionBy("event_date", "event_hour")
         .parquet(path)
     )
-    with open(os.path.join(path, "_lake_manifest.json"), "w") as f:
-        json.dump(
-            {"session_tz": spark_tz(events.sparkSession), "ts_col": ts_col}, f
-        )
+    if fresh:
+        with open(mp, "w") as f:
+            json.dump({"session_tz": tz, "ts_col": ts_col}, f)
 
 
 def spark_tz(spark) -> str:
@@ -301,8 +325,43 @@ def delete_rows_partition_scoped(spark, path: str, predicate) -> dict:
                 ignore_errors=True,
             )
             emptied += 1
+            # prune the parent date dir too once its last hour is gone
+            # (a leftover empty event_date= dir still breaks schema
+            # inference on an otherwise-empty lake)
+            ddir = os.path.join(path, f"event_date={d}")
+            if os.path.isdir(ddir) and not os.listdir(ddir):
+                os.rmdir(ddir)
+    if not survivors and not _lake_has_partitions(path):
+        # A delete that emptied the WHOLE lake would leave only
+        # _SUCCESS + the manifest; parquet reads of such a directory
+        # fail with a schema-inference error instead of returning an
+        # empty lake.  Retain one empty schema-bearing file (written
+        # via pyarrow — Spark itself writes no part files for an empty
+        # frame, SPARK-23271) so readers see a valid, empty table with
+        # the partition columns as ordinary (empty) columns.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        sch = to_arrow_schema(keep.schema)
+        pq.write_table(
+            pa.table({f.name: pa.array([], type=f.type) for f in sch}, schema=sch),
+            os.path.join(path, "part-00000-empty.parquet"),
+        )
     return {
         "affected": len(affected),
         "rewritten": len(affected) - emptied,
         "emptied": emptied,
     }
+
+
+def _lake_has_partitions(path: str) -> bool:
+    """True if any parquet data file remains under a Hive partition
+    directory of ``path`` (empty leftover directories don't count —
+    they can't carry schema)."""
+    import os
+
+    for root, _dirs, files in os.walk(path):
+        if "event_date=" in root and any(f.endswith(".parquet") for f in files):
+            return True
+    return False
