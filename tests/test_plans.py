@@ -668,3 +668,106 @@ def test_full_lake_delete_leaves_readable_empty_lake(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 0
     assert {"ts", "user_id", "event_date", "event_hour"} <= set(back.columns)
+
+
+def test_minhash_index_compact_recaps_and_equals_fresh_write(spark, tmp_path):
+    """The LSM re-cap rewrite: after appends an over-cap bucket exists
+    (appends never re-evaluate the cap); compact must (a) restore every
+    bucket to ≤ cap, (b) collapse to one file per shard partition, and
+    (c) leave an index whose probe hash-equals a FRESH capped one-shot
+    write of the union corpus."""
+    import json
+    import os
+
+    from userbehavioranalysis_spark.operators.dedup import (
+        minhash_incremental_matches_indexed,
+        minhash_index_append,
+        minhash_index_compact,
+        minhash_index_write,
+    )
+
+    docs = load_testdata(spark, SF)["documents"]
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "idx")
+    minhash_index_write(docs.filter(F.col("doc_id") % 4 == 0), path)  # uncapped
+    minhash_index_append(docs.filter(F.col("doc_id") % 4 == 2), path)
+
+    bucket_sizes = (
+        spark.read.parquet(f"{path}/buckets")
+        .groupBy("band_id", "band_sig")
+        .count()
+    )
+    assert bucket_sizes.where(F.col("count") > 32).head() is not None, (
+        "test premise broken: no over-cap bucket after append"
+    )
+
+    stats = minhash_index_compact(path, max_bucket=32)
+    assert stats["dropped_rows"] > 0
+    post = (
+        spark.read.parquet(f"{path}/buckets").groupBy("band_id", "band_sig").count()
+    )
+    assert post.where(F.col("count") > 32).head() is None
+    # one file per leaf partition directory
+    leaf_dirs = {
+        root
+        for root, _d, files in os.walk(f"{path}/buckets")
+        if any(f.endswith(".parquet") for f in files)
+    }
+    for root in leaf_dirs:
+        n = sum(1 for f in os.listdir(root) if f.endswith(".parquet"))
+        assert n == 1, (root, n)
+    with open(os.path.join(path, "_manifest.json")) as f:
+        assert json.load(f)["max_bucket"] == 32
+
+    fresh = str(tmp_path / "fresh")
+    minhash_index_write(
+        docs.filter(F.col("doc_id") % 2 == 0), fresh, max_bucket=32
+    )
+    want = {
+        tuple(r) for r in minhash_incremental_matches_indexed(batch, fresh).collect()
+    }
+    got = {
+        tuple(r) for r in minhash_incremental_matches_indexed(batch, path).collect()
+    }
+    assert got == want and got
+
+
+def test_ivf_index_append_equals_one_shot_index(spark, tmp_path):
+    """ivf_index_append must route new vectors against the STORED
+    centroids and land them in the same cluster-partition layout a
+    one-shot write holding the same assignments produces — probe
+    results identical, PartitionFilters intact, routing table
+    untouched."""
+    from userbehavioranalysis_spark.operators.similarity import (
+        ann_topk_ivf_indexed,
+        assign_ivf_clusters,
+        ivf_assign_to_centroids,
+        ivf_index_append,
+        ivf_index_write,
+    )
+
+    emb = load_testdata(spark, SF)["embeddings"]
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    clustered = assign_ivf_clusters(even, n_clusters=10, iters=2)
+
+    app_path = str(tmp_path / "app")
+    ivf_index_write(clustered, app_path)
+    ivf_index_append(odd, app_path)
+
+    cent = spark.read.parquet(f"{app_path}/centroids")
+    full_path = str(tmp_path / "full")
+    ivf_index_write(
+        clustered.unionByName(ivf_assign_to_centroids(odd, cent)),
+        full_path,
+        centroids=cent,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5)
+    want = {tuple(r) for r in ann_topk_ivf_indexed(q, full_path).collect()}
+    out = ann_topk_ivf_indexed(q, app_path)
+    got = {tuple(r) for r in out.collect()}
+    assert got == want and got
+    assert "PartitionFilters: [" in _plan(out)
+    # append must not have touched the routing table
+    assert cent.count() == spark.read.parquet(f"{full_path}/centroids").count()

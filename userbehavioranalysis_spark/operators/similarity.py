@@ -495,6 +495,7 @@ def ivf_index_write(
     clustered: DataFrame,
     path: str,
     cluster_col: str = "cluster",
+    centroids: DataFrame | None = None,
 ) -> None:
     """Materialize an IVF corpus as a cluster-partitioned parquet INDEX
     plus its centroid table — the "train once, bucket the corpus by
@@ -509,10 +510,20 @@ def ivf_index_write(
     diverge from the in-memory path the tests compare against).
     A probe then reads ONLY its ``n_probe`` routed directories — scan
     cost tracks probed cells, not corpus size.
+
+    ``centroids`` (a (cluster, cv) frame) overrides the derived means
+    — the production split where TRAINING owns the routing table and
+    indexing just stores it: several partial index builds (or an
+    append stream, :func:`ivf_index_append`) can then share one
+    routing table instead of each deriving a different one from its
+    own slice.
     """
-    _cluster_centroids(clustered, cluster_col).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/centroids")
+    cent = (
+        centroids
+        if centroids is not None
+        else _cluster_centroids(clustered, cluster_col)
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     (
         clustered.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
@@ -522,6 +533,74 @@ def ivf_index_write(
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(f"{path}/vectors")
+    )
+
+
+def ivf_assign_to_centroids(
+    vectors: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """Assign raw (vec_id, embedding) vectors to a STORED routing
+    table: nearest-centroid cosine argmax against the (cluster, cv)
+    frame, ties to the lowest cluster id — the single assignment
+    kernel :func:`ivf_index_append` and its one-shot equality tests
+    share, so "what cluster does a new vector land in" has exactly one
+    answer per routing table.  Returns (vec_id, embedding, cluster)
+    shaped like :func:`assign_ivf_clusters`'s output.
+    """
+    import numpy as np
+
+    rows = sorted(centroids.collect(), key=lambda r: r["cluster"])
+    cmat = np.vstack([r["cv"] for r in rows])
+    ids = [int(r["cluster"]) for r in rows]
+    v = vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("qv")
+    )
+    out = v.withColumn("idx", _assign_udf(cmat)(F.col("qv")))
+    # _assign_udf returns the row INDEX into cmat; map it back to the
+    # stored cluster id (identical when ids are dense 0..k-1, but a
+    # routing table may omit empty clusters)
+    id_arr = F.array(*[F.lit(c) for c in ids])
+    return out.select(
+        "vec_id",
+        F.col("qv").cast("array<float>").alias("embedding"),
+        F.element_at(id_arr, F.col("idx") + 1).alias("cluster"),
+    )
+
+
+def ivf_index_append(
+    new_vectors: DataFrame,
+    index_path: str,
+) -> None:
+    """Index MAINTENANCE: route a new vector batch against the STORED
+    centroid table and append it into the cluster partitions — the
+    leg that lets the IVF store grow daily without retraining or
+    rewriting (mirror of dedup.minhash_index_append for the vector
+    index; at 100 TB each append is a metadata-only commit into the
+    touched cluster directories).
+
+    The routing table is NOT updated: appended vectors are assigned to
+    the centroids as trained, which is exactly FAISS's add-after-train
+    semantics.  The documented drift trade: as appended data shifts
+    the true distribution, cells elongate and recall at fixed n_probe
+    decays — the maintenance answer is periodic RETRAIN + rewrite
+    (``mlcodebooks.ivf_clusters_distributed`` over the union corpus,
+    then :func:`ivf_index_write`), the IVF analog of the minhash
+    index's re-cap compaction.  Monitor by comparing per-cell counts
+    against the training-time histogram; retrain when cells skew.
+    """
+    spark = new_vectors.sparkSession
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    assigned = ivf_assign_to_centroids(new_vectors, cent)
+    (
+        assigned.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.col("cluster").cast("int").alias("cluster"),
+        )
+        .repartition("cluster")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{index_path}/vectors")
     )
 
 

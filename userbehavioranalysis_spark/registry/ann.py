@@ -779,3 +779,50 @@ def q_ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_ANN_K,
         )
     )
+
+
+@query("ann_topk_ivf_append", oracle=_ANN_STRUCTURAL_ORACLE)
+def q_ann_topk_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE (operators/similarity.ivf_index_append —
+    the leg that completes the vector store's write/probe/append
+    triple, matching the minhash index's): the index is written from
+    HALF the corpus (even vec_ids) with its trained routing table, the
+    other half is APPENDED raw — routed against the STORED centroids
+    (FAISS add-after-train semantics) into the same cluster partition
+    layout, no rewrite, no retrain — and the probe of the appended
+    index must equal the one-shot index holding the same assignments
+    (pinned in tests/test_plans.py).  Drift trade documented on the
+    operator: appends shift the distribution, so periodic retrain +
+    rewrite (ivf_clusters_distributed) is the compaction analog.
+    Structural-contract driver hash + recall floor via the shared IVF
+    search path."""
+    import os
+    import tempfile
+
+    from userbehavioranalysis_spark.operators.similarity import (
+        ann_topk_ivf_indexed,
+        assign_ivf_clusters,
+        ivf_index_append,
+        ivf_index_write,
+    )
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    key = (sf_dir, "ivf-index-append")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(os.path.join(stage, "index", "vectors")):
+        stage = tempfile.mkdtemp(prefix="uba_ivf_idx_app_")
+        clustered = assign_ivf_clusters(
+            emb.filter(_F.col("vec_id") % 2 == 0), n_clusters=10, iters=2
+        )
+        ivf_index_write(clustered, os.path.join(stage, "index"))
+        ivf_index_append(
+            emb.filter(_F.col("vec_id") % 2 == 1), os.path.join(stage, "index")
+        )
+        _STREAM_STAGE_CACHE[key] = stage
+    return _ann_structural(
+        ann_topk_ivf_indexed(
+            emb.filter(_F.col("vec_id") < _ANN_NQ),
+            os.path.join(stage, "index"),
+            k=_ANN_K,
+        )
+    )

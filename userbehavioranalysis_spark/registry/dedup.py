@@ -632,6 +632,52 @@ def q_dedup_incremental_index_append(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@query(
+    "dedup_incremental_index_compact",
+    oracle=_minhash_oracle(
+        max_bucket=32,
+        incremental_split=("doc_id % 2 = 0", "doc_id % 2 = 1"),
+        min_match=6,
+    ),
+)
+def q_dedup_incremental_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index COMPACTION proof (operators/dedup.minhash_index_compact —
+    the LSM re-cap rewrite): an UNCAPPED index is written from half
+    the corpus (doc_id % 4 == 0), the other half appended (appends
+    never re-evaluate the cap, so buckets drift past any limit), then
+    compacted with max_bucket=32 — after which the probe must
+    hash-equal a fresh CAPPED one-shot index over the full even
+    corpus, i.e. exactly dedup_incremental_indexed's oracle.  This is
+    the periodic-rewrite step the append docstring promises, made
+    first-class and pinned."""
+    import os
+    import tempfile
+
+    from userbehavioranalysis_spark.operators.dedup import (
+        minhash_incremental_matches_indexed,
+        minhash_index_append,
+        minhash_index_compact,
+        minhash_index_write,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    key = (sf_dir, "minhash-index-compact")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(os.path.join(stage, "index", "buckets")):
+        stage = tempfile.mkdtemp(prefix="uba_minhash_idx_cmp_")
+        minhash_index_write(
+            docs.filter(_F.col("doc_id") % 4 == 0), os.path.join(stage, "index")
+        )
+        minhash_index_append(
+            docs.filter(_F.col("doc_id") % 4 == 2), os.path.join(stage, "index")
+        )
+        minhash_index_compact(os.path.join(stage, "index"), max_bucket=32)
+        _STREAM_STAGE_CACHE[key] = stage
+    return minhash_incremental_matches_indexed(
+        docs.filter(_F.col("doc_id") % 2 == 1), os.path.join(stage, "index")
+    )
+
+
 _INCR_REFRESH_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents
