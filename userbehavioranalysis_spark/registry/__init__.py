@@ -44,6 +44,7 @@ from userbehavioranalysis_spark.registry import text  # noqa: E402,F401
 from userbehavioranalysis_spark.registry import multimodal  # noqa: E402,F401
 from userbehavioranalysis_spark.registry import relational  # noqa: E402,F401
 from userbehavioranalysis_spark.registry import streaming  # noqa: E402,F401
+from userbehavioranalysis_spark.registry import streaming_refresh  # noqa: E402,F401
 
 from userbehavioranalysis_spark.registry.ann import _ann_structural  # noqa: E402,F401
 
@@ -81,29 +82,20 @@ R6_WINDOW_CANDIDATES = {
 #   r5 window: every query still lacking a green row after r1-r4
 #              (closed the book: 157/157 registered-at-freeze queries
 #              green across r1-r5)
-#   r6 window (this one): the 4 pinned anchors, the 9 queries with NO
-#              driver row yet (5 post-freeze r5 additions + 4 round-6
-#              additions), and the 37 STALEST greens (last green r2) —
-#              freshness rotation so no query's last green row ages
-#              past three rounds without re-checking.  The 13 r2 greens
-#              that didn't fit (uv_per_event, hot_pages,
-#              dedup_minhash_lsh, ad_clicks_by_geo, audio_features,
-#              image_features, image_resize, token_counts,
-#              doc_fingerprints, quality_score, doc_rarity, pack_shards,
-#              length_quantiles, decontaminate — bumped one-for-one as
-#              the never-checked round-6 additions landed:
-#              dedup_incremental_index_append,
-#              streaming_corpus_screen_replay, ann_topk_ivf_indexed,
-#              streaming_daily_refresh_replay,
-#              dedup_embedding_incremental, events_time_range_scan,
-#              events_user_delete) are first in line for r7,
-#              each pinned meanwhile by its own pytest (property tests
-#              for uv_per_event, real-decoder round-trips for the
-#              multimodal trio) or by a driver-green sibling sharing
-#              the code path (dedup_minhash_capped, hot_items,
-#              ad_clicks oracles).  tests/test_oracle_rotation.py runs
+#   r6 window: the 4 anchors + all 16 never-driver-checked queries +
+#              the 30 stalest r2-greens → after r6 every one of the
+#              173 then-registered queries had ≥1 green row and none
+#              had ever failed a driver check.
+#   r7 window (this one): pure freshness rotation — the 4 pinned
+#              anchors, the 4 never-checked round-7 additions
+#              (embedding-index probe/append, minhash re-cap
+#              compaction, IVF append), then EVERY query whose newest
+#              green row is r2 or r3 (14 + 18), and the 10 oldest
+#              r4-greens.  After this window lands, no registered
+#              query's newest driver row is older than r4.
+#              tests/test_oracle_rotation.py keeps running
 #              tools/oracle_check.py on a daily-seeded random sample
-#              each round so rotated-out queries cannot rot unnoticed.
+#              so rotated-out queries cannot rot unnoticed.
 _DRIVER_WINDOW = [
     # ---- pinned anchors: flagship analytic, tumbling-PV, the
     # byte-exact report render over the reference's apache.log
@@ -112,55 +104,56 @@ _DRIVER_WINDOW = [
     "page_view",
     "ref_network_flow_report",
     "streaming_hot_items_report_replay",
-    # ---- no driver row yet: round-5 post-freeze additions
-    "dedup_incremental",
-    "dedup_incremental_capped",
-    "doc_chunks",
-    "hourly_behavior_pivot",
-    "streaming_dedup_incremental_replay",
-    # ---- no driver row yet: round-6 additions
-    "dedup_incremental_indexed",
-    "ann_topk_pq_mllib",
-    "ann_topk_ivf_mllib",
-    "pipeline_incremental_refresh",
-    "dedup_incremental_index_append",
-    "streaming_corpus_screen_replay",
-    "ann_topk_ivf_indexed",
-    "streaming_daily_refresh_replay",
-    "dedup_embedding_incremental",
-    "events_time_range_scan",
-    "events_user_delete",
-    # ---- stalest greens (last green r2), in r2 definition order
-    "unique_visitors",
-    "user_sessions",
-    "marketing_total",
-    "marketing_by_channel",
-    "login_fail_relaxed",
-    "order_timeout",
-    "blacklist_warnings",
-    "blacklist_filtered",
-    "tx_match_interval",
-    "tx_match_reconcile",
-    "dedup_exact",
-    "dedup_minhash_capped",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "ann_topk_brute",
-    "ann_topk_lsh",
-    "language_id",
-    "pii_redact",
-    "curate_sample",
-    "funnel_conversion",
-    "retention_cohorts",
-    "token_topk",
-    "repetition_score",
-    "mixture_sample",
-    "split_assign",
-    "asof_click_purchase",
-    "doc_embedding_stats",
-    "pipeline_clean_corpus",
+    # ---- no driver row yet: round-7 additions
+    "dedup_embedding_incremental_indexed",
+    "dedup_embedding_index_append",
+    "dedup_incremental_index_compact",
+    "ann_topk_ivf_append",
+    # ---- stalest greens: newest row r2, in r2 definition order
+    "uv_per_event",
+    "ad_clicks_by_geo",
+    "hot_pages",
+    "dedup_minhash_lsh",
+    "decontaminate",
+    "doc_rarity",
+    "pack_shards",
+    "length_quantiles",
+    "quality_score",
+    "token_counts",
+    "doc_fingerprints",
+    "audio_features",
+    "image_features",
+    "image_resize",
+    # ---- newest row r3, in definition order
+    "login_fail_strict",
+    "event_transitions",
+    "rolling_active_users",
+    "event_props_stats",
+    "ann_topk_quantized",
+    "media_features",
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "market_share",
+    "quantity_tiers",
+    "large_volume_orders",
+    "top_return_customers",
+    "promo_revenue_share",
+    "customers_without_recent_orders",
+    "top_supplier",
+    "nation_trade_volume",
+    "streaming_dedup_replay",
+    # ---- the 10 oldest r4-greens, in definition order
+    "attribution_last_touch",
+    "session_paths",
+    "anomaly_zscore",
+    "time_to_convert",
+    "item_pagerank",
+    "scd2_user_state",
+    "histogram_quantiles",
+    "item_triangles",
+    "uv_hll_portable",
+    "salted_type_enrich",
 ]
 
 

@@ -205,50 +205,6 @@ def _run_bounded(sdf, name: str, partitions: int = 8, output_mode: str = "append
     return spark.read.parquet(out)
 
 
-def _stage_doc_batches(sf_dir: str, docs) -> str:
-    """Stage the new-document delta (odd doc_ids) as 3 single-file
-    parquet micro-batches (tertile by pmod((doc_id-1)/2, 3)) — ONE
-    staging dir shared by every incremental-replay query on the same
-    sf_dir, cached so repeated driver runs don't accumulate tempdirs.
-    The single shared implementation keeps the three replays that
-    assert against the same batching scheme (dedup-incremental, corpus
-    screen, daily refresh) impossible to desynchronize."""
-    import os
-    import shutil
-    import tempfile
-
-    import pyspark.sql.functions as F
-
-    key = (sf_dir, "docs-incremental")
-    stage = _STREAM_STAGE_CACHE.get(key)
-    if stage is None or not os.path.isdir(stage):
-        stage = tempfile.mkdtemp(prefix="uba_docs_incr_")
-        new_docs = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
-        for i in range(3):
-            tmp = os.path.join(stage, f"tmp{i}")
-            new_docs.where(
-                F.expr(f"pmod((doc_id - 1) div 2, 3) = {i}")
-            ).coalesce(1).write.parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-            os.rename(
-                os.path.join(tmp, part), os.path.join(stage, f"batch_{i:03d}.parquet")
-            )
-            shutil.rmtree(tmp)
-        # Spark's file stream source orders files by MODIFICATION TIME,
-        # and the sequential replays' oracles assume tertile order
-        # (batch 0's survivors feed batch 1's corpus).  Sequential
-        # writes usually produce increasing mtimes, but identical-mtime
-        # ties (coarse fs granularity, copied trees) could reorder the
-        # batches and flake the hash gate — pin strictly increasing
-        # mtimes explicitly.
-        base = os.path.getmtime(os.path.join(stage, "batch_000.parquet"))
-        for i in range(3):
-            t = base + 10.0 * i
-            os.utime(os.path.join(stage, f"batch_{i:03d}.parquet"), (t, t))
-        _STREAM_STAGE_CACHE[key] = stage
-    return stage
-
-
 def _run_bounded_foreach(sdf, name: str, batch_fn, partitions: int = 8):
     """Bounded foreachBatch replay: apply ``batch_fn`` per micro-batch,
     append results to parquet (no driver-side collect — the sink is
@@ -1327,333 +1283,3 @@ def q_streaming_uv_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = _tables(spark, sf_dir)["events"]
     return hll_uv_estimate(regs, hll_exact_uv(ev))
-
-
-@query(
-    "streaming_dedup_incremental_replay",
-    oracle=_minhash_oracle(
-        max_bucket=32,
-        incremental_split=("doc_id % 2 = 0", "doc_id % 2 = 1"),
-        min_match=6,
-    ),
-)
-def q_streaming_dedup_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup as a STREAM: the new-document delta arrives in
-    3 micro-batches, each matched against the STATIC corpus band index
-    in foreachBatch — the streaming form of the daily-refresh shape
-    (operators/dedup.minhash_incremental_matches), with the production
-    32-doc bucket cap on the persisted index (the uncapped semantics
-    are driver-checked via the batch dedup_incremental; on this
-    dup-dense synthetic corpus the uncapped sf0.1 replay emits 3.6 M
-    matches — 300× the capped output — for no extra coverage).
-    Per-doc scoring is independent of batching, so the appended union
-    across micro-batches must equal the batch operator's whole-delta
-    result EXACTLY — the oracle is the same capped replay SQL as
-    dedup_incremental_capped, so the hash equality proves
-    batching-invariance end-to-end."""
-    import os
-    import shutil
-    import tempfile
-
-    import pyspark.sql.functions as F
-
-    docs = _tables(spark, sf_dir)["documents"]
-    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
-
-    stage = _stage_doc_batches(sf_dir, docs)
-    raw = (
-        spark.readStream.format("parquet")
-        .schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .load(stage)
-    )
-
-    # the PERSISTED index shape for real: signatures + band buckets are
-    # built and cached ONCE, every micro-batch only probes them (the
-    # first cut rebuilt the whole corpus index inside each batch)
-    sig_c, bk_c = _dedup.minhash_corpus_index(corpus, max_bucket=32)
-    sig_c, bk_c = sig_c.cache(), bk_c.cache()
-    try:
-
-        def _batch(bdf):
-            return _dedup.minhash_incremental_matches(
-                None, bdf, corpus_index=(sig_c, bk_c)
-            )
-
-        return _run_bounded_foreach(
-            raw, "streaming_dedup_incremental_replay", _batch
-        )
-    finally:
-        sig_c.unpersist()
-        bk_c.unpersist()
-
-
-_CORPUS_SCREEN_ORACLE = f"""
-    WITH toks AS (
-        SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents
-    ), q AS (
-        SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
-               round(least(len(tokens)::DOUBLE / 100, 1.0) * 0.5
-                     + (1.0 - len(list_filter(tokens, x -> x IN ('the','a','of','and')))::DOUBLE
-                              / len(tokens)) * 0.5, 4) AS score_r4
-        FROM toks WHERE doc_id % 2 = 1
-    ), hits AS (
-        SELECT doc_id,
-           len(list_filter(tokens, x -> x IN ('der','die','und','das'))) AS h_de,
-           len(list_filter(tokens, x -> x IN ('the','a','of','and'))) AS h_en,
-           len(list_filter(tokens, x -> x IN ('el','la','de','y'))) AS h_es,
-           len(list_filter(tokens, x -> x IN ('le','la','et','les'))) AS h_fr
-        FROM toks WHERE doc_id % 2 = 1
-    ), lang AS (
-        SELECT doc_id,
-           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
-                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
-                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
-                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
-                ELSE 'de' END AS lang_guess
-        FROM hits
-    ), corpus_exact_losers AS (
-        SELECT doc_id FROM documents
-        WHERE doc_id % 2 = 1 AND md5(text) IN (
-            SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
-    ), sigs AS (
-        SELECT doc_id, {_T.minhash_sig_duck(12)} AS sig
-        FROM (SELECT doc_id, list_distinct(tokens) AS shingles FROM toks)
-    ), buckets AS (
-        SELECT doc_id, b.band_id,
-               array_to_string(sig[b.band_id * 3 + 1 : b.band_id * 3 + 3], '-')
-                   AS band_sig
-        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
-    ), cross_losers AS (
-        SELECT DISTINCT c.new_doc_id AS doc_id
-        FROM (
-            SELECT DISTINCT bn.doc_id AS new_doc_id, bc.doc_id AS corpus_doc_id
-            FROM buckets bn
-            JOIN buckets bc ON bn.band_id = bc.band_id
-                           AND bn.band_sig = bc.band_sig
-            WHERE bn.doc_id % 2 = 1 AND bc.doc_id % 2 = 0
-        ) c
-        JOIN sigs sa ON sa.doc_id = c.new_doc_id
-        JOIN sigs sb ON sb.doc_id = c.corpus_doc_id
-        WHERE len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) >= 9
-    )
-    SELECT q.doc_id, q.n_tokens, q.score_r4
-    FROM q
-    JOIN lang ON q.doc_id = lang.doc_id
-    WHERE lang.lang_guess = 'en' AND q.score_r4 >= 0.5
-      AND q.doc_id NOT IN (SELECT doc_id FROM corpus_exact_losers)
-      AND q.doc_id NOT IN (SELECT doc_id FROM cross_losers)
-"""
-
-
-@query("streaming_corpus_screen_replay", oracle=_CORPUS_SCREEN_ORACLE)
-def q_streaming_corpus_screen_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The arrival-time corpus SCREEN as a stream: the new-document
-    delta arrives in 3 micro-batches, each pushed through
-    pipeline.screen_against_corpus (quality gate → language gate →
-    exact md5-vs-corpus → near-dup probe) against corpus artifacts —
-    the md5 set and the band index — built and cached ONCE.  Every
-    gate is per-doc, so the appended union across micro-batches must
-    equal the whole-delta screen EXACTLY; the oracle replays all four
-    gates in SQL, so the hash proves both the composition and its
-    batching-invariance.  (Within-delta self-dedup is deliberately not
-    here — that's the daily rewrite's job, pipeline_incremental_refresh;
-    see screen_against_corpus's docstring.)"""
-    import os
-    import shutil
-    import tempfile
-
-    import pyspark.sql.functions as F
-
-    from userbehavioranalysis_spark.operators.dedup import minhash_corpus_index
-    from userbehavioranalysis_spark.operators.pipeline import screen_against_corpus
-
-    docs = _tables(spark, sf_dir)["documents"]
-    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
-
-    stage = _stage_doc_batches(sf_dir, docs)
-    raw = (
-        spark.readStream.format("parquet")
-        .schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .load(stage)
-    )
-
-    # corpus artifacts built + cached ONCE; micro-batches only probe
-    sig_c, bk_c = minhash_corpus_index(corpus)
-    sig_c, bk_c = sig_c.cache(), bk_c.cache()
-    corpus_md5 = corpus.select(F.md5("text").alias("text_md5")).distinct().cache()
-    try:
-
-        def _batch(bdf):
-            return screen_against_corpus(corpus_md5, (sig_c, bk_c), bdf)
-
-        return _run_bounded_foreach(
-            raw, "streaming_corpus_screen_replay", _batch
-        )
-    finally:
-        sig_c.unpersist()
-        bk_c.unpersist()
-        corpus_md5.unpersist()
-
-
-def _sequential_refresh_oracle(n_batches: int = 3) -> str:
-    """SQL replay of the SEQUENTIAL daily-refresh loop: batch i gets
-    the full six-gate refresh against corpus ∪ survivors of batches
-    0..i-1 — three unrolled rounds of CTEs whose survivor sets feed the
-    next round's corpus membership.  Generated, not hand-written, so
-    the per-round SQL cannot drift between rounds."""
-
-    def p(col: str, i: int) -> str:  # batch-i membership (odd docs, tertile i)
-        return f"{col} % 2 = 1 AND (({col} - 1) // 2) % {n_batches} = {i}"
-
-    rounds = []
-    for i in range(n_batches):
-        corpus = " OR ".join(
-            ["{c} % 2 = 0"]
-            + [f"{{c}} IN (SELECT doc_id FROM s{j})" for j in range(i)]
-        )
-        rounds.append(f"""
-    , keep{i} AS (
-        SELECT min(doc_id) AS doc_id FROM documents WHERE {p('doc_id', i)}
-        GROUP BY md5(text)
-    ), cex{i} AS (
-        SELECT doc_id FROM documents WHERE {p('doc_id', i)} AND md5(text) IN (
-            SELECT md5(text) FROM documents
-            WHERE {corpus.format(c='doc_id')})
-    ), selfn{i} AS (
-        SELECT DISTINCT c.doc_b AS doc_id FROM (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM buckets a
-            JOIN buckets b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
-                          AND a.doc_id < b.doc_id
-            WHERE ({p('a.doc_id', i)}) AND ({p('b.doc_id', i)})
-        ) c
-        JOIN sigs sa ON sa.doc_id = c.doc_a
-        JOIN sigs sb ON sb.doc_id = c.doc_b
-        WHERE len(list_filter(range(1, 13), j -> sa.sig[j] = sb.sig[j])) >= 9
-    ), crossn{i} AS (
-        SELECT DISTINCT c.new_doc_id AS doc_id FROM (
-            SELECT DISTINCT bn.doc_id AS new_doc_id, bc.doc_id AS corpus_doc_id
-            FROM buckets bn
-            JOIN buckets bc ON bn.band_id = bc.band_id
-                           AND bn.band_sig = bc.band_sig
-            WHERE ({p('bn.doc_id', i)})
-              AND ({corpus.format(c='bc.doc_id')})
-        ) c
-        JOIN sigs sa ON sa.doc_id = c.new_doc_id
-        JOIN sigs sb ON sb.doc_id = c.corpus_doc_id
-        WHERE len(list_filter(range(1, 13), j -> sa.sig[j] = sb.sig[j])) >= 9
-    ), s{i} AS (
-        SELECT q.doc_id, q.n_tokens, q.score_r4
-        FROM q JOIN lang ON q.doc_id = lang.doc_id
-        WHERE ({p('q.doc_id', i)})
-          AND lang.lang_guess = 'en' AND q.score_r4 >= 0.5
-          AND q.doc_id IN (SELECT doc_id FROM keep{i})
-          AND q.doc_id NOT IN (SELECT doc_id FROM cex{i})
-          AND q.doc_id NOT IN (SELECT doc_id FROM selfn{i})
-          AND q.doc_id NOT IN (SELECT doc_id FROM crossn{i})
-    )""")
-    final = "\n    UNION ALL\n    ".join(
-        f"SELECT doc_id, n_tokens, score_r4 FROM s{i}" for i in range(n_batches)
-    )
-    return f"""
-    WITH toks AS (
-        SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents
-    ), q AS (
-        SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
-               round(least(len(tokens)::DOUBLE / 100, 1.0) * 0.5
-                     + (1.0 - len(list_filter(tokens, x -> x IN ('the','a','of','and')))::DOUBLE
-                              / len(tokens)) * 0.5, 4) AS score_r4
-        FROM toks WHERE doc_id % 2 = 1
-    ), hits AS (
-        SELECT doc_id,
-           len(list_filter(tokens, x -> x IN ('der','die','und','das'))) AS h_de,
-           len(list_filter(tokens, x -> x IN ('the','a','of','and'))) AS h_en,
-           len(list_filter(tokens, x -> x IN ('el','la','de','y'))) AS h_es,
-           len(list_filter(tokens, x -> x IN ('le','la','et','les'))) AS h_fr
-        FROM toks WHERE doc_id % 2 = 1
-    ), lang AS (
-        SELECT doc_id,
-           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
-                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
-                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
-                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
-                ELSE 'de' END AS lang_guess
-        FROM hits
-    ), sigs AS (
-        SELECT doc_id, {_T.minhash_sig_duck(12)} AS sig
-        FROM (SELECT doc_id, list_distinct(tokens) AS shingles FROM toks)
-    ), buckets AS (
-        SELECT doc_id, b.band_id,
-               array_to_string(sig[b.band_id * 3 + 1 : b.band_id * 3 + 3], '-')
-                   AS band_sig
-        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
-    ){''.join(rounds)}
-    {final}
-"""
-
-
-@query("streaming_daily_refresh_replay", oracle=_sequential_refresh_oracle(3))
-def q_streaming_daily_refresh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL production daily loop as a stream, state and all: the
-    delta arrives in 3 micro-batches; each batch runs the six-gate
-    refresh against the PERSISTED corpus artifacts (md5 parquet + the
-    minhash band index), and its survivors' artifacts are APPENDED
-    (dedup.minhash_index_append + an md5 append) before the next batch
-    — so a day-2 dup of a day-1 survivor is caught by the index, not
-    by luck.  The oracle is three generated, unrolled SQL rounds whose
-    survivor sets feed the next round's corpus membership: the hash
-    equality proves the SEQUENTIAL semantics end-to-end, including the
-    append path.  Each batch result is localCheckpoint-materialized
-    BEFORE its survivors are appended (the sink write must not re-read
-    the mutated index).  Fresh artifact dir per invocation — appends
-    mutate it, so it is never cached across calls."""
-    import os
-    import shutil
-    import tempfile
-
-    import pyspark.sql.functions as F
-
-    from userbehavioranalysis_spark.operators.dedup import (
-        minhash_index_append,
-        minhash_index_write,
-    )
-    from userbehavioranalysis_spark.operators.pipeline import (
-        refresh_against_persisted,
-    )
-
-    docs = _tables(spark, sf_dir)["documents"]
-    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
-
-    stage = _stage_doc_batches(sf_dir, docs)
-    raw = (
-        spark.readStream.format("parquet")
-        .schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .load(stage)
-    )
-
-    art = tempfile.mkdtemp(prefix="uba_daily_refresh_")
-    idx = os.path.join(art, "index")
-    md5p = os.path.join(art, "md5")
-    minhash_index_write(corpus, idx)
-    corpus.select(F.md5("text").alias("text_md5")).distinct().write.parquet(md5p)
-    try:
-
-        def _batch(bdf):
-            res = refresh_against_persisted(bdf, idx, md5p).localCheckpoint()
-            survivors = bdf.join(
-                res.select("doc_id"), "doc_id", "left_semi"
-            ).localCheckpoint()
-            minhash_index_append(survivors, idx)
-            survivors.select(F.md5("text").alias("text_md5")).write.mode(
-                "append"
-            ).parquet(md5p)
-            return res
-
-        return _run_bounded_foreach(
-            raw, "streaming_daily_refresh_replay", _batch
-        )
-    finally:
-        shutil.rmtree(art, ignore_errors=True)
