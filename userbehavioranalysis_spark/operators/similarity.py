@@ -648,9 +648,10 @@ def ann_topk_ivf_indexed(
     qc = pooled_cache(qc, pool="probe")
     probed = sorted({r["cluster"] for r in qc.select("cluster").distinct().collect()})
     vecs = spark.read.parquet(f"{index_path}/vectors")
-    pred = F.lit(False)  # no queries -> no probes -> empty result
-    for cid in probed:
-        pred = pred | (F.col("cluster") == cid)
+    # flat IN-list, not a chained OR: a wide query set can route to
+    # every cluster, and per-value OR chains overflow the JVM stack at
+    # domain size (see dedup's probe predicates — same fix everywhere)
+    pred = F.col("cluster").isin(probed) if probed else F.lit(False)
     c = vecs.where(pred).select(
         F.col("vec_id").alias("neighbor_id"),
         "cluster",
@@ -724,10 +725,16 @@ def ann_topk_lsh_indexed(
     }
     idx = spark.read.parquet(index_path)
     # no queries → no probes → empty result (lit(False) keeps the plan
-    # valid instead of where(None) raising TypeError)
-    pred = F.lit(False)
+    # valid instead of where(None) raising TypeError).  Grouped
+    # per-band IN-lists, not one OR term per (band, band_val) pair —
+    # per-value OR chains overflow the JVM stack once the probe set
+    # approaches the domain (see dedup's probe predicates).
+    by_band: dict[int, list[int]] = {}
     for b, v in sorted(probes):
-        pred = pred | ((F.col("band") == b) & (F.col("band_val") == v))
+        by_band.setdefault(b, []).append(v)
+    pred = F.lit(False)
+    for b, vals in sorted(by_band.items()):
+        pred = pred | ((F.col("band") == b) & F.col("band_val").isin(vals))
     cand = (
         idx.where(pred)
         .join(F.broadcast(q_bands), on=["band", "band_val"])
