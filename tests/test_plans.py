@@ -771,3 +771,68 @@ def test_ivf_index_append_equals_one_shot_index(spark, tmp_path):
     assert "PartitionFilters: [" in _plan(out)
     # append must not have touched the routing table
     assert cent.count() == spark.read.parquet(f"{full_path}/centroids").count()
+
+
+def test_embedding_index_cap_and_compact(spark, tmp_path):
+    """The embedding index's hot-bucket lifecycle: a constructed
+    boilerplate bucket (repeated vector) is dropped by a capped WRITE,
+    drifts back over the cap via APPENDS (which never re-evaluate it),
+    and is re-dropped by COMPACT — whose result must probe exactly
+    like a fresh capped write of the union."""
+    from userbehavioranalysis_spark.operators.dedup import (
+        embedding_dedup_incremental_indexed,
+        embedding_index_append,
+        embedding_index_compact,
+        embedding_index_write,
+    )
+
+    emb = load_testdata(spark, SF)["embeddings"]
+    v0 = emb.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"]
+    boiler = spark.createDataFrame(
+        [(900000 + i, list(v0)) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    boiler2 = spark.createDataFrame(
+        [(910000 + i, list(v0)) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(boiler)
+
+    path = str(tmp_path / "capped")
+    embedding_index_write(corpus, path, max_bucket=8)
+    sizes = spark.read.parquet(f"{path}/bands").groupBy("band", "band_val").count()
+    assert sizes.where(F.col("count") > 8).head() is None
+
+    embedding_index_append(boiler2, path)
+    sizes = spark.read.parquet(f"{path}/bands").groupBy("band", "band_val").count()
+    assert sizes.where(F.col("count") > 8).head() is not None, (
+        "test premise broken: append did not push a bucket over the cap"
+    )
+
+    stats = embedding_index_compact(path)
+    assert stats["dropped_rows"] > 0
+    sizes = spark.read.parquet(f"{path}/bands").groupBy("band", "band_val").count()
+    assert sizes.where(F.col("count") > 8).head() is None
+    import os
+
+    for root, _d, files in os.walk(f"{path}/bands"):
+        pq = [f for f in files if f.endswith(".parquet")]
+        if pq:
+            assert len(pq) == 1, (root, pq)
+
+    fresh = str(tmp_path / "fresh")
+    embedding_index_write(
+        corpus.unionByName(boiler2), fresh, max_bucket=8
+    )
+    batch = emb.filter(F.col("vec_id") % 16 == 0).select(
+        (F.col("vec_id") + 10000000).alias("vec_id"), "embedding"
+    )
+    want = {
+        tuple(r)
+        for r in embedding_dedup_incremental_indexed(batch, fresh).collect()
+    }
+    got = {
+        tuple(r)
+        for r in embedding_dedup_incremental_indexed(batch, path).collect()
+    }
+    assert got == want and got

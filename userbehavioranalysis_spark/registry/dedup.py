@@ -770,10 +770,20 @@ def q_pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-# Shared by the in-memory, persisted-index, and index-append forms of
-# incremental embedding dedup: all three must hash-equal this one SQL
-# replay — equality across the three IS the persistence proof.
-_EMB_INCR_ORACLE = f"""
+def _emb_incr_oracle(max_bucket: int | None = None) -> str:
+    """Oracle builder for incremental embedding dedup — shared by the
+    in-memory, persisted-index, index-append, and capped forms (the
+    first three must hash-equal the uncapped build; equality across
+    them IS the persistence proof).  ``max_bucket`` replicates the
+    corpus-side hot-bucket cap of ``embedding_index_write`` with the
+    identical windowed bucket-size filter."""
+    corpus_bands = "SELECT * FROM bands WHERE vec_id < 10000000"
+    if max_bucket is not None:
+        corpus_bands = f"""SELECT vec_id, band, band_val FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, band_val) AS bsz
+            FROM bands WHERE vec_id < 10000000
+        ) WHERE bsz <= {max_bucket}"""
+    return f"""
     WITH vc AS (
         SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
     ), vb AS (
@@ -803,11 +813,13 @@ _EMB_INCR_ORACLE = f"""
         SELECT vec_id, p // 16 AS band,
                CAST(sum(CASE WHEN dot > 0 THEN (1 << (p % 16)) ELSE 0 END) AS BIGINT) AS band_val
         FROM dots GROUP BY vec_id, p // 16
+    ), cbands AS (
+        {corpus_bands}
     ), cand AS (
         SELECT DISTINCT n.vec_id AS new_vec_id, c.vec_id AS corpus_vec_id
-        FROM bands n JOIN bands c
+        FROM bands n JOIN cbands c
           ON n.band = c.band AND n.band_val = c.band_val
-        WHERE n.vec_id >= 10000000 AND c.vec_id < 10000000
+        WHERE n.vec_id >= 10000000
     )
     SELECT cand.new_vec_id, cand.corpus_vec_id
     FROM cand JOIN v a ON a.vec_id = cand.new_vec_id
@@ -815,6 +827,9 @@ _EMB_INCR_ORACLE = f"""
     WHERE list_sum(list_transform(range(1, len(a.ve) + 1), i -> a.ve[i] * b.ve[i]))
           >= a.nrm * b.nrm * 0.4
     """
+
+
+_EMB_INCR_ORACLE = _emb_incr_oracle()
 
 
 def _emb_delta(emb) -> DataFrame:
@@ -879,6 +894,42 @@ def q_dedup_embedding_incremental_indexed(
     if stage is None or not os.path.isdir(os.path.join(stage, "index", "bands")):
         stage = tempfile.mkdtemp(prefix="uba_emb_index_")
         embedding_index_write(emb, os.path.join(stage, "index"))
+        _STREAM_STAGE_CACHE[key] = stage
+    return embedding_dedup_incremental_indexed(
+        _emb_delta(emb), os.path.join(stage, "index")
+    )
+
+
+@query("dedup_embedding_incremental_capped", oracle=_emb_incr_oracle(max_bucket=1))
+def q_dedup_embedding_incremental_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The capped form of the persisted embedding probe: the index is
+    written with the (band, band_val) hot-bucket guard
+    (embedding_index_write max_bucket), so boilerplate/near-zero
+    vectors whose band values concentrate can never fan a colliding
+    delta vector into O(bucket) candidates — the same O(delta · cap)
+    bound the minhash family's capped index gives, now on the
+    embedding side.  The synthetic corpus is bucket-flat by
+    construction (max natural bucket = 2 at the driver scales), so the
+    registered cap is 1 — the only value that BITES here — and the
+    oracle replicates the identical windowed bucket-size filter;
+    behavior on a constructed hot bucket (a repeated boilerplate
+    vector) is pinned separately in tests/test_plans.py."""
+    import os
+    import tempfile
+
+    from userbehavioranalysis_spark.operators.dedup import (
+        embedding_dedup_incremental_indexed,
+        embedding_index_write,
+    )
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    key = (sf_dir, "embedding-index-capped")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(os.path.join(stage, "index", "bands")):
+        stage = tempfile.mkdtemp(prefix="uba_emb_index_cap_")
+        embedding_index_write(emb, os.path.join(stage, "index"), max_bucket=1)
         _STREAM_STAGE_CACHE[key] = stage
     return embedding_dedup_incremental_indexed(
         _emb_delta(emb), os.path.join(stage, "index")
