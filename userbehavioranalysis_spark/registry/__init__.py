@@ -48,26 +48,15 @@ from userbehavioranalysis_spark.registry import streaming_refresh  # noqa: E402,
 
 from userbehavioranalysis_spark.registry.ann import _ann_structural  # noqa: E402,F401
 
-# Registered after the r5 driver window froze (the 5 round-5 additions
-# that were locally oracle-green but had no driver row) plus the
-# round-6 additions — all placed in the r6 window below.
-R6_WINDOW_CANDIDATES = {
-    "doc_chunks",
-    "dedup_incremental",
-    "dedup_incremental_capped",
-    "hourly_behavior_pivot",
-    "streaming_dedup_incremental_replay",
-    "dedup_incremental_indexed",
-    "ann_topk_pq_mllib",
-    "ann_topk_ivf_mllib",
-    "pipeline_incremental_refresh",
-    "dedup_incremental_index_append",
-    "streaming_corpus_screen_replay",
-    "ann_topk_ivf_indexed",
-    "streaming_daily_refresh_replay",
-    "dedup_embedding_incremental",
-    "events_time_range_scan",
-    "events_user_delete",
+# The round-7 additions — queries registered this round with no driver
+# row yet; the rotation invariant (tests/test_registry.py) requires
+# every one of them IN the r7 window below.
+R7_WINDOW_CANDIDATES = {
+    "dedup_embedding_incremental_indexed",
+    "dedup_embedding_incremental_capped",
+    "dedup_embedding_index_append",
+    "dedup_incremental_index_compact",
+    "ann_topk_ivf_append",
 }
 
 
@@ -87,12 +76,12 @@ R6_WINDOW_CANDIDATES = {
 #              173 then-registered queries had ≥1 green row and none
 #              had ever failed a driver check.
 #   r7 window (this one): pure freshness rotation — the 4 pinned
-#              anchors, the 4 never-checked round-7 additions
-#              (embedding-index probe/append, minhash re-cap
-#              compaction, IVF append), then EVERY query whose newest
-#              green row is r2 or r3 (14 + 18), and the 10 oldest
-#              r4-greens.  After this window lands, no registered
-#              query's newest driver row is older than r4.
+#              anchors, the 5 never-checked round-7 additions
+#              (embedding-index probe/capped-probe/append, minhash
+#              re-cap compaction, IVF append), then EVERY query whose
+#              newest green row is r2 or r3 (14 + 18), and the 9
+#              oldest r4-greens.  After this window lands, no
+#              registered query's newest driver row is older than r4.
 #              tests/test_oracle_rotation.py keeps running
 #              tools/oracle_check.py on a daily-seeded random sample
 #              so rotated-out queries cannot rot unnoticed.
@@ -106,6 +95,7 @@ _DRIVER_WINDOW = [
     "streaming_hot_items_report_replay",
     # ---- no driver row yet: round-7 additions
     "dedup_embedding_incremental_indexed",
+    "dedup_embedding_incremental_capped",
     "dedup_embedding_index_append",
     "dedup_incremental_index_compact",
     "ann_topk_ivf_append",
@@ -143,7 +133,7 @@ _DRIVER_WINDOW = [
     "top_supplier",
     "nation_trade_volume",
     "streaming_dedup_replay",
-    # ---- the 10 oldest r4-greens, in definition order
+    # ---- the 9 oldest r4-greens, in definition order
     "attribution_last_touch",
     "session_paths",
     "anomaly_zscore",
@@ -153,7 +143,6 @@ _DRIVER_WINDOW = [
     "histogram_quantiles",
     "item_triangles",
     "uv_hll_portable",
-    "salted_type_enrich",
 ]
 
 
