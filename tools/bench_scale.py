@@ -53,6 +53,11 @@ HEAVY = [
     # separately and recorded in BASELINE.md "Round-6 additions")
     "dedup_incremental_indexed",
     "pipeline_incremental_refresh",
+    # round-7 addition (same caveat: the registered form caches its
+    # index per sf_dir, so the first timing includes the one-time
+    # write — split write/probe decades live in BASELINE.md "Round-7
+    # additions")
+    "dedup_embedding_incremental_indexed",
 ]
 
 
