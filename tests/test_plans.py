@@ -836,3 +836,37 @@ def test_embedding_index_cap_and_compact(spark, tmp_path):
         for r in embedding_dedup_incremental_indexed(batch, path).collect()
     }
     assert got == want and got
+
+
+def test_ann_lsh_index_append_equals_one_shot_and_manifest_guards(spark, tmp_path):
+    """write(A) + append(B) on the LSH-ANN band index must probe
+    exactly like write(A∪B) — no training to drift, the hyperplanes
+    are a literal matrix — with PartitionFilters intact; and the new
+    manifest must refuse explicitly conflicting signing parameters on
+    both probe and append."""
+    import pytest
+
+    from userbehavioranalysis_spark.operators.similarity import (
+        ann_index_append,
+        ann_index_write,
+        ann_topk_lsh_indexed,
+    )
+
+    emb = load_testdata(spark, SF)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5)
+    full_path = str(tmp_path / "full")
+    app_path = str(tmp_path / "app")
+    ann_index_write(emb, full_path)
+    ann_index_write(emb.filter(F.col("vec_id") % 2 == 0), app_path)
+    ann_index_append(emb.filter(F.col("vec_id") % 2 == 1), app_path)
+
+    want = {tuple(r) for r in ann_topk_lsh_indexed(emb, q, full_path).collect()}
+    out = ann_topk_lsh_indexed(emb, q, app_path)
+    got = {tuple(r) for r in out.collect()}
+    assert got == want and got
+    assert "PartitionFilters: [" in _plan(out)
+
+    with pytest.raises(ValueError, match="n_planes"):
+        ann_topk_lsh_indexed(emb, q, app_path, n_planes=32)
+    with pytest.raises(ValueError, match="band_bits"):
+        ann_index_append(emb.limit(1), app_path, band_bits=8)

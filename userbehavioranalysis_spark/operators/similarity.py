@@ -688,12 +688,62 @@ def ann_index_write(
     one file per bucket (writers.py discipline).  The index is
     ×``n_bands`` the corpus (each vector appears once per band) — the
     standard LSH space/recall trade, stated not hidden.
+
+    A ``_manifest.json`` records the signing parameters (the shared
+    operators/manifests.py discipline): probe and append derive theirs
+    FROM it, and an explicitly passed conflicting value raises — a
+    probe banding with different planes than the index would silently
+    lose candidates otherwise.
     """
+    from userbehavioranalysis_spark.operators.manifests import (
+        write_index_manifest,
+    )
+
     bands = _lsh_bands(embeddings, "vec_id", n_planes, band_bits)
     (
         bands.join(embeddings.select("vec_id"), on="vec_id")
         .repartition("band", "band_val")
         .write.mode("overwrite")
+        .partitionBy("band", "band_val")
+        .parquet(path)
+    )
+    write_index_manifest(path, {"n_planes": n_planes, "band_bits": band_bits})
+
+
+def ann_index_append(
+    embeddings_new: DataFrame,
+    path: str,
+    n_planes: int | None = None,
+    band_bits: int | None = None,
+) -> None:
+    """Index MAINTENANCE: band a new vector batch with the INDEX's
+    signing parameters and append its rows into the same
+    (band, band_val) partition layout — the add leg that completes the
+    LSH-ANN store's write/probe/append lifecycle (metadata-only commit
+    per touched bucket directory at 100 TB, never a rewrite; probes
+    see the union because partition pruning selects directories, not
+    files).  Unlike the IVF store there is no training to drift from:
+    the hyperplanes are a fixed literal matrix, so appends never
+    degrade routing — the only deferred maintenance is small-file
+    accumulation (compact by rewriting, cf. minhash_index_compact).
+
+    Signing parameters come from the index's ``_manifest.json``; an
+    explicitly passed conflicting value raises.
+    """
+    from userbehavioranalysis_spark.operators.manifests import (
+        resolve_signing_params,
+    )
+
+    p = resolve_signing_params(
+        path,
+        {"n_planes": 16, "band_bits": 4},
+        {"n_planes": n_planes, "band_bits": band_bits},
+    )
+    bands = _lsh_bands(embeddings_new, "vec_id", p["n_planes"], p["band_bits"])
+    (
+        bands.join(embeddings_new.select("vec_id"), on="vec_id")
+        .repartition("band", "band_val")
+        .write.mode("append")
         .partitionBy("band", "band_val")
         .parquet(path)
     )
@@ -704,19 +754,34 @@ def ann_topk_lsh_indexed(
     queries: DataFrame,
     index_path: str,
     k: int = 10,
-    n_planes: int = 16,
-    band_bits: int = 4,
+    n_planes: int | None = None,
+    band_bits: int | None = None,
 ) -> DataFrame:
     """``ann_topk_lsh`` probing the PERSISTED index with partition
     pruning: the query vectors' band values (≤ n_bands·2^band_bits
-    distinct pairs — a bounded, domain-sized collect) become an OR of
-    partition-column predicates, so the scan lists and reads ONLY the
-    probed (band, band_val) directories (PartitionFilters in the plan,
-    asserted in tests).  Candidates, rerank and output are IDENTICAL
-    to ``ann_topk_lsh`` — same oracle, hash-checkable.
+    distinct pairs — a bounded, domain-sized collect) become grouped
+    per-band IN-list partition predicates, so the scan lists and reads
+    ONLY the probed (band, band_val) directories (PartitionFilters in
+    the plan, asserted in tests).  Candidates, rerank and output are
+    IDENTICAL to ``ann_topk_lsh`` — same oracle, hash-checkable.
+
+    Signing parameters come from the index's ``_manifest.json`` when
+    present; an explicitly passed conflicting value raises (the shared
+    operators/manifests.py discipline).  ``k`` stays caller-side — a
+    query-time threshold, not a signing parameter.
     """
     from pyspark.sql import SparkSession as _S
 
+    from userbehavioranalysis_spark.operators.manifests import (
+        resolve_signing_params,
+    )
+
+    p = resolve_signing_params(
+        index_path,
+        {"n_planes": 16, "band_bits": 4},
+        {"n_planes": n_planes, "band_bits": band_bits},
+    )
+    n_planes, band_bits = p["n_planes"], p["band_bits"]
     spark = _S.getActiveSession()
     q_bands = _lsh_bands(queries, "query_id", n_planes, band_bits)
     probes = {

@@ -57,6 +57,7 @@ R7_WINDOW_CANDIDATES = {
     "dedup_embedding_index_append",
     "dedup_incremental_index_compact",
     "ann_topk_ivf_append",
+    "ann_topk_lsh_append",
 }
 
 
@@ -76,12 +77,13 @@ R7_WINDOW_CANDIDATES = {
 #              173 then-registered queries had ≥1 green row and none
 #              had ever failed a driver check.
 #   r7 window (this one): pure freshness rotation — the 4 pinned
-#              anchors, the 5 never-checked round-7 additions
+#              anchors, the 6 never-checked round-7 additions
 #              (embedding-index probe/capped-probe/append, minhash
-#              re-cap compaction, IVF append), then EVERY query whose
-#              newest green row is r2 or r3 (14 + 18), and the 9
-#              oldest r4-greens.  After this window lands, no
-#              registered query's newest driver row is older than r4.
+#              re-cap compaction, IVF append, LSH-ANN append), then
+#              EVERY query whose newest green row is r2 or r3
+#              (14 + 18), and the 8 oldest r4-greens.  After this
+#              window lands, no registered query's newest driver row
+#              is older than r4.
 #              tests/test_oracle_rotation.py keeps running
 #              tools/oracle_check.py on a daily-seeded random sample
 #              so rotated-out queries cannot rot unnoticed.
@@ -99,6 +101,7 @@ _DRIVER_WINDOW = [
     "dedup_embedding_index_append",
     "dedup_incremental_index_compact",
     "ann_topk_ivf_append",
+    "ann_topk_lsh_append",
     # ---- stalest greens: newest row r2, in r2 definition order
     "uv_per_event",
     "ad_clicks_by_geo",
@@ -133,7 +136,7 @@ _DRIVER_WINDOW = [
     "top_supplier",
     "nation_trade_volume",
     "streaming_dedup_replay",
-    # ---- the 9 oldest r4-greens, in definition order
+    # ---- the 8 oldest r4-greens, in definition order
     "attribution_last_touch",
     "session_paths",
     "anomaly_zscore",
@@ -142,7 +145,6 @@ _DRIVER_WINDOW = [
     "scd2_user_state",
     "histogram_quantiles",
     "item_triangles",
-    "uv_hll_portable",
 ]
 
 

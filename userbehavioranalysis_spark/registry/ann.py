@@ -347,6 +347,49 @@ def q_ann_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["ann_topk_lsh_indexed"] = ORACLES["ann_topk_lsh"]
 
 
+@query("ann_topk_lsh_append", oracle=None)
+def q_ann_topk_lsh_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-ANN index MAINTENANCE (operators/similarity.ann_index_append
+    — completing the band store's write/probe/append lifecycle): the
+    index is written from HALF the corpus (even vec_ids), the other
+    half is APPENDED — banded with the manifest's signing parameters
+    into the same (band, band_val) partition layout, no rewrite — and
+    the probe of the appended index must hash-equal ann_topk_lsh over
+    the full corpus (the same FULL VALUE oracle as ann_topk_lsh_indexed,
+    the strongest append proof in the ANN family: unlike IVF there is
+    no training to drift, the hyperplanes are a fixed literal matrix,
+    so write(A)+append(B) ≡ write(A∪B) exactly)."""
+    import os
+    import tempfile
+
+    from userbehavioranalysis_spark.operators.similarity import (
+        ann_index_append,
+        ann_index_write,
+        ann_topk_lsh_indexed,
+    )
+
+    key = (sf_dir, "ann-index-append")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    emb = _tables(spark, sf_dir)["embeddings"]
+    if stage is None or not os.path.isdir(os.path.join(stage, "index")):
+        stage = tempfile.mkdtemp(prefix="uba_ann_idx_app_")
+        ann_index_write(
+            emb.filter(_F.col("vec_id") % 2 == 0), os.path.join(stage, "index")
+        )
+        ann_index_append(
+            emb.filter(_F.col("vec_id") % 2 == 1), os.path.join(stage, "index")
+        )
+        _STREAM_STAGE_CACHE[key] = stage
+    return ann_topk_lsh_indexed(
+        emb, emb.filter(_F.col("vec_id") < 5), os.path.join(stage, "index")
+    )
+
+
+# write(A) + append(B) probes exactly like the one-shot full index →
+# the same full value oracle as ann_topk_lsh / ann_topk_lsh_indexed
+ORACLES["ann_topk_lsh_append"] = ORACLES["ann_topk_lsh"]
+
+
 _HASH_EMBED_CTE = f"""
     t AS (
         SELECT doc_id, {_T.TOKENS_DUCK} AS toks FROM documents
