@@ -870,3 +870,34 @@ def test_ann_lsh_index_append_equals_one_shot_and_manifest_guards(spark, tmp_pat
         ann_topk_lsh_indexed(emb, q, app_path, n_planes=32)
     with pytest.raises(ValueError, match="band_bits"):
         ann_index_append(emb.limit(1), app_path, band_bits=8)
+
+
+def test_lake_append_after_full_delete_roundtrips(spark, tmp_path):
+    """Delete-everything then append must leave a readable lake equal
+    to the appended batch: the empty-schema placeholder the full-lake
+    delete retains carries the partition columns as DATA columns, so
+    the writer must drop it before adding real partition directories
+    (otherwise every later read dies on a duplicate-column conflict)."""
+    from userbehavioranalysis_spark.sources.writers import (
+        delete_rows_partition_scoped,
+        write_time_partitioned_events,
+    )
+
+    ev = load_testdata(spark, SF)["events"]
+    only7 = ev.where(F.col("user_id") == 7)
+    path = str(tmp_path / "lake")
+    write_time_partitioned_events(only7, path)
+    delete_rows_partition_scoped(spark, path, F.lit(True))
+    assert spark.read.parquet(path).count() == 0
+
+    batch = ev.where(F.col("user_id") == 3)
+    write_time_partitioned_events(batch, path, mode="append")
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .drop("event_date", "event_hour")
+        .select(sorted(ev.columns))
+        .collect()
+    }
+    want = {tuple(r) for r in batch.select(sorted(ev.columns)).collect()}
+    assert got == want and got

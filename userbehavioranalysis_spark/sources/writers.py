@@ -167,6 +167,14 @@ def write_time_partitioned_events(
                 "rows — set spark.sql.session.timeZone to match the "
                 "lake or overwrite it"
             )
+    # a full-lake delete leaves one empty schema-bearing placeholder
+    # file at the root (see delete_rows_partition_scoped); it carries
+    # the partition columns as DATA columns, so appending partition
+    # directories next to it would make every later read fail with a
+    # duplicate-column conflict — drop it before writing real data
+    placeholder = os.path.join(path, "part-00000-empty.parquet")
+    if not fresh and os.path.exists(placeholder):
+        os.remove(placeholder)
     (
         events.withColumn("event_date", F.to_date(ts_col))
         .withColumn("event_hour", F.hour(ts_col).cast("int"))
