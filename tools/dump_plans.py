@@ -100,6 +100,18 @@ HEADLINERS = [
     ("ann_topk_ivf_indexed", "persisted IVF — cluster-directory pruning + broadcast routing"),
     ("pipeline_incremental_refresh", "six-gate refresh — semi/anti assembly, cached signature subtrees"),
     ("dedup_embedding_incremental", "delta-vs-corpus hyperplane LSH — bands join, cosine verify"),
+    # round-7 additions
+    (
+        "dedup_embedding_incremental_indexed",
+        "persisted embedding band index — grouped IN-list PartitionFilters, "
+        "delta-only signing, stored-vector cosine verify",
+    ),
+    (
+        "dedup_incremental_index_compact",
+        "re-capped compacted index — probe identical to a fresh capped write",
+    ),
+    ("ann_topk_ivf_append", "appended IVF store — pruned probe over write+append files"),
+    ("ann_topk_lsh_append", "appended LSH-ANN store — pruned probe, full-value-oracle parity"),
 ]
 
 
