@@ -360,6 +360,29 @@ def _lsh_bands(df: DataFrame, id_col: str, n_planes: int, band_bits: int) -> Dat
     )
 
 
+def grouped_probe_predicate(probes, group_col: str, value_col: str):
+    """Partition-probe predicate over observed (group, value) pairs as
+    ONE flat ``(group == g AND value IN (...))`` disjunct per group —
+    the single source of the shape every indexed probe must use.
+
+    NOT one OR term per pair: a big probe set can observe the full
+    group × value domain (512 pairs for the embedding index's 8×64),
+    and a domain-deep chained OR overflows the JVM stack during Column
+    conversion — measured at sf0.1's 312-vector delta, invisible at
+    the sf0.001/sf0.01 gates.  The grouped form bounds expression
+    depth by the group count, and partition pruning consumes IN
+    natively.  An empty probe set returns ``lit(False)`` (no probes →
+    empty result, keeping the plan valid).
+    """
+    by_group: dict[object, list[object]] = {}
+    for g, v in sorted(probes):
+        by_group.setdefault(g, []).append(v)
+    pred = F.lit(False)
+    for g, vals in sorted(by_group.items()):
+        pred = pred | ((F.col(group_col) == g) & F.col(value_col).isin(vals))
+    return pred
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -789,17 +812,9 @@ def ann_topk_lsh_indexed(
         for r in q_bands.select("band", "band_val").distinct().collect()
     }
     idx = spark.read.parquet(index_path)
-    # no queries → no probes → empty result (lit(False) keeps the plan
-    # valid instead of where(None) raising TypeError).  Grouped
-    # per-band IN-lists, not one OR term per (band, band_val) pair —
-    # per-value OR chains overflow the JVM stack once the probe set
-    # approaches the domain (see dedup's probe predicates).
-    by_band: dict[int, list[int]] = {}
-    for b, v in sorted(probes):
-        by_band.setdefault(b, []).append(v)
-    pred = F.lit(False)
-    for b, vals in sorted(by_band.items()):
-        pred = pred | ((F.col("band") == b) & F.col("band_val").isin(vals))
+    # grouped per-band IN-lists (shared shape, see
+    # grouped_probe_predicate above)
+    pred = grouped_probe_predicate(probes, "band", "band_val")
     cand = (
         idx.where(pred)
         .join(F.broadcast(q_bands), on=["band", "band_val"])

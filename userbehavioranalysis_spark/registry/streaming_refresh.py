@@ -87,10 +87,6 @@ def q_streaming_dedup_incremental_replay(spark: SparkSession, sf_dir: str) -> Da
     result EXACTLY — the oracle is the same capped replay SQL as
     dedup_incremental_capped, so the hash equality proves
     batching-invariance end-to-end."""
-    import os
-    import shutil
-    import tempfile
-
     import pyspark.sql.functions as F
 
     docs = _tables(spark, sf_dir)["documents"]
@@ -195,10 +191,6 @@ def q_streaming_corpus_screen_replay(spark: SparkSession, sf_dir: str) -> DataFr
     batching-invariance.  (Within-delta self-dedup is deliberately not
     here — that's the daily rewrite's job, pipeline_incremental_refresh;
     see screen_against_corpus's docstring.)"""
-    import os
-    import shutil
-    import tempfile
-
     import pyspark.sql.functions as F
 
     from userbehavioranalysis_spark.operators.dedup import minhash_corpus_index

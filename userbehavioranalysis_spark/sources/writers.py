@@ -25,6 +25,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# single schema-bearing file a FULL-lake delete leaves behind so the
+# lake stays readable; the writer removes it before appending real
+# partition directories (it carries the partition columns as data
+# columns — one constant, two call sites, or the removal silently
+# stops matching)
+_EMPTY_LAKE_PLACEHOLDER = "part-00000-empty.parquet"
+
 
 def write_partitioned_corpus(
     df: DataFrame,
@@ -172,7 +179,7 @@ def write_time_partitioned_events(
     # the partition columns as DATA columns, so appending partition
     # directories next to it would make every later read fail with a
     # duplicate-column conflict — drop it before writing real data
-    placeholder = os.path.join(path, "part-00000-empty.parquet")
+    placeholder = os.path.join(path, _EMPTY_LAKE_PLACEHOLDER)
     if not fresh and os.path.exists(placeholder):
         os.remove(placeholder)
     (
@@ -354,7 +361,7 @@ def delete_rows_partition_scoped(spark, path: str, predicate) -> dict:
         sch = to_arrow_schema(keep.schema)
         pq.write_table(
             pa.table({f.name: pa.array([], type=f.type) for f in sch}, schema=sch),
-            os.path.join(path, "part-00000-empty.parquet"),
+            os.path.join(path, _EMPTY_LAKE_PLACEHOLDER),
         )
     return {
         "affected": len(affected),
