@@ -618,6 +618,16 @@ def test_index_manifest_conflicting_kwargs_raise(spark, tmp_path):
     with pytest.raises(ValueError, match="band_shards"):
         embedding_dedup_incremental_indexed(emb, emb_path, band_shards=32)
 
+    from userbehavioranalysis_spark.operators.text_analysis import (
+        benchmark_index_write,
+        decontaminate_indexed,
+    )
+
+    bench_path = str(tmp_path / "bench")
+    benchmark_index_write(docs, bench_path, shingle_k=3)
+    with pytest.raises(ValueError, match="shingle_k"):
+        decontaminate_indexed(docs, bench_path, shingle_k=5)
+
 
 def test_lake_append_under_different_tz_refuses(spark, tmp_path):
     """Appending to a time-partitioned lake under a session timezone

@@ -276,6 +276,77 @@ def decontaminate(
     )
 
 
+def benchmark_index_write(
+    benchmark_docs: DataFrame, path: str, shingle_k: int = 3
+) -> None:
+    """Fingerprint a benchmark/eval set ONCE as a persisted
+    decontamination index: the distinct word ``shingle_k``-gram hashes
+    as parquet plus a ``_manifest.json`` recording the shingle width
+    (operators/manifests.py discipline — a probe shingling at a
+    different k would silently miss every contamination hit).
+
+    Production shape: benchmark sets change rarely while the corpus is
+    re-scrubbed per snapshot — the artifact is fingerprinted at
+    benchmark-release time and every snapshot's scrub just broadcasts
+    the stored hashes (eval sets are tiny vs a 100 TB corpus, so the
+    whole index is a broadcast-sized single file; ``coalesce(1)``).
+    """
+    from userbehavioranalysis_spark.operators.manifests import (
+        write_index_manifest,
+    )
+
+    sh = exploded(
+        benchmark_docs.withColumn("tokens", F.expr(T.TOKENS_SPARK))
+        .withColumn("sh", F.array_distinct(F.expr(T.shingles_spark(shingle_k)))),
+        "sh", "s", "doc_id",
+    ).select(F.expr(T.h64_spark("s")).alias("h")).distinct()
+    sh.coalesce(1).write.mode("overwrite").parquet(f"{path}/shingles")
+    write_index_manifest(path, {"shingle_k": shingle_k})
+
+
+def decontaminate_indexed(
+    documents: DataFrame, index_path: str, shingle_k: int | None = None
+) -> DataFrame:
+    """:func:`decontaminate` probing a PERSISTED benchmark fingerprint
+    (:func:`benchmark_index_write`) instead of re-fingerprinting the
+    benchmark per scrub — the per-snapshot steady state.
+
+    ``documents`` is the corpus to scrub (the caller's non-benchmark
+    split); only it is shingled fresh.  The stored hash set rides a
+    broadcast join exactly like the in-memory form, so the corpus side
+    never shuffles for the membership test, and the output
+    (doc_id, n_hit_shingles, contaminated) is IDENTICAL to
+    ``decontaminate`` on the same split — same oracle, hash-checkable.
+    The shingle width resolves through the index manifest (explicit
+    conflicts raise).
+    """
+    from userbehavioranalysis_spark.operators.manifests import (
+        resolve_signing_params,
+    )
+
+    p = resolve_signing_params(
+        index_path, {"shingle_k": 3}, {"shingle_k": shingle_k}
+    )
+    bench = documents.sparkSession.read.parquet(f"{index_path}/shingles")
+    sh = exploded(
+        documents.withColumn("tokens", F.expr(T.TOKENS_SPARK))
+        .withColumn(
+            "sh", F.array_distinct(F.expr(T.shingles_spark(p["shingle_k"])))
+        ),
+        "sh", "s", "doc_id",
+    ).select("doc_id", F.expr(T.h64_spark("s")).alias("h"))
+    hits = (
+        sh.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return documents.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hit_shingles"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
 def mixture_sample(documents: DataFrame, source_col: str = "source") -> DataFrame:
     """Domain-mixture sampling: keep each doc with a per-source target
     probability, deterministically.

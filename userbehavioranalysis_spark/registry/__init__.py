@@ -58,6 +58,7 @@ R7_WINDOW_CANDIDATES = {
     "dedup_incremental_index_compact",
     "ann_topk_ivf_append",
     "ann_topk_lsh_append",
+    "decontaminate_indexed",
 }
 
 
@@ -77,13 +78,13 @@ R7_WINDOW_CANDIDATES = {
 #              173 then-registered queries had ≥1 green row and none
 #              had ever failed a driver check.
 #   r7 window (this one): pure freshness rotation — the 4 pinned
-#              anchors, the 6 never-checked round-7 additions
+#              anchors, the 7 never-checked round-7 additions
 #              (embedding-index probe/capped-probe/append, minhash
-#              re-cap compaction, IVF append, LSH-ANN append), then
-#              EVERY query whose newest green row is r2 or r3
-#              (14 + 18), and the 8 oldest r4-greens.  After this
-#              window lands, no registered query's newest driver row
-#              is older than r4.
+#              re-cap compaction, IVF append, LSH-ANN append,
+#              persisted-benchmark decontamination), then EVERY query
+#              whose newest green row is r2 or r3 (14 + 18), and the
+#              7 oldest r4-greens.  After this window lands, no
+#              registered query's newest driver row is older than r4.
 #              tests/test_oracle_rotation.py keeps running
 #              tools/oracle_check.py on a daily-seeded random sample
 #              so rotated-out queries cannot rot unnoticed.
@@ -102,6 +103,7 @@ _DRIVER_WINDOW = [
     "dedup_incremental_index_compact",
     "ann_topk_ivf_append",
     "ann_topk_lsh_append",
+    "decontaminate_indexed",
     # ---- stalest greens: newest row r2, in r2 definition order
     "uv_per_event",
     "ad_clicks_by_geo",
@@ -136,7 +138,7 @@ _DRIVER_WINDOW = [
     "top_supplier",
     "nation_trade_volume",
     "streaming_dedup_replay",
-    # ---- the 8 oldest r4-greens, in definition order
+    # ---- the 7 oldest r4-greens, in definition order
     "attribution_last_touch",
     "session_paths",
     "anomaly_zscore",
@@ -144,7 +146,6 @@ _DRIVER_WINDOW = [
     "item_pagerank",
     "scd2_user_state",
     "histogram_quantiles",
-    "item_triangles",
 ]
 
 

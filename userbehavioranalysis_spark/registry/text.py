@@ -205,9 +205,9 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_score(_tables(spark, sf_dir)["documents"])
 
 
-@query(
-    "decontaminate",
-    oracle=f"""
+# Shared by the in-memory and persisted-fingerprint decontamination
+# forms — hash equality across the two IS the persistence proof.
+_DECONTAMINATE_ORACLE = f"""
     WITH t AS (
         SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents
     ), s AS (
@@ -229,8 +229,10 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS contaminated
     FROM s LEFT JOIN hits ON s.doc_id = hits.doc_id
     WHERE s.doc_id % 17 <> 0
-    """,
-)
+    """
+
+
+@query("decontaminate", oracle=_DECONTAMINATE_ORACLE)
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: corpus docs scored by distinct 3-gram
     overlap with the held-out benchmark slice (doc_id % 17 == 0); the
@@ -239,6 +241,38 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from userbehavioranalysis_spark.operators.text_analysis import decontaminate
 
     return decontaminate(_tables(spark, sf_dir)["documents"])
+
+
+@query("decontaminate_indexed", oracle=_DECONTAMINATE_ORACLE)
+def q_decontaminate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontaminate probing a PERSISTED benchmark fingerprint
+    (operators/text_analysis.benchmark_index_write): the benchmark
+    slice's distinct shingle hashes are written once with a shingle-k
+    manifest, and each scrub broadcasts the stored set against a
+    freshly-shingled corpus — the per-snapshot steady state
+    (benchmarks change rarely; the corpus is re-scrubbed per
+    snapshot).  Same split, same output, same full SQL oracle as
+    decontaminate — hash equality proves the persisted path."""
+    import os
+    import tempfile
+
+    from userbehavioranalysis_spark.operators.text_analysis import (
+        benchmark_index_write,
+        decontaminate_indexed,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    key = (sf_dir, "benchmark-index")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(os.path.join(stage, "index", "shingles")):
+        stage = tempfile.mkdtemp(prefix="uba_bench_index_")
+        benchmark_index_write(
+            docs.filter(_F.col("doc_id") % 17 == 0), os.path.join(stage, "index")
+        )
+        _STREAM_STAGE_CACHE[key] = stage
+    return decontaminate_indexed(
+        docs.filter(_F.col("doc_id") % 17 != 0), os.path.join(stage, "index")
+    )
 
 
 @query(
