@@ -128,9 +128,11 @@ def minhash_index_append(
     union because partition pruning selects directories, not files.
     Note the hot-bucket cap is NOT re-evaluated across the append
     boundary (a bucket can exceed the cap via appends until the next
-    full rewrite) — the standard compaction trade, stated not hidden;
-    run :func:`minhash_index_write` periodically to re-cap, exactly
-    like any LSM-shaped index compacts.
+    rewrite) — the standard compaction trade, stated not hidden; run
+    :func:`minhash_index_compact` periodically to re-cap and collapse
+    the accumulated per-append files, exactly like any LSM-shaped
+    index compacts (measured: 30 daily appends → 10.8× the file
+    count; see BASELINE.md).
 
     Signing parameters come from the index's ``_manifest.json`` when
     present — an append can never silently desynchronize from the
