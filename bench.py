@@ -11,8 +11,20 @@ capture window):
   map holds only the reference-parity subset, keeping the line short
   enough for any tail capture.
 
-Each query executes to completion (count) so lazy plans actually run;
-one warm-up of the flagship query primes the JVM/codegen before timing.
+Each query executes via ``count()`` by default so lazy plans actually
+run; one warm-up of the flagship query primes the JVM/codegen before
+timing.  MEASUREMENT SEMANTICS, stated precisely: ``count()`` runs the
+plan count() forces — every aggregate, join and exchange fully, but
+Catalyst prunes TERMINAL map-side projections (count needs no columns)
+and eliminates row-preserving left joins outright, so a map-only
+query's number is its scan+filter cost, not its expression cost.  All
+15 parity queries end in aggregations, so the baseline comparison is
+unaffected; the count() policy is kept as the default because every
+recorded BENCH_r* round used it (cross-round comparability — same
+reasoning as the r3/r4 streaming policy note below).  Set
+``SPARK_GRAFT_BENCH_FORCE=noop`` to time FULL evaluation instead (a
+``noop``-format write materializes every output column); a one-off
+forced run is recorded in BASELINE.md for the delta.
 
 Per-query time is the MIN OF TWO consecutive runs for BATCH queries:
 the registry's driver-window reorder moved queries relative to their r2
@@ -68,8 +80,15 @@ def main() -> None:
     spark = get_spark("uba-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    if os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "noop":
+        def run(df) -> None:  # full evaluation: every output column
+            df.write.format("noop").mode("overwrite").save()
+    else:
+        def run(df) -> None:  # default policy (see module docstring)
+            df.count()
+
     # warm-up: JVM, codegen, parquet footer caches
-    QUERIES["page_view"](spark, sf_dir).count()
+    run(QUERIES["page_view"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
@@ -77,7 +96,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            run(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
