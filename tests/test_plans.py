@@ -911,3 +911,66 @@ def test_lake_append_after_full_delete_roundtrips(spark, tmp_path):
     }
     want = {tuple(r) for r in batch.select(sorted(ev.columns)).collect()}
     assert got == want and got
+
+
+def test_snapshot_store_lifecycle(spark, tmp_path):
+    """The versioned corpus store's full arc: overwrite → append →
+    compact → expire.  Pinned reads reproduce their version exactly
+    through later commits; compaction changes file count, never
+    content; expiry reference-counts — a file shared with a kept
+    version survives, and only fully-orphaned files are deleted."""
+    import os
+
+    from userbehavioranalysis_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_expire,
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    docs = load_testdata(spark, SF)["documents"].select("doc_id", "lang")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    tbl = str(tmp_path / "tbl")
+
+    assert snapshot_overwrite(even, tbl) == 1
+    assert snapshot_append(odd, tbl) == 2
+    assert snapshot_compact(spark, tbl) == 3
+    assert snapshot_versions(tbl) == [1, 2, 3]
+
+    rows = lambda df: {tuple(r) for r in df.collect()}
+    want_even, want_all = rows(even), rows(docs)
+    # pinned v1 is insulated from the append AND the compaction
+    assert rows(snapshot_read(spark, tbl, version=1)) == want_even
+    assert rows(snapshot_read(spark, tbl, version=2)) == want_all
+    assert rows(snapshot_read(spark, tbl)) == want_all  # latest = v3
+
+    def n_data_files():
+        return sum(
+            1
+            for root, _d, fs in os.walk(os.path.join(tbl, "data"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = n_data_files()
+    # keep_last=2 keeps [2, 3]; v2's manifest still references v1's
+    # files, so NOTHING is deleted — reference counting, not age
+    stats = snapshot_expire(tbl, keep_last=2)
+    assert stats == {"expired_versions": 1, "deleted_files": 0}
+    assert n_data_files() == before
+    assert rows(snapshot_read(spark, tbl, version=2)) == want_all
+
+    # keep_last=1 keeps only the compacted v3 (its own files):
+    # v1+v2's originals are now orphaned and reclaimed
+    stats = snapshot_expire(tbl, keep_last=1)
+    assert stats["expired_versions"] == 1 and stats["deleted_files"] > 0
+    assert n_data_files() < before
+    assert rows(snapshot_read(spark, tbl)) == want_all
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        snapshot_read(spark, tbl, version=1)  # expired

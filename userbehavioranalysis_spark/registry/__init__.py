@@ -59,6 +59,8 @@ R7_WINDOW_CANDIDATES = {
     "ann_topk_ivf_append",
     "ann_topk_lsh_append",
     "decontaminate_indexed",
+    "corpus_snapshot_pinned",
+    "corpus_snapshot_latest",
 }
 
 
@@ -78,12 +80,13 @@ R7_WINDOW_CANDIDATES = {
 #              173 then-registered queries had ≥1 green row and none
 #              had ever failed a driver check.
 #   r7 window (this one): pure freshness rotation — the 4 pinned
-#              anchors, the 7 never-checked round-7 additions
+#              anchors, the 9 never-checked round-7 additions
 #              (embedding-index probe/capped-probe/append, minhash
 #              re-cap compaction, IVF append, LSH-ANN append,
-#              persisted-benchmark decontamination), then EVERY query
+#              persisted-benchmark decontamination, snapshot
+#              time-travel pinned/latest reads), then EVERY query
 #              whose newest green row is r2 or r3 (14 + 18), and the
-#              7 oldest r4-greens.  After this window lands, no
+#              5 oldest r4-greens.  After this window lands, no
 #              registered query's newest driver row is older than r4.
 #              tests/test_oracle_rotation.py keeps running
 #              tools/oracle_check.py on a daily-seeded random sample
@@ -104,6 +107,8 @@ _DRIVER_WINDOW = [
     "ann_topk_ivf_append",
     "ann_topk_lsh_append",
     "decontaminate_indexed",
+    "corpus_snapshot_pinned",
+    "corpus_snapshot_latest",
     # ---- stalest greens: newest row r2, in r2 definition order
     "uv_per_event",
     "ad_clicks_by_geo",
@@ -138,14 +143,12 @@ _DRIVER_WINDOW = [
     "top_supplier",
     "nation_trade_volume",
     "streaming_dedup_replay",
-    # ---- the 7 oldest r4-greens, in definition order
+    # ---- the 5 oldest r4-greens, in definition order
     "attribution_last_touch",
     "session_paths",
     "anomaly_zscore",
     "time_to_convert",
     "item_pagerank",
-    "scd2_user_state",
-    "histogram_quantiles",
 ]
 
 

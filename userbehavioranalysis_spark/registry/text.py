@@ -843,3 +843,70 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         _tables(spark, sf_dir)["documents"], chunk_tokens=32, overlap=8
     )
+
+
+def _snapshot_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the versioned corpus table ONCE per sf_dir: v1 =
+    overwrite(even docs), v2 = append(odd docs), v3 = compact — the
+    exact lifecycle a daily-ingested, periodically-compacted corpus
+    store goes through.  Both snapshot queries read from it, so the
+    pinned-v1 read is proven against a table that has ALREADY been
+    appended to and compacted since."""
+    import os
+    import tempfile
+
+    from userbehavioranalysis_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_overwrite,
+    )
+
+    key = (sf_dir, "snapshot-table")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(os.path.join(stage, "tbl", "_snapshots")):
+        stage = tempfile.mkdtemp(prefix="uba_snapshots_")
+        docs = _tables(spark, sf_dir)["documents"].select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        tbl = os.path.join(stage, "tbl")
+        snapshot_overwrite(docs.filter(_F.col("doc_id") % 2 == 0), tbl)
+        snapshot_append(docs.filter(_F.col("doc_id") % 2 == 1), tbl)
+        snapshot_compact(spark, tbl)
+        _STREAM_STAGE_CACHE[key] = stage
+    return os.path.join(stage, "tbl")
+
+
+@query(
+    "corpus_snapshot_pinned",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id % 2 = 0
+    """,
+)
+def q_corpus_snapshot_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL / reproducible-corpus pinning
+    (sources/snapshots.py): version 1 of the staged table is read back
+    AFTER an append (v2) and a compaction (v3) have been committed on
+    top of it — the manifest's explicit file list insulates the pinned
+    read, so it must still hash-equal exactly the even-doc_id slice it
+    was committed with.  This is the property a training run needs to
+    be rerunnable months later; naive directory reads (and in-place
+    compaction) destroy it."""
+    from userbehavioranalysis_spark.sources.snapshots import snapshot_read
+
+    return snapshot_read(spark, _snapshot_table(spark, sf_dir), version=1)
+
+
+@query(
+    "corpus_snapshot_latest",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def q_corpus_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The latest version of the staged snapshot table (post-append,
+    post-compact) must hold exactly the full corpus: append added the
+    odd half without rewriting v1's files, and compaction rewrote the
+    content into fewer files WITHOUT changing it (committed as a new
+    version, parent retained for time travel)."""
+    from userbehavioranalysis_spark.sources.snapshots import snapshot_read
+
+    return snapshot_read(spark, _snapshot_table(spark, sf_dir))

@@ -1,0 +1,186 @@
+"""Snapshot-versioned parquet tables: reproducible corpus pinning.
+
+The missing piece between "a directory of parquet" and a table format:
+a TRAINING RUN must be able to pin the exact corpus version it read —
+months later, after daily appends, compactions and retention sweeps —
+or the run is unreproducible.  Delta/Iceberg solve this with manifest
+logs; this module implements the same semantics at the layout level
+with nothing but parquet files and JSON manifests, so the mechanics
+stay visible and testable:
+
+- ``{path}/data/``            immutable parquet files, never rewritten
+  in place; every writer adds NEW files under a unique prefix.
+- ``{path}/_snapshots/v{N}.json``  one manifest per version: the exact
+  list of live data files, plus parent version and the operation that
+  produced it.  A manifest is the ONLY thing that defines a version's
+  content — readers never list ``data/``.
+
+Operations (each commits a NEW version; old manifests are never
+touched, so any pinned reader keeps working):
+
+- ``snapshot_overwrite(df, path)``   new files, manifest lists them.
+- ``snapshot_append(df, path)``      new files, manifest = parent's
+  files + the new ones — the daily-ingest commit: no rewrite, and a
+  reader pinned at the parent version never sees the new rows.
+- ``snapshot_compact(path)``         rewrites the LATEST version's
+  content into few files and commits it as a new version; the parent's
+  files stay on disk so the parent remains readable (time travel
+  through compaction — the property naive in-place compaction
+  destroys).
+- ``snapshot_expire(path, keep_last)``  retention: deletes data files
+  referenced ONLY by expired manifests (reference counting over the
+  kept ones) — storage is reclaimed without ever touching a kept
+  version's files.
+
+``snapshot_read(spark, path, version=None)`` resolves the manifest and
+reads its file list EXPLICITLY (``spark.read.parquet(*files)``), so a
+version's plan is insulated from everything committed after it.  At
+100 TB the manifests are a few KB per version (file paths, not data)
+and commits are a single JSON write after the data lands — the same
+metadata-transaction shape the real formats use; atomic publish across
+concurrent writers is their job, this is the I/O plan underneath.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _snap_dir(path: str) -> str:
+    return os.path.join(path, "_snapshots")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_snap_dir(path), f"v{version}.json")
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """All committed versions, ascending (empty list = no table)."""
+    d = _snap_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(d)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as f:
+        return json.load(f)
+
+
+def _commit(path: str, files: list[str], op: str, parent: int | None) -> int:
+    os.makedirs(_snap_dir(path), exist_ok=True)
+    version = (parent or 0) + 1 if parent is not None else 1
+    existing = snapshot_versions(path)
+    if existing:
+        version = existing[-1] + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "operation": op,
+        "files": sorted(files),
+    }
+    with open(_manifest_path(path, version), "w") as f:
+        json.dump(manifest, f)
+    return version
+
+
+def _write_new_files(df: DataFrame, path: str) -> list[str]:
+    """Land a DataFrame as immutable files under data/<uuid>/ and
+    return their table-relative paths.  A staging subdir per commit
+    keeps concurrent writers from colliding on file names and makes
+    the new-file set trivially enumerable."""
+    stamp = uuid.uuid4().hex[:12]
+    out = os.path.join(path, "data", stamp)
+    df.write.mode("error").parquet(out)
+    return [
+        os.path.join("data", stamp, f)
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    ]
+
+
+def snapshot_overwrite(df: DataFrame, path: str) -> int:
+    """Commit a full-replacement version.  Previous versions' files
+    are untouched and stay readable until expired."""
+    vs = snapshot_versions(path)
+    files = _write_new_files(df, path)
+    return _commit(path, files, "overwrite", vs[-1] if vs else None)
+
+
+def snapshot_append(df: DataFrame, path: str) -> int:
+    """Commit an append version: parent's file list + the new files —
+    the daily-ingest commit (no rewrite; pinned readers unaffected)."""
+    vs = snapshot_versions(path)
+    if not vs:
+        return snapshot_overwrite(df, path)
+    parent = _read_manifest(path, vs[-1])
+    files = parent["files"] + _write_new_files(df, path)
+    return _commit(path, files, "append", vs[-1])
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned version (None = latest).  The manifest's explicit
+    file list IS the dataset — files committed later are invisible, so
+    the returned plan reproduces the version bit-for-bit regardless of
+    subsequent appends, compactions, or (un-expired) retention."""
+    vs = snapshot_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {path!r}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs} at {path!r}")
+    m = _read_manifest(path, v)
+    return spark.read.parquet(*[os.path.join(path, f) for f in m["files"]])
+
+
+def snapshot_compact(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Rewrite the LATEST version's content into ``ceil(bytes/target)``
+    files and commit as a new version.  The parent's files stay on
+    disk, so time travel THROUGH the compaction keeps working — the
+    property an in-place rewrite destroys; storage is reclaimed later
+    by :func:`snapshot_expire` once the parent falls out of retention.
+    """
+    vs = snapshot_versions(path)
+    m = _read_manifest(path, vs[-1])
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in m["files"])
+    n_files = max(1, -(-total // target_file_bytes))
+    df = snapshot_read(spark, path).repartition(n_files)
+    files = _write_new_files(df, path)
+    return _commit(path, files, "compact", vs[-1])
+
+
+def snapshot_expire(path: str, keep_last: int = 2) -> dict:
+    """Retention sweep: drop all but the newest ``keep_last`` version
+    manifests and delete data files referenced ONLY by dropped ones
+    (reference counting over the kept manifests — a kept version's
+    files are never touched).  Returns audit counts."""
+    vs = snapshot_versions(path)
+    if len(vs) <= keep_last:
+        return {"expired_versions": 0, "deleted_files": 0}
+    expired, kept = vs[:-keep_last], vs[-keep_last:]
+    live = {f for v in kept for f in _read_manifest(path, v)["files"]}
+    dead = {
+        f for v in expired for f in _read_manifest(path, v)["files"]
+    } - live
+    for f in sorted(dead):
+        fp = os.path.join(path, f)
+        if os.path.exists(fp):
+            os.remove(fp)
+        d = os.path.dirname(fp)
+        if os.path.isdir(d) and not os.listdir(d):
+            os.rmdir(d)
+    for v in expired:
+        os.remove(_manifest_path(path, v))
+    return {"expired_versions": len(expired), "deleted_files": len(dead)}
