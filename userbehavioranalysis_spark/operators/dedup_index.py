@@ -295,11 +295,24 @@ def _compact_index(
 
 def _swap_dir(tmp: str, final: str) -> None:
     """Replace ``final`` with freshly-written ``tmp`` (two renames on
-    the same filesystem; object stores do this as a prefix swap)."""
+    the same filesystem; object stores do this as a prefix swap).
+
+    Rename-aside order: the live dataset is moved ASIDE first, the
+    replacement moved in, and only then is the old copy deleted — so a
+    crash at any point leaves one complete copy on disk (either the
+    old data at the aside path or the new data live).  A plain
+    rmtree(final)-then-move would open a window where NO readable copy
+    exists at the published path.  The swap itself is still not
+    transactional against concurrent readers mid-listing (a table
+    format's job); the data-loss window is what this removes."""
+    import os
     import shutil
 
-    shutil.rmtree(final)
+    aside = f"{final}_swap_aside"
+    shutil.rmtree(aside, ignore_errors=True)  # stale aside from a prior crash
+    os.rename(final, aside)
     shutil.move(tmp, final)
+    shutil.rmtree(aside)
 
 
 def minhash_incremental_matches_indexed(

@@ -37,17 +37,26 @@ reads its file list EXPLICITLY (``spark.read.parquet(*files)``), so a
 version's plan is insulated from everything committed after it.  At
 100 TB the manifests are a few KB per version (file paths, not data)
 and commits are a single JSON write after the data lands — the same
-metadata-transaction shape the real formats use; atomic publish across
-concurrent writers is their job, this is the I/O plan underneath.
+metadata-transaction shape the real formats use.  A commit is atomic
+against crashes (write-to-temp + rename, so a torn manifest can never
+be listed as a version); serializing CONCURRENT writers (two appends
+racing to the same version number) is the real formats' job — this is
+the I/O plan underneath.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+# A version manifest is EXACTLY v{int}.json — anything else in
+# _snapshots/ (an in-flight .tmp from _commit, an editor backup, a
+# partial copy) is not a version and must not brick the table.
+_MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
 
 def _snap_dir(path: str) -> str:
@@ -64,9 +73,9 @@ def snapshot_versions(path: str) -> list[int]:
     if not os.path.isdir(d):
         return []
     return sorted(
-        int(f[1:-5])
+        int(m.group(1))
         for f in os.listdir(d)
-        if f.startswith("v") and f.endswith(".json")
+        if (m := _MANIFEST_RE.match(f))
     )
 
 
@@ -87,8 +96,19 @@ def _commit(path: str, files: list[str], op: str, parent: int | None) -> int:
         "operation": op,
         "files": sorted(files),
     }
-    with open(_manifest_path(path, version), "w") as f:
+    # ATOMIC publish: a version exists only once its complete manifest
+    # is at v{N}.json.  json.dump straight into the final name would
+    # let a crash mid-write leave a torn manifest that
+    # snapshot_versions still lists — bricking snapshot_read(latest)
+    # for every reader.  Write-to-temp + rename makes the commit
+    # all-or-nothing (the .tmp is invisible: _MANIFEST_RE skips it).
+    final = _manifest_path(path, version)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final)
     return version
 
 
@@ -100,11 +120,28 @@ def _write_new_files(df: DataFrame, path: str) -> list[str]:
     stamp = uuid.uuid4().hex[:12]
     out = os.path.join(path, "data", stamp)
     df.write.mode("error").parquet(out)
-    return [
-        os.path.join("data", stamp, f)
-        for f in os.listdir(out)
-        if f.endswith(".parquet")
-    ]
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    if not files:
+        # An EMPTY commit (snapshot_overwrite of an empty frame, or an
+        # empty first append — e.g. a refresh day where every document
+        # was screened out) writes no part files (SPARK-23271), which
+        # would produce a manifest with files: [] that
+        # spark.read.parquet(<zero paths>) can never read back.  Land
+        # one schema-bearing empty parquet file (the writers.py
+        # placeholder pattern) so EVERY committed version stays
+        # readable as a valid empty table.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        sch = to_arrow_schema(df.schema)
+        name = "part-00000-empty.parquet"
+        pq.write_table(
+            pa.table({f.name: pa.array([], type=f.type) for f in sch}, schema=sch),
+            os.path.join(out, name),
+        )
+        files = [name]
+    return [os.path.join("data", stamp, f) for f in files]
 
 
 def snapshot_overwrite(df: DataFrame, path: str) -> int:
@@ -165,7 +202,17 @@ def snapshot_expire(path: str, keep_last: int = 2) -> dict:
     """Retention sweep: drop all but the newest ``keep_last`` version
     manifests and delete data files referenced ONLY by dropped ones
     (reference counting over the kept manifests — a kept version's
-    files are never touched).  Returns audit counts."""
+    files are never touched).  Returns audit counts.
+
+    STALE-PIN failure mode (inherent to retention, stated so callers
+    size ``keep_last`` against their longest reader): a reader that
+    pinned a version BEFORE it was expired fails afterwards — a new
+    ``snapshot_read(path, v)`` raises ``ValueError`` (the manifest is
+    gone, so v is not in ``snapshot_versions``), while a DataFrame
+    plan resolved before the sweep fails at execution with Spark's
+    FileNotFoundException once its (now-deleted) input files are
+    opened.  Expiry never corrupts: every surviving version remains
+    exactly readable; only expired pins break, loudly."""
     vs = snapshot_versions(path)
     if len(vs) <= keep_last:
         return {"expired_versions": 0, "deleted_files": 0}

@@ -174,14 +174,6 @@ def write_time_partitioned_events(
                 "rows — set spark.sql.session.timeZone to match the "
                 "lake or overwrite it"
             )
-    # a full-lake delete leaves one empty schema-bearing placeholder
-    # file at the root (see delete_rows_partition_scoped); it carries
-    # the partition columns as DATA columns, so appending partition
-    # directories next to it would make every later read fail with a
-    # duplicate-column conflict — drop it before writing real data
-    placeholder = os.path.join(path, _EMPTY_LAKE_PLACEHOLDER)
-    if not fresh and os.path.exists(placeholder):
-        os.remove(placeholder)
     (
         events.withColumn("event_date", F.to_date(ts_col))
         .withColumn("event_hour", F.hour(ts_col).cast("int"))
@@ -191,6 +183,17 @@ def write_time_partitioned_events(
         .partitionBy("event_date", "event_hour")
         .parquet(path)
     )
+    # a full-lake delete leaves one empty schema-bearing placeholder
+    # file at the root (see delete_rows_partition_scoped); it carries
+    # the partition columns as DATA columns, so READS mixing it with
+    # real partition directories fail with a duplicate-column conflict.
+    # Drop it AFTER the append lands: the write itself never consults
+    # it, and removing it first would leave the lake with neither
+    # placeholder nor data (unreadable until manually repaired) if the
+    # write failed mid-flight.
+    placeholder = os.path.join(path, _EMPTY_LAKE_PLACEHOLDER)
+    if not fresh and os.path.exists(placeholder):
+        os.remove(placeholder)
     if fresh:
         with open(mp, "w") as f:
             json.dump({"session_tz": tz, "ts_col": ts_col}, f)
