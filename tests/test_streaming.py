@@ -402,3 +402,40 @@ def test_streaming_checkpoint_recovery_is_exactly_once(spark, tmp_path):
     run_once()  # restart from the same checkpoint: only files 2-3
     final = sorted(r.v for r in spark.read.parquet(sink).collect())
     assert final == list(range(30)), "duplicate or lost rows across restart"
+
+
+def test_snapshot_refresh_pinned_day_survives_retention(spark):
+    """The brief's retention leg for the snapshot-composed refresh
+    loop (registry/streaming_refresh.q_streaming_snapshot_refresh_replay):
+    after the replay ran (3 daily append-commits + a compaction), a
+    retention sweep that KEEPS day k must leave snapshot_read(v_k)
+    hash-identical to its pre-expiry content, and an expired day's pin
+    must fail loudly (ValueError), never read wrong data."""
+    from userbehavioranalysis_spark.registry import QUERIES
+    from userbehavioranalysis_spark.registry.core import _STREAM_STAGE_CACHE
+    from userbehavioranalysis_spark.sources.snapshots import (
+        snapshot_expire,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    QUERIES["streaming_snapshot_refresh_replay"](spark, sf).collect()
+    snap = os.path.join(_STREAM_STAGE_CACHE[(sf, "snapshot-refresh-art")], "snap")
+    # v1..v3 = days 0..2, v4 = the compaction
+    assert snapshot_versions(snap) == [1, 2, 3, 4]
+
+    rows = lambda v: {tuple(r) for r in snapshot_read(spark, snap, version=v).collect()}
+    day1_before = rows(2)
+    latest_before = rows(4)
+
+    # keep_last=3 keeps [2, 3, 4]: day 1's pin survives byte-identical
+    stats = snapshot_expire(snap, keep_last=3)
+    assert stats["expired_versions"] == 1
+    assert snapshot_versions(snap) == [2, 3, 4]
+    assert rows(2) == day1_before
+    assert rows(4) == latest_before
+
+    # the expired day-0 pin fails loudly
+    with pytest.raises(ValueError):
+        snapshot_read(spark, snap, version=1)

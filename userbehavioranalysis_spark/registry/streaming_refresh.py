@@ -225,12 +225,16 @@ def q_streaming_corpus_screen_replay(spark: SparkSession, sf_dir: str) -> DataFr
         corpus_md5.unpersist()
 
 
-def _sequential_refresh_oracle(n_batches: int = 3) -> str:
+def _sequential_refresh_oracle(n_batches: int = 3, final: str | None = None) -> str:
     """SQL replay of the SEQUENTIAL daily-refresh loop: batch i gets
     the full six-gate refresh against corpus ∪ survivors of batches
     0..i-1 — three unrolled rounds of CTEs whose survivor sets feed the
     next round's corpus membership.  Generated, not hand-written, so
-    the per-round SQL cannot drift between rounds."""
+    the per-round SQL cannot drift between rounds.
+
+    ``final`` overrides the terminal SELECT over the survivor CTEs
+    ``s0..s{n-1}`` (default: their plain union) — the snapshot replay
+    uses it to project each DAY's cumulative survivor set."""
 
     def p(col: str, i: int) -> str:  # batch-i membership (odd docs, tertile i)
         return f"{col} % 2 = 1 AND (({col} - 1) // 2) % {n_batches} = {i}"
@@ -282,9 +286,10 @@ def _sequential_refresh_oracle(n_batches: int = 3) -> str:
           AND q.doc_id NOT IN (SELECT doc_id FROM selfn{i})
           AND q.doc_id NOT IN (SELECT doc_id FROM crossn{i})
     )""")
-    final = "\n    UNION ALL\n    ".join(
-        f"SELECT doc_id, n_tokens, score_r4 FROM s{i}" for i in range(n_batches)
-    )
+    if final is None:
+        final = "\n    UNION ALL\n    ".join(
+            f"SELECT doc_id, n_tokens, score_r4 FROM s{i}" for i in range(n_batches)
+        )
     return f"""
     WITH toks AS (
         SELECT doc_id, {_T.TOKENS_DUCK} AS tokens FROM documents
@@ -385,3 +390,123 @@ def q_streaming_daily_refresh_replay(spark: SparkSession, sf_dir: str) -> DataFr
         )
     finally:
         shutil.rmtree(art, ignore_errors=True)
+
+
+def _snapshot_refresh_final(n_batches: int = 3) -> str:
+    """Terminal SELECT for the snapshot-refresh oracle: day k's pinned
+    snapshot version holds the CUMULATIVE survivor set s0..sk (append
+    manifests list the parent's files plus the new ones), so the
+    replay's output is, per day k, the union of every earlier day's
+    survivors tagged with that day."""
+    return "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({k} AS BIGINT) AS day, doc_id, n_tokens, score_r4 FROM s{j}"
+        for k in range(n_batches)
+        for j in range(k + 1)
+    )
+
+
+@query(
+    "streaming_snapshot_refresh_replay",
+    oracle=_sequential_refresh_oracle(3, final=_snapshot_refresh_final(3)),
+)
+def q_streaming_snapshot_refresh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPRODUCIBLE-TRAINING-CORPUS story end-to-end: the daily
+    refresh loop of streaming_daily_refresh_replay (six gates against
+    persisted minhash/md5 artifacts, survivor appends between
+    micro-batches) now also COMMITS each day's survivors as a snapshot
+    VERSION (sources/snapshots.snapshot_append) — so every day's
+    training corpus is a pinned, re-readable version, months of
+    appends later.
+
+    The returned frame is built ONLY from pinned snapshot reads taken
+    AFTER the whole stream ran and a compaction landed on top: day k =
+    snapshot_read(version=k+1), which must equal the cumulative
+    survivor set s0..sk (append manifests are parent-files + new-files
+    by construction).  The generated sequential oracle replays the
+    six-gate loop in SQL and projects exactly that per-day cumulative
+    union — the hash equality proves, in one gate: the sequential
+    refresh semantics, the append-commit contents, and time travel
+    through a later compaction.  (Retention on top of this — an expire
+    that keeps v_k — is pinned in tests/test_streaming.py, where the
+    pinned day-1 read survives keep_last=2 and an expired pin fails
+    loudly.)  At 100 TB each day's commit is one JSON manifest after
+    the survivor parquet lands — the pinned read costs the same
+    forever, regardless of what lands after it."""
+    import os
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_write,
+    )
+    from userbehavioranalysis_spark.operators.pipeline import (
+        refresh_against_persisted,
+    )
+    from userbehavioranalysis_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_read,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+
+    stage = _stage_doc_batches(sf_dir, docs)
+    raw = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
+
+    # Artifacts live in a CACHED per-(query, sf_dir) dir wiped and
+    # rebuilt each call (appends + snapshot commits mutate them, so
+    # they can't be reused across calls) — but NOT deleted on return:
+    # the returned frame lazily reads the snapshot files, so tearing
+    # the dir down here (the daily-refresh pattern) would brick the
+    # driver's collect.
+    key = (sf_dir, "snapshot-refresh-art")
+    art = _STREAM_STAGE_CACHE.get(key)
+    if art is None:
+        art = tempfile.mkdtemp(prefix="uba_snap_refresh_")
+        _STREAM_STAGE_CACHE[key] = art
+    for sub in os.listdir(art):
+        shutil.rmtree(os.path.join(art, sub), ignore_errors=True)
+    idx = os.path.join(art, "index")
+    md5p = os.path.join(art, "md5")
+    snap = os.path.join(art, "snap")
+    minhash_index_write(corpus, idx)
+    corpus.select(F.md5("text").alias("text_md5")).distinct().write.parquet(md5p)
+
+    def _batch(bdf):
+        res = refresh_against_persisted(bdf, idx, md5p).localCheckpoint()
+        survivors = bdf.join(
+            res.select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint()
+        minhash_index_append(survivors, idx)
+        survivors.select(F.md5("text").alias("text_md5")).write.mode(
+            "append"
+        ).parquet(md5p)
+        # the day's COMMIT: one new snapshot version whose manifest is
+        # parent-files + this batch's survivor files (cumulative corpus)
+        snapshot_append(res, snap)
+        return res
+
+    _run_bounded_foreach(raw, "streaming_snapshot_refresh_replay", _batch)
+
+    # a compaction lands ON TOP of the three daily versions before any
+    # pinned read happens — time travel through it is what's proven
+    snapshot_compact(spark, snap)
+    days = [
+        snapshot_read(spark, snap, version=k + 1).withColumn(
+            "day", F.lit(k).cast("long")
+        )
+        for k in range(3)
+    ]
+    return reduce(DataFrame.unionByName, days).select(
+        "day", "doc_id", "n_tokens", "score_r4"
+    )
