@@ -770,14 +770,33 @@ def q_pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-def _emb_incr_oracle(max_bucket: int | None = None) -> str:
+def _emb_incr_oracle(
+    max_bucket: int | None = None, sequential_batches: int | None = None
+) -> str:
     """Oracle builder for incremental embedding dedup — shared by the
     in-memory, persisted-index, index-append, and capped forms (the
     first three must hash-equal the uncapped build; equality across
     them IS the persistence proof).  ``max_bucket`` replicates the
     corpus-side hot-bucket cap of ``embedding_index_write`` with the
-    identical windowed bucket-size filter."""
+    identical windowed bucket-size filter.
+
+    ``sequential_batches=n`` generates the STREAMING-refresh variant:
+    the delta arrives in n tertile micro-batches (batch of delta
+    vec_id v = ((v - 10000000) // 16) % n) and each batch's vectors
+    are APPENDED to the index after its probe — so batch i's
+    candidates may also come from deltas of batches 0..i-1.  The
+    corpus side of the candidate join then admits a delta vector c
+    exactly when batch(c) < batch(n): the sequential append semantics,
+    stated as one pair predicate instead of n unrolled rounds."""
     corpus_bands = "SELECT * FROM bands WHERE vec_id < 10000000"
+    pair_pred = ""
+    if sequential_batches is not None:
+        assert max_bucket is None, "sequential oracle models the uncapped index"
+        corpus_bands = "SELECT * FROM bands"
+        pair_pred = f"""
+          AND (c.vec_id < 10000000
+               OR ((c.vec_id - 10000000) // 16) % {sequential_batches}
+                  < ((n.vec_id - 10000000) // 16) % {sequential_batches})"""
     if max_bucket is not None:
         corpus_bands = f"""SELECT vec_id, band, band_val FROM (
             SELECT *, count(*) OVER (PARTITION BY band, band_val) AS bsz
@@ -819,7 +838,7 @@ def _emb_incr_oracle(max_bucket: int | None = None) -> str:
         SELECT DISTINCT n.vec_id AS new_vec_id, c.vec_id AS corpus_vec_id
         FROM bands n JOIN cbands c
           ON n.band = c.band AND n.band_val = c.band_val
-        WHERE n.vec_id >= 10000000
+        WHERE n.vec_id >= 10000000{pair_pred}
     )
     SELECT cand.new_vec_id, cand.corpus_vec_id
     FROM cand JOIN v a ON a.vec_id = cand.new_vec_id

@@ -15,7 +15,14 @@ from userbehavioranalysis_spark.registry.core import (  # noqa: F401
     _tables,
     query,
 )
-from userbehavioranalysis_spark.registry.dedup import _minhash_oracle  # noqa: F401
+from userbehavioranalysis_spark.registry.dedup import (  # noqa: F401
+    _emb_incr_oracle,
+    _minhash_oracle,
+)
+
+# the sequential (append-between-batches) embedding oracle, generated
+# once at import like every other registered oracle
+_emb_seq_oracle = _emb_incr_oracle(sequential_batches=3)
 from userbehavioranalysis_spark.registry.streaming import (  # noqa: F401
     _run_bounded_foreach,
 )
@@ -510,3 +517,102 @@ def q_streaming_snapshot_refresh_replay(spark: SparkSession, sf_dir: str) -> Dat
     return reduce(DataFrame.unionByName, days).select(
         "day", "doc_id", "n_tokens", "score_r4"
     )
+
+
+def _stage_emb_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the embedding delta (_emb_delta: every 16th vector
+    re-crawled with dim 0 zeroed, vec_id + 10M) as 3 single-file
+    parquet micro-batches, tertile by ((vec_id - 10M) // 16) % 3 —
+    the embedding twin of _stage_doc_batches, with the same pinned
+    strictly-increasing mtimes (the file stream source orders by
+    mtime and the sequential oracle assumes tertile order)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from userbehavioranalysis_spark.registry.dedup import _emb_delta
+
+    key = (sf_dir, "emb-incremental")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="uba_emb_incr_")
+        delta = _emb_delta(_tables(spark, sf_dir)["embeddings"])
+        for i in range(3):
+            tmp = os.path.join(stage, f"tmp{i}")
+            delta.where(
+                F.expr(f"pmod((vec_id - 10000000) div 16, 3) = {i}")
+            ).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            os.rename(
+                os.path.join(tmp, part), os.path.join(stage, f"batch_{i:03d}.parquet")
+            )
+            shutil.rmtree(tmp)
+        base = os.path.getmtime(os.path.join(stage, "batch_000.parquet"))
+        for i in range(3):
+            t = base + 10.0 * i
+            os.utime(os.path.join(stage, f"batch_{i:03d}.parquet"), (t, t))
+        _STREAM_STAGE_CACHE[key] = stage
+    return stage
+
+
+@query(
+    "streaming_embedding_incremental_replay",
+    oracle=_emb_seq_oracle,
+)
+def q_streaming_embedding_incremental_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The embedding-side STREAMING refresh leg (round-7 verdict's #2:
+    the minhash daily loop had a streaming twin, the embedding family
+    didn't): the delta arrives in 3 micro-batches; each batch probes
+    the PERSISTED embedding band index
+    (operators/dedup_index.embedding_dedup_incremental_indexed —
+    partition-pruned (band, band_shard) reads, only the batch signed
+    fresh) and is then APPENDED
+    (operators/dedup_index.embedding_index_append — new parquet files
+    into the same shard layout, no rewrite) before the next batch —
+    so a day-2 re-crawl of a day-1 vector is caught by the index, not
+    by luck.  Each batch's matches are localCheckpoint-materialized
+    BEFORE the append (the sink write must not re-read the mutated
+    index).  The oracle is the generated SEQUENTIAL variant of the
+    shared embedding-incremental SQL: corpus-side candidates admit a
+    delta vector exactly when its batch precedes the prober's — the
+    hash equality proves probe + append-visibility end-to-end.  Fresh
+    index per invocation (appends mutate it); torn down after the
+    stream, since the returned frame reads the foreach sink."""
+    import os
+    import shutil
+    import tempfile
+
+    from userbehavioranalysis_spark.operators.dedup_index import (
+        embedding_dedup_incremental_indexed,
+        embedding_index_append,
+        embedding_index_write,
+    )
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    stage = _stage_emb_batches(spark, sf_dir)
+    raw = (
+        spark.readStream.format("parquet")
+        .schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
+
+    art = tempfile.mkdtemp(prefix="uba_emb_refresh_")
+    idx = os.path.join(art, "index")
+    embedding_index_write(emb, idx)
+    try:
+
+        def _batch(bdf):
+            res = embedding_dedup_incremental_indexed(bdf, idx).localCheckpoint()
+            embedding_index_append(bdf, idx)
+            return res
+
+        return _run_bounded_foreach(
+            raw, "streaming_embedding_incremental_replay", _batch
+        )
+    finally:
+        shutil.rmtree(art, ignore_errors=True)
