@@ -1072,3 +1072,57 @@ def test_swap_dir_keeps_a_complete_copy(tmp_path):
     assert (final / "new.parquet").read_text() == "new"
     assert not tmp.exists() and not aside.exists()
     assert os.listdir(final) == ["new.parquet"]
+
+
+def test_ivf_cell_drift_flags_skewed_appends(spark, tmp_path):
+    """ivf_cell_drift (round-8: the first-class form of
+    ivf_index_append's retrain guidance): a balanced append keeps every
+    cell's skew near 1 and nothing flags; a hot append (many near-
+    copies of one vector, all routing to one cell) must trip that
+    cell's drifted flag while the cold cells fall BELOW 1 — the
+    monitor that tells an operator when add-after-train has degraded
+    the routing and a retrain+rewrite is due."""
+    from userbehavioranalysis_spark.operators.similarity import (
+        assign_ivf_clusters,
+        ivf_cell_drift,
+        ivf_index_append,
+        ivf_index_write,
+    )
+
+    emb = load_testdata(spark, SF)["embeddings"]
+    idx = str(tmp_path / "ivf")
+    clustered = assign_ivf_clusters(
+        emb.filter(F.col("vec_id") % 2 == 0), n_clusters=5, iters=2
+    )
+    ivf_index_write(clustered, idx)
+
+    # balanced append: the odd half of the same distribution
+    ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), idx)
+    balanced = {r["cluster"]: r for r in ivf_cell_drift(spark, idx).collect()}
+    assert sum(r["trained_n"] for r in balanced.values()) == emb.filter(
+        F.col("vec_id") % 2 == 0
+    ).count()
+    assert not any(r["drifted"] for r in balanced.values()), (
+        "a same-distribution append must not flag: "
+        f"{ {c: r['skew'] for c, r in balanced.items()} }"
+    )
+
+    # hot append: 4x the corpus size of near-copies of ONE vector —
+    # they all route to a single cell, which must flag
+    hot_src = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    n_hot = emb.count() * 4
+    hot = spark.createDataFrame(
+        [(100000 + i, hot_src) for i in range(n_hot)],
+        "vec_id long, embedding array<float>",
+    )
+    ivf_index_append(hot, idx)
+    after = {r["cluster"]: r for r in ivf_cell_drift(spark, idx).collect()}
+    flagged = [c for c, r in after.items() if r["drifted"]]
+    assert len(flagged) == 1, f"exactly the hot cell flags: {flagged}"
+    hot_cell = flagged[0]
+    assert after[hot_cell]["current_n"] >= n_hot
+    assert after[hot_cell]["skew"] >= 2.0
+    # the cold cells' SHARE shrank (skew < 1) even though their counts
+    # never did — share, not count, is the drift signal
+    assert all(r["skew"] < 1 for c, r in after.items() if c != hot_cell)
+    assert all(r["current_n"] >= r["trained_n"] for r in after.values())

@@ -557,6 +557,22 @@ def ivf_index_write(
         .partitionBy("cluster")
         .parquet(f"{path}/vectors")
     )
+    # TRAINING-TIME per-cell histogram, pinned in the index manifest:
+    # the drift monitor (:func:`ivf_cell_drift`) compares live cell
+    # counts against this to tell when add-after-train appends have
+    # skewed the distribution enough to warrant a retrain.  A collect
+    # bounded by the cluster DOMAIN (k rows), never by data.
+    from userbehavioranalysis_spark.operators.manifests import (
+        write_index_manifest,
+    )
+
+    hist = {
+        str(r["cluster"]): int(r["n"])
+        for r in clustered.groupBy(F.col(cluster_col).cast("int").alias("cluster"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    write_index_manifest(path, {"trained_counts": hist})
 
 
 def ivf_assign_to_centroids(
@@ -608,8 +624,9 @@ def ivf_index_append(
     decays — the maintenance answer is periodic RETRAIN + rewrite
     (``mlcodebooks.ivf_clusters_distributed`` over the union corpus,
     then :func:`ivf_index_write`), the IVF analog of the minhash
-    index's re-cap compaction.  Monitor by comparing per-cell counts
-    against the training-time histogram; retrain when cells skew.
+    index's re-cap compaction.  The monitor is first-class:
+    :func:`ivf_cell_drift` compares live per-cell counts against the
+    training-time histogram the manifest pins; retrain when it flags.
     """
     spark = new_vectors.sparkSession
     cent = spark.read.parquet(f"{index_path}/centroids")
@@ -624,6 +641,82 @@ def ivf_index_append(
         .write.mode("append")
         .partitionBy("cluster")
         .parquet(f"{index_path}/vectors")
+    )
+
+
+def ivf_cell_drift(
+    spark,
+    index_path: str,
+    skew_threshold: float = 2.0,
+) -> DataFrame:
+    """IVF DRIFT MONITOR — the first-class form of the retrain guidance
+    on :func:`ivf_index_append`: add-after-train appends route against
+    frozen centroids, so as the data distribution shifts, cells
+    elongate and recall at fixed n_probe decays.  The observable
+    symptom is per-cell population skew vs the training distribution.
+
+    Compares the live per-cell counts of ``{path}/vectors`` (a
+    partition-column-only aggregate — the scan reads directory names
+    and row-group metadata, not vectors) against the TRAINING-TIME
+    histogram :func:`ivf_index_write` pinned in the index manifest.
+
+    Returns one row per cell the index has ever seen (trained ∪ live):
+    (cluster, trained_n, current_n, skew, drifted) where ``skew`` is
+    the cell's live population share over its trained share (1.0 = the
+    cell grew exactly in proportion; balanced appends keep every cell
+    near 1) and ``drifted`` flags ``skew >= skew_threshold`` — or a
+    cell the training never saw (trained_n = 0, infinite-skew case,
+    possible when appends use a routing table written with
+    ``centroids=`` covering cells the indexed slice never populated).
+    When any cell flags, the maintenance answer is retrain + rewrite
+    (``mlcodebooks.ivf_clusters_distributed`` over the union corpus,
+    then :func:`ivf_index_write`) — the IVF analog of the minhash
+    index's re-cap compaction.
+
+    Refuses (KeyError with guidance) on a pre-round-8 index whose
+    manifest lacks ``trained_counts`` — rewrite the index to get the
+    histogram; guessing a baseline would make drift unfalsifiable.
+    """
+    from userbehavioranalysis_spark.operators.manifests import index_manifest
+
+    m = index_manifest(index_path)
+    if "trained_counts" not in m:
+        raise KeyError(
+            f"index at {index_path!r} has no trained_counts histogram "
+            "(written before the drift monitor existed); rewrite it with "
+            "ivf_index_write to establish the training baseline"
+        )
+    trained = {int(c): int(n) for c, n in m["trained_counts"].items()}
+    trained_total = sum(trained.values())
+    t = spark.createDataFrame(
+        sorted(trained.items()), "cluster int, trained_n long"
+    )
+    live = (
+        spark.read.parquet(f"{index_path}/vectors")
+        .groupBy(F.col("cluster").cast("int").alias("cluster"))
+        .agg(F.count("*").alias("current_n"))
+    )
+    total_w = Window.partitionBy()
+    return (
+        t.join(live, "cluster", "full_outer")
+        .select(
+            "cluster",
+            F.coalesce("trained_n", F.lit(0)).alias("trained_n"),
+            F.coalesce("current_n", F.lit(0)).alias("current_n"),
+        )
+        .withColumn(
+            "skew",
+            F.round(
+                (F.col("current_n") / F.sum("current_n").over(total_w))
+                / (F.col("trained_n") / F.lit(trained_total)),
+                6,
+            ),
+        )
+        .withColumn(
+            "drifted",
+            F.col("skew").isNull() | (F.col("skew") >= F.lit(skew_threshold)),
+        )
+        .orderBy("cluster")
     )
 
 

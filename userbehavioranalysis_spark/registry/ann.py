@@ -839,11 +839,29 @@ def q_ann_topk_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite (ivf_clusters_distributed) is the compaction analog.
     Structural-contract driver hash + recall floor via the shared IVF
     search path."""
+    from userbehavioranalysis_spark.operators.similarity import (
+        ann_topk_ivf_indexed,
+    )
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    idx = _ivf_append_stage(spark, sf_dir)
+    return _ann_structural(
+        ann_topk_ivf_indexed(
+            emb.filter(_F.col("vec_id") < _ANN_NQ), idx, k=_ANN_K
+        )
+    )
+
+
+def _ivf_append_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per sf_dir) the trained-then-appended IVF index the
+    maintenance queries share: trained on the EVEN vec_ids, the odd
+    half appended raw against the stored centroids — exactly the
+    add-after-train state ann_topk_ivf_append probes and
+    ivf_cell_drift audits."""
     import os
     import tempfile
 
     from userbehavioranalysis_spark.operators.similarity import (
-        ann_topk_ivf_indexed,
         assign_ivf_clusters,
         ivf_index_append,
         ivf_index_write,
@@ -862,10 +880,42 @@ def q_ann_topk_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.filter(_F.col("vec_id") % 2 == 1), os.path.join(stage, "index")
         )
         _STREAM_STAGE_CACHE[key] = stage
-    return _ann_structural(
-        ann_topk_ivf_indexed(
-            emb.filter(_F.col("vec_id") < _ANN_NQ),
-            os.path.join(stage, "index"),
-            k=_ANN_K,
-        )
+    return os.path.join(stage, "index")
+
+
+@query(
+    "ivf_cell_drift",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS trained_total,
+           CAST(count(*) AS BIGINT) AS current_total,
+           TRUE AS cells_valid,
+           TRUE AS growth_valid,
+           TRUE AS skew_valid
+    FROM embeddings
+    """,
+)
+def q_ivf_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF drift monitor (operators/similarity.ivf_cell_drift) over the
+    shared trained-on-even / appended-odd index: live per-cell counts
+    (a partition-column-only aggregate) vs the training histogram the
+    manifest pins.  Per-cell rows aren't SQL-replayable (k-means cells
+    are engine-specific), so — the _ann_structural pattern — the
+    registered output is the one-row AUDIT the drift frame must
+    satisfy: its trained_n column re-sums to the even-half count and
+    current_n to the full corpus (both value-checked against SQL),
+    every cell grew monotonically (appends never shrink a cell), the
+    cell count is within the trained domain, and every skew is
+    positive.  The flag actually TRIPPING on a skewed append is pinned
+    in tests/test_plans.py with a constructed hot cell."""
+    from userbehavioranalysis_spark.operators.similarity import ivf_cell_drift
+
+    drift = ivf_cell_drift(spark, _ivf_append_stage(spark, sf_dir))
+    return drift.agg(
+        _F.sum("trained_n").cast("bigint").alias("trained_total"),
+        _F.sum("current_n").cast("bigint").alias("current_total"),
+        ((_F.count("*") >= 1) & (_F.count("*") <= 10)).alias("cells_valid"),
+        (_F.min(_F.col("current_n") - _F.col("trained_n")) >= 0).alias(
+            "growth_valid"
+        ),
+        (_F.min("skew") > 0).alias("skew_valid"),
     )
