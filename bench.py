@@ -90,14 +90,32 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footer caches
     run(QUERIES["page_view"](spark, sf_dir))
 
+    from userbehavioranalysis_spark.plans.fingerprint import plan_fingerprint
+
     timings: dict[str, float] = {}
+    plan_shas: dict[str, str] = {}
     for name, fn in QUERIES.items():
         runs = 1 if name.startswith("streaming_") else 2
         best = float("inf")
-        for _ in range(runs):
+        for i in range(runs):
+            if i == 0:
+                # drop the previous query's dangling single-slot pool
+                # cache so plan_sha is order-independent (CacheManager
+                # would otherwise substitute it into matching subtrees
+                # of THIS plan).  Timing no-op: every query releases
+                # and rebuilds its own pool at construction.
+                spark.catalog.clearCache()
             t0 = time.perf_counter()
-            run(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
+            run(df)
             best = min(best, time.perf_counter() - t0)
+            if i == 0:
+                # physical-plan fingerprint (plans/fingerprint.py): a
+                # cross-round timing delta with an UNCHANGED plan_sha is
+                # session noise by construction, not a regression —
+                # recorded after the timed run so hashing cost (plan
+                # analysis is already paid) stays out of the number.
+                plan_shas[name] = plan_fingerprint(df)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -119,6 +137,10 @@ def main() -> None:
             "streaming": "single-run since r4 (r3 used min-of-2; see BASELINE.md)",
         },
         "queries": timings,
+        # normalized physical-plan hash per query at THIS sf (see
+        # plans/fingerprint.py; scale-pinned — compare only same-sf
+        # rounds).  The sf0.001 baseline lives in PLAN_FINGERPRINTS.json.
+        "plan_sha": plan_shas,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)

@@ -36,6 +36,13 @@ _DEFAULTS: dict[str, str] = {
     # stay broadcast even at large SF; fact-fact joins shuffle.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.sql.shuffle.partitions": "32",
+    # FileScan metadata (PartitionFilters/PushedFilters/Location) is
+    # length-truncated at 100 chars by default, which makes plan TEXT
+    # depend on exprId digit-width (session history) — the plan
+    # fingerprints (plans/fingerprint.py) need the untruncated text to
+    # be stable, and humans reading .explain() get the full pushed
+    # predicate list instead of a 100-char stub.
+    "spark.sql.maxMetadataStringLength": "8192",
     # NOTE on adaptive.coalescePartitions.initialPartitionNum: measured
     # and deliberately NOT set.  512-initial exchanges close corpus-
     # scale aggregation walls (the sf100 ngram pair agg at a fixed 32
