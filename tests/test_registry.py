@@ -35,12 +35,12 @@ def test_every_query_has_an_oracle():
     assert set(ORACLES) == set(QUERIES)
 
 
-def test_driver_window_r7_covers_every_query():
+def test_driver_window_r8_covers_every_query():
     """The correctness driver records only the first 50 registry
     entries.  Rotation invariant since r6 (when every registered query
     reached ≥1 green row): every registered query is either already
     hash-green in a past round's CORRECTNESS file or IN the current
-    window — i.e. new additions (R7_WINDOW_CANDIDATES) can never sit
+    window — i.e. new additions (R8_WINDOW_CANDIDATES) can never sit
     unregistered-to-the-driver, and nothing green ever leaves the
     books."""
     import json
@@ -57,7 +57,7 @@ def test_driver_window_r7_covers_every_query():
     assert anchors <= set(window)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green: set[str] = set()
-    for rnd in ("r01", "r02", "r03", "r04", "r05", "r06"):
+    for rnd in ("r01", "r02", "r03", "r04", "r05", "r06", "r07"):
         path = os.path.join(root, f"CORRECTNESS_{rnd}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -71,15 +71,15 @@ def test_driver_window_r7_covers_every_query():
                         and row.get("hash_match")
                     ):
                         green.add(name)
-    from userbehavioranalysis_spark.registry import R7_WINDOW_CANDIDATES
+    from userbehavioranalysis_spark.registry import R8_WINDOW_CANDIDATES
 
     if green:
         uncovered = sorted(set(QUERIES) - green - set(window))
         assert uncovered == [], uncovered
-        # every never-driver-checked query must be IN the r7 window,
+        # every never-driver-checked query must be IN the r8 window,
         # not merely tracked
-        assert R7_WINDOW_CANDIDATES <= set(window)
-    assert R7_WINDOW_CANDIDATES <= set(QUERIES)
+        assert R8_WINDOW_CANDIDATES <= set(window)
+    assert R8_WINDOW_CANDIDATES <= set(QUERIES)
 
 
 def test_driver_window_outputs_are_scalar(spark):

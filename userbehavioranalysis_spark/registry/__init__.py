@@ -48,19 +48,13 @@ from userbehavioranalysis_spark.registry import streaming_refresh  # noqa: E402,
 
 from userbehavioranalysis_spark.registry.ann import _ann_structural  # noqa: E402,F401
 
-# The round-7 additions — queries registered this round with no driver
+# The round-8 additions — queries registered this round with no driver
 # row yet; the rotation invariant (tests/test_registry.py) requires
-# every one of them IN the r7 window below.
-R7_WINDOW_CANDIDATES = {
-    "dedup_embedding_incremental_indexed",
-    "dedup_embedding_incremental_capped",
-    "dedup_embedding_index_append",
-    "dedup_incremental_index_compact",
-    "ann_topk_ivf_append",
-    "ann_topk_lsh_append",
-    "decontaminate_indexed",
-    "corpus_snapshot_pinned",
-    "corpus_snapshot_latest",
+# every one of them IN the r8 window below.
+R8_WINDOW_CANDIDATES = {
+    "streaming_snapshot_refresh_replay",
+    "streaming_embedding_incremental_replay",
+    "ivf_cell_drift",
 }
 
 
@@ -79,18 +73,18 @@ R7_WINDOW_CANDIDATES = {
 #              the 30 stalest r2-greens → after r6 every one of the
 #              173 then-registered queries had ≥1 green row and none
 #              had ever failed a driver check.
-#   r7 window (this one): pure freshness rotation — the 4 pinned
-#              anchors, the 9 never-checked round-7 additions
-#              (embedding-index probe/capped-probe/append, minhash
-#              re-cap compaction, IVF append, LSH-ANN append,
-#              persisted-benchmark decontamination, snapshot
-#              time-travel pinned/latest reads), then EVERY query
-#              whose newest green row is r2 or r3 (14 + 18), and the
-#              5 oldest r4-greens.  After this window lands, no
-#              registered query's newest driver row is older than r4.
-#              tests/test_oracle_rotation.py keeps running
-#              tools/oracle_check.py on a daily-seeded random sample
-#              so rotated-out queries cannot rot unnoticed.
+#   r7 window: the 4 anchors + the 9 never-checked round-7 additions +
+#              every r2/r3-newest green + the 5 oldest r4-greens →
+#              after r7 no query's newest driver row was older than r4.
+#   r8 window (this one): the 4 pinned anchors, the 3 never-checked
+#              round-8 additions (snapshot-composed daily refresh,
+#              embedding-side streaming refresh, IVF drift monitor),
+#              then EVERY query whose newest green row is r4 (all 40
+#              fit), and the 3 oldest r5-greens as filler.  After this
+#              window lands, no registered query's newest driver row
+#              is older than r5.  tests/test_oracle_rotation.py keeps
+#              running tools/oracle_check.py on a daily-seeded random
+#              sample so rotated-out queries cannot rot unnoticed.
 _DRIVER_WINDOW = [
     # ---- pinned anchors: flagship analytic, tumbling-PV, the
     # byte-exact report render over the reference's apache.log
@@ -99,56 +93,55 @@ _DRIVER_WINDOW = [
     "page_view",
     "ref_network_flow_report",
     "streaming_hot_items_report_replay",
-    # ---- no driver row yet: round-7 additions
-    "dedup_embedding_incremental_indexed",
-    "dedup_embedding_incremental_capped",
-    "dedup_embedding_index_append",
-    "dedup_incremental_index_compact",
-    "ann_topk_ivf_append",
-    "ann_topk_lsh_append",
-    "decontaminate_indexed",
-    "corpus_snapshot_pinned",
-    "corpus_snapshot_latest",
-    # ---- stalest greens: newest row r2, in r2 definition order
-    "uv_per_event",
-    "ad_clicks_by_geo",
-    "hot_pages",
-    "dedup_minhash_lsh",
-    "decontaminate",
-    "doc_rarity",
-    "pack_shards",
-    "length_quantiles",
-    "quality_score",
-    "token_counts",
-    "doc_fingerprints",
-    "audio_features",
-    "image_features",
-    "image_resize",
-    # ---- newest row r3, in definition order
-    "login_fail_strict",
-    "event_transitions",
-    "rolling_active_users",
-    "event_props_stats",
-    "ann_topk_quantized",
-    "media_features",
-    "pricing_summary",
-    "shipping_priority",
-    "local_supplier_volume",
-    "market_share",
-    "quantity_tiers",
-    "large_volume_orders",
-    "top_return_customers",
-    "promo_revenue_share",
-    "customers_without_recent_orders",
-    "top_supplier",
-    "nation_trade_volume",
-    "streaming_dedup_replay",
-    # ---- the 5 oldest r4-greens, in definition order
-    "attribution_last_touch",
-    "session_paths",
-    "anomaly_zscore",
-    "time_to_convert",
-    "item_pagerank",
+    # ---- no driver row yet: round-8 additions
+    "streaming_snapshot_refresh_replay",
+    "streaming_embedding_incremental_replay",
+    "ivf_cell_drift",
+    # ---- every query whose newest green row is r4, in definition order
+    "scd2_user_state",
+    "histogram_quantiles",
+    "item_triangles",
+    "uv_hll_portable",
+    "salted_type_enrich",
+    "incremental_page_view",
+    "dedup_simhash_wide",
+    "dedup_clusters_wide",
+    "dedup_embedding_lsh",
+    "ann_topk_lsh_indexed",
+    "doc_ann_topk",
+    "ann_topk_lsh_multiprobe",
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
+    "token_cms_estimates",
+    "importance_sample",
+    "stratified_sample",
+    "temperature_mixture",
+    "vocab_coverage",
+    "keyword_search",
+    "dq_audit",
+    "audio_chunks",
+    "image_phash_dedup",
+    "video_frame_sample",
+    "small_quantity_revenue",
+    "min_cost_supplier",
+    "important_supply_values",
+    "sole_returning_supplier",
+    "customer_order_distribution",
+    "disjunctive_bracket_revenue",
+    "forecast_revenue_change",
+    "product_type_profit",
+    "shipping_delay_priority_counts",
+    "supplier_counts_by_part_attrs",
+    "excess_share_suppliers",
+    "bloom_filter_join",
+    "merge_upsert_users",
+    "events_jsonl_roundtrip",
+    "events_orc_roundtrip",
+    "events_schema_evolution",
+    # ---- the 3 oldest r5-greens, in definition order
+    "uv_approx",
+    "latest_state",
+    "ref_login_fail",
 ]
 
 
