@@ -1126,3 +1126,48 @@ def test_ivf_cell_drift_flags_skewed_appends(spark, tmp_path):
     # never did — share, not count, is the drift signal
     assert all(r["skew"] < 1 for c, r in after.items() if c != hot_cell)
     assert all(r["current_n"] >= r["trained_n"] for r in after.values())
+
+
+def test_snapshot_diff_fast_path_and_fallback(spark, tmp_path):
+    """snapshot_diff's two paths agree with ground truth: an append
+    lineage diffs by FILE LISTS (only the delta files are read); a
+    rewrite (compaction/overwrite) between the versions forces the
+    row-level key fallback — which must see through a compaction
+    (zero rows) and report real removals across an overwrite.  The
+    fallback without key_cols refuses loudly."""
+    import pytest
+
+    from userbehavioranalysis_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_diff,
+        snapshot_overwrite,
+    )
+
+    docs = load_testdata(spark, SF)["documents"].select("doc_id", "lang")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    tbl = str(tmp_path / "tbl")
+    snapshot_overwrite(even, tbl)          # v1
+    snapshot_append(odd, tbl)              # v2
+    snapshot_compact(spark, tbl)           # v3 (content == v2)
+    snapshot_overwrite(even.limit(50), tbl)  # v4: shrinks the corpus
+
+    rows = lambda df: {tuple(r) for r in df.collect()}
+    # fast path: v1 -> v2 added exactly the odd half
+    d12 = snapshot_diff(spark, tbl, 1, 2)
+    assert rows(d12) == {(*r, "added") for r in odd.collect()}
+    # reverse direction on the same lineage: everything 'removed'
+    d21 = snapshot_diff(spark, tbl, 2, 1)
+    assert rows(d21) == {(*r, "removed") for r in odd.collect()}
+    # fallback across the compaction: nothing changed
+    assert snapshot_diff(spark, tbl, 2, 3, key_cols=["doc_id"]).count() == 0
+    # fallback across the overwrite: removals reported
+    d34 = snapshot_diff(spark, tbl, 3, 4, key_cols=["doc_id"])
+    kept = {r["doc_id"] for r in even.limit(50).collect()}
+    want_removed = {r["doc_id"] for r in docs.collect()} - kept
+    got = {(r["doc_id"], r["change"]) for r in d34.collect()}
+    assert got == {(d, "removed") for d in want_removed}
+    # divergent lineage without keys refuses with guidance
+    with pytest.raises(ValueError, match="key_cols"):
+        snapshot_diff(spark, tbl, 2, 3)

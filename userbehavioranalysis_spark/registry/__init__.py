@@ -55,6 +55,7 @@ R8_WINDOW_CANDIDATES = {
     "streaming_snapshot_refresh_replay",
     "streaming_embedding_incremental_replay",
     "ivf_cell_drift",
+    "corpus_snapshot_diff",
 }
 
 
@@ -76,11 +77,12 @@ R8_WINDOW_CANDIDATES = {
 #   r7 window: the 4 anchors + the 9 never-checked round-7 additions +
 #              every r2/r3-newest green + the 5 oldest r4-greens →
 #              after r7 no query's newest driver row was older than r4.
-#   r8 window (this one): the 4 pinned anchors, the 3 never-checked
+#   r8 window (this one): the 4 pinned anchors, the 4 never-checked
 #              round-8 additions (snapshot-composed daily refresh,
-#              embedding-side streaming refresh, IVF drift monitor),
+#              embedding-side streaming refresh, IVF drift monitor,
+#              snapshot version diff),
 #              then EVERY query whose newest green row is r4 (all 40
-#              fit), and the 3 oldest r5-greens as filler.  After this
+#              fit), and the oldest r5-greens as filler.  After this
 #              window lands, no registered query's newest driver row
 #              is older than r5.  tests/test_oracle_rotation.py keeps
 #              running tools/oracle_check.py on a daily-seeded random
@@ -97,6 +99,7 @@ _DRIVER_WINDOW = [
     "streaming_snapshot_refresh_replay",
     "streaming_embedding_incremental_replay",
     "ivf_cell_drift",
+    "corpus_snapshot_diff",
     # ---- every query whose newest green row is r4, in definition order
     "scd2_user_state",
     "histogram_quantiles",
@@ -138,10 +141,12 @@ _DRIVER_WINDOW = [
     "events_jsonl_roundtrip",
     "events_orc_roundtrip",
     "events_schema_evolution",
-    # ---- the 3 oldest r5-greens, in definition order
+    # ---- the 2 oldest r5-greens, in definition order (a third,
+    # ref_login_fail, made way for the late-round corpus_snapshot_diff
+    # addition — the rotation invariant keeps it covered by its r5
+    # green row and the daily sampler)
     "uv_approx",
     "latest_state",
-    "ref_login_fail",
 ]
 
 

@@ -910,3 +910,29 @@ def q_corpus_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from userbehavioranalysis_spark.sources.snapshots import snapshot_read
 
     return snapshot_read(spark, _snapshot_table(spark, sf_dir))
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, 'added' AS change
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version corpus diff (sources/snapshots.snapshot_diff)
+    over the staged snapshot table, exercising BOTH execution paths in
+    one hash: v1→v2 straddles only an append, so the file-lineage fast
+    path reads exactly the appended files (the odd-doc_id half — the
+    value-checked rows); v2→v3 straddles the compaction, so file
+    identity is useless and the row-level key fallback runs — and must
+    prove the compaction changed NOTHING (zero rows; any row it
+    contributed would break the hash).  At 100 TB the fast path is a
+    scan of one day's files; the fallback's anti-join cost is the
+    honest price of diffing across a rewrite."""
+    from userbehavioranalysis_spark.sources.snapshots import snapshot_diff
+
+    tbl = _snapshot_table(spark, sf_dir)
+    append_diff = snapshot_diff(spark, tbl, 1, 2)
+    compact_diff = snapshot_diff(spark, tbl, 2, 3, key_cols=["doc_id"])
+    return append_diff.unionByName(compact_diff)
