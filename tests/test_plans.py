@@ -1171,3 +1171,144 @@ def test_snapshot_diff_fast_path_and_fallback(spark, tmp_path):
     # divergent lineage without keys refuses with guidance
     with pytest.raises(ValueError, match="key_cols"):
         snapshot_diff(spark, tbl, 2, 3)
+
+
+def test_snapshot_concurrent_commits_both_land(spark, tmp_path):
+    """Optimistic concurrency (round 8): commits publish via an
+    EXCLUSIVE link, so a lost race can never clobber the winner's
+    manifest; appends/overwrites retry manifest-only and BOTH land.
+    Pinned three ways: a direct stale commit attempt raises; 8 threads
+    appending concurrently produce 8 distinct versions whose union is
+    exact; compaction does NOT auto-retry (derived content) and
+    surfaces the conflict."""
+    import threading
+
+    import pytest
+
+    from userbehavioranalysis_spark.sources.snapshots import (
+        SnapshotConflictError,
+        _try_commit,
+        _write_new_files,
+        snapshot_append,
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    docs = load_testdata(spark, SF)["documents"].select("doc_id", "lang")
+    tbl = str(tmp_path / "tbl")
+    snapshot_overwrite(docs.filter(F.col("doc_id") == 0), tbl)  # v1
+
+    # (a) stale single attempt: both writers read parent v1; the loser's
+    # raw _try_commit at v2 must raise, not clobber
+    from userbehavioranalysis_spark.sources.snapshots import _read_manifest
+
+    parent_files = _read_manifest(tbl, 1)["files"]
+    fa = _write_new_files(docs.filter(F.col("doc_id") == 2), tbl)
+    fb = _write_new_files(docs.filter(F.col("doc_id") == 4), tbl)
+    assert _try_commit(tbl, parent_files + fa, "append", 1) == 2
+    with pytest.raises(SnapshotConflictError):
+        _try_commit(tbl, parent_files + fb, "append", 1)
+    assert snapshot_versions(tbl) == [1, 2]
+
+    # (b) 8 genuinely concurrent appends (one doc each) all land
+    ids = [1, 3, 5, 7, 9, 11, 13, 15]
+    frames = {
+        i: docs.filter(F.col("doc_id") == i).localCheckpoint() for i in ids
+    }
+    errs = []
+
+    def appender(i):
+        try:
+            snapshot_append(frames[i], tbl)
+        except Exception as e:  # surface, don't swallow
+            errs.append((i, e))
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in ids]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert snapshot_versions(tbl) == list(range(1, 11))
+    got = {r["doc_id"] for r in snapshot_read(spark, tbl).collect()}
+    assert got == {0, 2} | set(ids)
+
+    # (c) compaction loses a race -> surfaces, caller re-runs
+    from userbehavioranalysis_spark.sources import snapshots as S
+
+    real = S.snapshot_versions
+    state = {"hijacked": False}
+
+    def racing_versions(path):
+        vs = real(path)
+        if not state["hijacked"] and path == tbl:
+            state["hijacked"] = True
+            snapshot_append(frames[1], tbl)  # sneaks in version latest+1
+        return vs
+
+    S.snapshot_versions, _orig = racing_versions, real
+    try:
+        with pytest.raises(SnapshotConflictError):
+            S.snapshot_compact(spark, tbl)
+    finally:
+        S.snapshot_versions = _orig
+    assert S.snapshot_compact(spark, tbl) > 0  # re-run succeeds
+
+
+def test_snapshot_restore_and_vacuum(spark, tmp_path):
+    """snapshot_restore rolls the table back metadata-only (history
+    preserved, bad version still readable for the post-mortem);
+    snapshot_vacuum reclaims commit-less orphans and torn .tmp
+    manifests but honors the in-flight grace period and never touches
+    referenced files."""
+    import os
+
+    import pytest
+
+    from userbehavioranalysis_spark.sources.snapshots import (
+        _write_new_files,
+        snapshot_append,
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_restore,
+        snapshot_vacuum,
+        snapshot_versions,
+    )
+
+    docs = load_testdata(spark, SF)["documents"].select("doc_id", "lang")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    tbl = str(tmp_path / "tbl")
+    snapshot_overwrite(even, tbl)  # v1: good corpus
+    snapshot_append(odd, tbl)      # v2: the "poisoned" refresh
+
+    rows = lambda df: {tuple(r) for r in df.collect()}
+    assert snapshot_restore(tbl, 1) == 3  # rollback commits v3
+    assert rows(snapshot_read(spark, tbl)) == rows(even)      # latest = v1 content
+    assert rows(snapshot_read(spark, tbl, version=2)) == rows(docs)  # history intact
+    with pytest.raises(ValueError):
+        snapshot_restore(tbl, 99)
+
+    # orphans: landed but never committed (crashed writer) + torn .tmp
+    orphans = _write_new_files(odd.limit(10), tbl)
+    with open(os.path.join(tbl, "_snapshots", "v9.json.abc123.tmp"), "w") as f:
+        f.write('{"torn":')
+    n_referenced = sum(
+        len(__import__("json").load(open(os.path.join(tbl, "_snapshots", f"v{v}.json")))["files"])
+        for v in snapshot_versions(tbl)
+    )
+    # grace period: a fresh orphan survives a default-grace vacuum
+    assert snapshot_vacuum(tbl)["deleted_files"] == 0
+    stats = snapshot_vacuum(tbl, min_age_seconds=0)
+    assert stats["deleted_files"] == len(orphans)
+    assert stats["deleted_tmp_manifests"] == 1
+    for f in orphans:
+        assert not os.path.exists(os.path.join(tbl, f))
+    # every referenced file untouched; all versions still readable
+    assert rows(snapshot_read(spark, tbl)) == rows(even)
+    assert rows(snapshot_read(spark, tbl, version=2)) == rows(docs)
+    assert n_referenced == sum(
+        len(__import__("json").load(open(os.path.join(tbl, "_snapshots", f"v{v}.json")))["files"])
+        for v in snapshot_versions(tbl)
+    )

@@ -56,6 +56,8 @@ R8_WINDOW_CANDIDATES = {
     "streaming_embedding_incremental_replay",
     "ivf_cell_drift",
     "corpus_snapshot_diff",
+    "corpus_snapshot_restore",
+    "corpus_snapshot_vacuum",
 }
 
 
@@ -77,12 +79,12 @@ R8_WINDOW_CANDIDATES = {
 #   r7 window: the 4 anchors + the 9 never-checked round-7 additions +
 #              every r2/r3-newest green + the 5 oldest r4-greens →
 #              after r7 no query's newest driver row was older than r4.
-#   r8 window (this one): the 4 pinned anchors, the 4 never-checked
+#   r8 window (this one): the 4 pinned anchors, the 6 never-checked
 #              round-8 additions (snapshot-composed daily refresh,
 #              embedding-side streaming refresh, IVF drift monitor,
-#              snapshot version diff),
-#              then EVERY query whose newest green row is r4 (all 40
-#              fit), and the oldest r5-greens as filler.  After this
+#              snapshot version diff, snapshot rollback-restore,
+#              snapshot orphan vacuum), then EVERY query whose newest
+#              green row is r4 (all 40 fit exactly).  After this
 #              window lands, no registered query's newest driver row
 #              is older than r5.  tests/test_oracle_rotation.py keeps
 #              running tools/oracle_check.py on a daily-seeded random
@@ -100,6 +102,8 @@ _DRIVER_WINDOW = [
     "streaming_embedding_incremental_replay",
     "ivf_cell_drift",
     "corpus_snapshot_diff",
+    "corpus_snapshot_restore",
+    "corpus_snapshot_vacuum",
     # ---- every query whose newest green row is r4, in definition order
     "scd2_user_state",
     "histogram_quantiles",
@@ -141,12 +145,6 @@ _DRIVER_WINDOW = [
     "events_jsonl_roundtrip",
     "events_orc_roundtrip",
     "events_schema_evolution",
-    # ---- the 2 oldest r5-greens, in definition order (a third,
-    # ref_login_fail, made way for the late-round corpus_snapshot_diff
-    # addition — the rotation invariant keeps it covered by its r5
-    # green row and the daily sampler)
-    "uv_approx",
-    "latest_state",
 ]
 
 

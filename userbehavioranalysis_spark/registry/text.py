@@ -936,3 +936,114 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_diff = snapshot_diff(spark, tbl, 1, 2)
     compact_diff = snapshot_diff(spark, tbl, 2, 3, key_cols=["doc_id"])
     return append_diff.unionByName(compact_diff)
+
+
+def _fresh_snapshot_stage(spark: SparkSession, sf_dir: str, key: str) -> str:
+    """A per-(query, sf_dir) snapshot-table staging dir, WIPED and
+    rebuilt on every call — for queries whose operation mutates the
+    table (restore commits versions, vacuum deletes files), where a
+    shared cached stage would make re-runs non-deterministic."""
+    import os
+    import shutil
+    import tempfile
+
+    cache_key = (sf_dir, key)
+    stage = _STREAM_STAGE_CACHE.get(cache_key)
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix=f"uba_{key}_")
+        _STREAM_STAGE_CACHE[cache_key] = stage
+    tbl = os.path.join(stage, "tbl")
+    shutil.rmtree(tbl, ignore_errors=True)
+    return tbl
+
+
+@query(
+    "corpus_snapshot_restore",
+    oracle="""
+    SELECT 'latest_after_restore' AS state, doc_id, lang, source, n_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'poisoned_v2' AS state, doc_id, lang, source, n_chars
+    FROM documents
+    """,
+)
+def q_corpus_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK (sources/snapshots.snapshot_restore): v1 = the good
+    corpus (even doc_ids), v2 = a "poisoned" refresh appended the odd
+    half, restore(v1) commits v3 metadata-only.  The hash proves both
+    halves of the contract at once: the LATEST read equals v1's
+    content exactly (the rollback took), and the pinned v2 read still
+    equals the full corpus (history preserved — the bad version stays
+    readable for the post-mortem).  At 100 TB the rollback writes one
+    JSON manifest; nothing is copied."""
+    from userbehavioranalysis_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_restore,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tbl = _fresh_snapshot_stage(spark, sf_dir, "snap_restore")
+    snapshot_overwrite(docs.filter(_F.col("doc_id") % 2 == 0), tbl)
+    snapshot_append(docs.filter(_F.col("doc_id") % 2 == 1), tbl)
+    snapshot_restore(tbl, 1)
+    return (
+        snapshot_read(spark, tbl)
+        .withColumn("state", _F.lit("latest_after_restore"))
+        .unionByName(
+            snapshot_read(spark, tbl, version=2).withColumn(
+                "state", _F.lit("poisoned_v2")
+            )
+        )
+        .select("state", "doc_id", "lang", "source", "n_chars")
+    )
+
+
+@query(
+    "corpus_snapshot_vacuum",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(1 AS BIGINT) AS orphans_deleted,
+           CAST(1 AS BIGINT) AS tmp_manifests_deleted
+    FROM documents
+    """,
+)
+def q_corpus_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan GC (sources/snapshots.snapshot_vacuum): the staged table
+    gets a crashed writer's leftovers — one landed-but-never-committed
+    parquet file and one torn .tmp manifest — then a zero-grace
+    vacuum.  The audit row value-checks that exactly the two orphans
+    were reclaimed AND that the table's full content survived (n_docs
+    re-counted from the post-vacuum latest read against SQL).  The
+    grace-period behavior (a fresh orphan survives the default
+    24 h grace) is pinned in tests/test_plans.py."""
+    from userbehavioranalysis_spark.sources.snapshots import (
+        _write_new_files,
+        snapshot_append,
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_vacuum,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tbl = _fresh_snapshot_stage(spark, sf_dir, "snap_vacuum")
+    snapshot_overwrite(docs.filter(_F.col("doc_id") % 2 == 0), tbl)
+    snapshot_append(docs.filter(_F.col("doc_id") % 2 == 1), tbl)
+    _write_new_files(docs.limit(10).coalesce(1), tbl)  # crashed writer
+    import os
+
+    with open(os.path.join(tbl, "_snapshots", "v9.json.dead.tmp"), "w") as f:
+        f.write('{"torn":')
+    stats = snapshot_vacuum(tbl, min_age_seconds=0)
+    return snapshot_read(spark, tbl).agg(
+        _F.count("*").cast("bigint").alias("n_docs"),
+        _F.lit(stats["deleted_files"]).cast("bigint").alias("orphans_deleted"),
+        _F.lit(stats["deleted_tmp_manifests"])
+        .cast("bigint")
+        .alias("tmp_manifests_deleted"),
+    )

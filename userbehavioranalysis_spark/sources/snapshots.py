@@ -39,9 +39,15 @@ version's plan is insulated from everything committed after it.  At
 and commits are a single JSON write after the data lands — the same
 metadata-transaction shape the real formats use.  A commit is atomic
 against crashes (write-to-temp + rename, so a torn manifest can never
-be listed as a version); serializing CONCURRENT writers (two appends
-racing to the same version number) is the real formats' job — this is
-the I/O plan underneath.
+be listed as a version) AND against concurrent writers (optimistic
+concurrency: the manifest publishes via an EXCLUSIVE link that fails
+if the version slot is taken, and append/overwrite retry against the
+new latest — their data files already landed, so a retry is
+manifest-only).  On an object store the exclusive link becomes a
+conditional put (If-None-Match: *) — same protocol shape.  Compaction
+does NOT auto-retry on conflict: its content is derived from the
+version it read, so the caller must re-run against the new latest
+(``SnapshotConflictError`` says so).
 """
 
 from __future__ import annotations
@@ -84,32 +90,78 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _commit(path: str, files: list[str], op: str, parent: int | None) -> int:
+class SnapshotConflictError(RuntimeError):
+    """A concurrent writer committed the version slot first.  Appends
+    and overwrites retry internally (manifest-only — their data files
+    already landed); compaction surfaces this so the caller re-runs
+    against the new latest (its rewritten content is derived from the
+    version it read, so a blind retry would publish stale content)."""
+
+
+def _try_commit(path: str, files: list[str], op: str, parent: int | None) -> int:
+    """One OPTIMISTIC commit attempt at version ``parent + 1``.
+
+    Crash-atomic AND concurrency-safe: the manifest is fully written
+    (and fsynced) to a writer-unique temp name, then published with an
+    EXCLUSIVE hard link — ``os.link`` fails with FileExistsError if
+    another writer took the slot, in which case nothing is published
+    and :class:`SnapshotConflictError` is raised (``os.replace`` here
+    would silently CLOBBER the winner's manifest, orphaning its data).
+    A torn temp file from a crash is invisible (_MANIFEST_RE skips
+    non-v{N}.json names) and reclaimed by :func:`snapshot_vacuum`'s
+    manifest-dir sweep.  On an object store the link becomes a
+    conditional put (If-None-Match: *).
+    """
     os.makedirs(_snap_dir(path), exist_ok=True)
-    version = (parent or 0) + 1 if parent is not None else 1
-    existing = snapshot_versions(path)
-    if existing:
-        version = existing[-1] + 1
+    version = (parent or 0) + 1
     manifest = {
         "version": version,
         "parent": parent,
         "operation": op,
         "files": sorted(files),
     }
-    # ATOMIC publish: a version exists only once its complete manifest
-    # is at v{N}.json.  json.dump straight into the final name would
-    # let a crash mid-write leave a torn manifest that
-    # snapshot_versions still lists — bricking snapshot_read(latest)
-    # for every reader.  Write-to-temp + rename makes the commit
-    # all-or-nothing (the .tmp is invisible: _MANIFEST_RE skips it).
     final = _manifest_path(path, version)
-    tmp = final + ".tmp"
+    tmp = f"{final}.{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, final)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise SnapshotConflictError(
+            f"version {version} at {path!r} was committed by a concurrent "
+            f"writer; re-read the latest version and retry the {op}"
+        ) from None
+    finally:
+        os.unlink(tmp)
     return version
+
+
+def _commit_with_retry(
+    path: str, files_for_parent, op: str, max_retries: int = 20
+) -> int:
+    """Optimistic-concurrency loop shared by append and overwrite:
+    re-read the latest version, derive the file list for that parent
+    (``files_for_parent(parent_manifest_or_None)``), attempt the
+    exclusive commit, and on conflict loop against the new latest.
+    Bounded: a busy table with 20 racing commits in one window is a
+    coordination smell, not a retry problem."""
+    for _ in range(max_retries):
+        vs = snapshot_versions(path)
+        parent = _read_manifest(path, vs[-1]) if vs else None
+        try:
+            return _try_commit(
+                path,
+                files_for_parent(parent),
+                op,
+                parent["version"] if parent else None,
+            )
+        except SnapshotConflictError:
+            continue
+    raise SnapshotConflictError(
+        f"gave up committing {op} at {path!r} after {max_retries} conflicts"
+    )
 
 
 def _write_new_files(df: DataFrame, path: str) -> list[str]:
@@ -146,21 +198,26 @@ def _write_new_files(df: DataFrame, path: str) -> list[str]:
 
 def snapshot_overwrite(df: DataFrame, path: str) -> int:
     """Commit a full-replacement version.  Previous versions' files
-    are untouched and stay readable until expired."""
-    vs = snapshot_versions(path)
+    are untouched and stay readable until expired.  Concurrency-safe:
+    the file list is parent-independent, so a conflict retries with
+    just a version bump."""
     files = _write_new_files(df, path)
-    return _commit(path, files, "overwrite", vs[-1] if vs else None)
+    return _commit_with_retry(path, lambda _parent: files, "overwrite")
 
 
 def snapshot_append(df: DataFrame, path: str) -> int:
     """Commit an append version: parent's file list + the new files —
-    the daily-ingest commit (no rewrite; pinned readers unaffected)."""
-    vs = snapshot_versions(path)
-    if not vs:
-        return snapshot_overwrite(df, path)
-    parent = _read_manifest(path, vs[-1])
-    files = parent["files"] + _write_new_files(df, path)
-    return _commit(path, files, "append", vs[-1])
+    the daily-ingest commit (no rewrite; pinned readers unaffected).
+    Concurrency-safe: the new files land ONCE; on a lost commit race
+    the retry re-reads the new parent and re-derives the manifest
+    (manifest-only, no data rewritten), so two racing appends both
+    land and the final version contains both."""
+    new_files = _write_new_files(df, path)
+    return _commit_with_retry(
+        path,
+        lambda parent: (parent["files"] if parent else []) + new_files,
+        "append",
+    )
 
 
 def snapshot_read(
@@ -188,6 +245,12 @@ def snapshot_compact(
     disk, so time travel THROUGH the compaction keeps working — the
     property an in-place rewrite destroys; storage is reclaimed later
     by :func:`snapshot_expire` once the parent falls out of retention.
+
+    Single commit attempt, NO retry: the rewritten content is derived
+    from the version this call read, so a commit lost to a concurrent
+    append must surface (:class:`SnapshotConflictError`) — re-run
+    against the new latest; the orphaned rewrite files are reclaimed
+    by :func:`snapshot_vacuum`.
     """
     vs = snapshot_versions(path)
     m = _read_manifest(path, vs[-1])
@@ -195,7 +258,7 @@ def snapshot_compact(
     n_files = max(1, -(-total // target_file_bytes))
     df = snapshot_read(spark, path).repartition(n_files)
     files = _write_new_files(df, path)
-    return _commit(path, files, "compact", vs[-1])
+    return _try_commit(path, files, "compact", vs[-1])
 
 
 def snapshot_expire(path: str, keep_last: int = 2) -> dict:
@@ -312,3 +375,70 @@ def snapshot_diff(
             )
         )
     )
+
+
+def snapshot_restore(path: str, version: int) -> int:
+    """ROLLBACK: commit a NEW version whose content is an earlier
+    version's — the "yesterday's refresh poisoned the corpus, roll it
+    back" move.  Metadata-only at any scale: the new manifest simply
+    lists the old version's (immutable, still-on-disk) files; nothing
+    is copied or rewritten, history is preserved (the bad version
+    stays readable for the post-mortem), and pinned readers of ANY
+    version are untouched.  Concurrency-safe via the shared
+    optimistic-commit loop — the restored file list is
+    parent-independent, so a conflict retries with a version bump.
+    Fails with ValueError if ``version`` is unknown/expired (restoring
+    reclaimed files would commit a version that cannot be read)."""
+    vs = snapshot_versions(path)
+    if version not in vs:
+        raise ValueError(f"version {version} not in {vs} at {path!r}")
+    files = _read_manifest(path, version)["files"]
+    return _commit_with_retry(path, lambda _parent: files, "restore")
+
+
+def snapshot_vacuum(path: str, min_age_seconds: float = 86400.0) -> dict:
+    """Garbage-collect ORPHANED artifacts: data files referenced by NO
+    manifest (a writer that crashed after landing parquet but before
+    its commit, or a compaction whose commit lost an optimistic race)
+    and stray ``.tmp`` manifests from torn commits.  The complement of
+    :func:`snapshot_expire` (which reclaims files referenced only by
+    EXPIRED manifests): between the two, every byte on disk is
+    accounted to a live version.
+
+    ``min_age_seconds`` is the in-flight-writer grace period: a
+    healthy writer's files are unreferenced during the window between
+    its data write and its manifest commit, so only files older than
+    the grace are eligible (default one day — far beyond any commit
+    latency; tests pass 0).  Returns audit counts.
+    """
+    import time
+
+    referenced: set[str] = set()
+    for v in snapshot_versions(path):
+        referenced.update(_read_manifest(path, v)["files"])
+    cutoff = time.time() - min_age_seconds
+    data_root = os.path.join(path, "data")
+    deleted = 0
+    if os.path.isdir(data_root):
+        for root, _dirs, fs in os.walk(data_root):
+            for f in fs:
+                fp = os.path.join(root, f)
+                rel = os.path.relpath(fp, path)
+                if (
+                    f.endswith(".parquet")
+                    and rel not in referenced
+                    and os.path.getmtime(fp) <= cutoff
+                ):
+                    os.remove(fp)
+                    deleted += 1
+            if not os.listdir(root) and root != data_root:
+                os.rmdir(root)
+    tmps = 0
+    snap = _snap_dir(path)
+    if os.path.isdir(snap):
+        for f in os.listdir(snap):
+            fp = os.path.join(snap, f)
+            if f.endswith(".tmp") and os.path.getmtime(fp) <= cutoff:
+                os.remove(fp)
+                tmps += 1
+    return {"deleted_files": deleted, "deleted_tmp_manifests": tmps}
