@@ -1312,3 +1312,52 @@ def test_snapshot_restore_and_vacuum(spark, tmp_path):
         len(__import__("json").load(open(os.path.join(tbl, "_snapshots", f"v{v}.json")))["files"])
         for v in snapshot_versions(tbl)
     )
+
+
+def test_snapshot_schema_evolution_and_type_conflict(spark, tmp_path):
+    """Manifest-recorded schemas (round 8): an append may ADD columns
+    (old rows read NULL-filled through the widened schema, pinned
+    versions keep their exact original schema — reproducibility covers
+    SCHEMA, not just rows) but a same-name TYPE change refuses loudly;
+    compaction and restore carry the schema through."""
+    import pytest
+
+    from userbehavioranalysis_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_restore,
+    )
+
+    docs = load_testdata(spark, SF)["documents"]
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    tbl = str(tmp_path / "tbl")
+    snapshot_overwrite(even.select("doc_id", "lang"), tbl)           # v1 narrow
+    snapshot_append(odd.select("doc_id", "lang", "n_chars"), tbl)    # v2 widened
+
+    latest = snapshot_read(spark, tbl)
+    assert latest.columns == ["doc_id", "lang", "n_chars"]
+    got = {(r["doc_id"], r["n_chars"]) for r in latest.collect()}
+    want = {(r["doc_id"], None) for r in even.collect()} | {
+        (r["doc_id"], r["n_chars"]) for r in odd.collect()
+    }
+    assert got == want
+    # the pinned narrow version reads with its ORIGINAL schema
+    assert snapshot_read(spark, tbl, version=1).columns == ["doc_id", "lang"]
+
+    # compaction rewrites under the widened schema and keeps content
+    snapshot_compact(spark, tbl)                                     # v3
+    assert {
+        (r["doc_id"], r["n_chars"]) for r in snapshot_read(spark, tbl).collect()
+    } == want
+    # restore carries the restored version's schema
+    snapshot_restore(tbl, 1)                                         # v4
+    assert snapshot_read(spark, tbl).columns == ["doc_id", "lang"]
+
+    # type change refuses (lang as a number)
+    with pytest.raises(ValueError, match="type changes"):
+        snapshot_append(
+            odd.select("doc_id", F.col("n_chars").alias("lang")), tbl
+        )

@@ -58,6 +58,7 @@ R8_WINDOW_CANDIDATES = {
     "corpus_snapshot_diff",
     "corpus_snapshot_restore",
     "corpus_snapshot_vacuum",
+    "corpus_snapshot_evolution",
 }
 
 
@@ -79,14 +80,17 @@ R8_WINDOW_CANDIDATES = {
 #   r7 window: the 4 anchors + the 9 never-checked round-7 additions +
 #              every r2/r3-newest green + the 5 oldest r4-greens →
 #              after r7 no query's newest driver row was older than r4.
-#   r8 window (this one): the 4 pinned anchors, the 6 never-checked
+#   r8 window (this one): the 4 pinned anchors, the 7 never-checked
 #              round-8 additions (snapshot-composed daily refresh,
 #              embedding-side streaming refresh, IVF drift monitor,
 #              snapshot version diff, snapshot rollback-restore,
-#              snapshot orphan vacuum), then EVERY query whose newest
-#              green row is r4 (all 40 fit exactly).  After this
-#              window lands, no registered query's newest driver row
-#              is older than r5.  tests/test_oracle_rotation.py keeps
+#              snapshot orphan vacuum, snapshot schema evolution),
+#              then the queries whose newest green row is r4 — 39 of
+#              the 40 fit; events_schema_evolution (thematically
+#              superseded by the snapshot-layer evolution query, still
+#              sampler-covered) is the one r4-green left to the daily
+#              rotation sampler.  After this window lands, exactly one
+#              registered query's newest driver row is older than r5.  tests/test_oracle_rotation.py keeps
 #              running tools/oracle_check.py on a daily-seeded random
 #              sample so rotated-out queries cannot rot unnoticed.
 _DRIVER_WINDOW = [
@@ -104,6 +108,7 @@ _DRIVER_WINDOW = [
     "corpus_snapshot_diff",
     "corpus_snapshot_restore",
     "corpus_snapshot_vacuum",
+    "corpus_snapshot_evolution",
     # ---- every query whose newest green row is r4, in definition order
     "scd2_user_state",
     "histogram_quantiles",
@@ -144,7 +149,6 @@ _DRIVER_WINDOW = [
     "merge_upsert_users",
     "events_jsonl_roundtrip",
     "events_orc_roundtrip",
-    "events_schema_evolution",
 ]
 
 

@@ -1047,3 +1047,52 @@ def q_corpus_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tmp_manifests_deleted"),
     )
+
+
+@query(
+    "corpus_snapshot_evolution",
+    oracle="""
+    SELECT 'latest' AS state, doc_id, lang,
+           CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE NULL END AS n_chars
+    FROM documents
+    UNION ALL
+    SELECT 'pinned_v1' AS state, doc_id, lang, NULL AS n_chars
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def q_corpus_snapshot_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on the snapshot store: v1 commits the corpus
+    narrow (doc_id, lang); a later ingest generation appends the odd
+    half WIDENED with n_chars.  The manifest records each version's
+    schema (append = parent schema + new columns appended; same-name
+    type changes refuse), and reads apply it EXPLICITLY — no
+    mergeSchema footer pass at any scale — so the latest read returns
+    all docs with v1's rows NULL-filled in the new column, while the
+    pinned v1 read keeps its original narrow two-column schema (the
+    reproducibility contract extends to SCHEMA, not just rows: a
+    pinned training run re-reads exactly the columns it saw).  Both
+    reads value-checked in one hash (the pinned leg NULL-padded only
+    for the union's column alignment)."""
+    from userbehavioranalysis_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    tbl = _fresh_snapshot_stage(spark, sf_dir, "snap_evolve")
+    snapshot_overwrite(
+        docs.filter(_F.col("doc_id") % 2 == 0).select("doc_id", "lang"), tbl
+    )
+    snapshot_append(
+        docs.filter(_F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars"),
+        tbl,
+    )
+    latest = snapshot_read(spark, tbl).withColumn("state", _F.lit("latest"))
+    pinned = snapshot_read(spark, tbl, version=1)
+    assert pinned.columns == ["doc_id", "lang"], pinned.columns
+    return latest.unionByName(
+        pinned.withColumn("state", _F.lit("pinned_v1")).withColumn(
+            "n_chars", _F.lit(None).cast("long")
+        )
+    ).select("state", "doc_id", "lang", "n_chars")

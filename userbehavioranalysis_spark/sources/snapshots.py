@@ -98,8 +98,19 @@ class SnapshotConflictError(RuntimeError):
     version it read, so a blind retry would publish stale content)."""
 
 
-def _try_commit(path: str, files: list[str], op: str, parent: int | None) -> int:
+def _try_commit(
+    path: str,
+    files: list[str],
+    op: str,
+    parent: int | None,
+    schema: dict | None = None,
+) -> int:
     """One OPTIMISTIC commit attempt at version ``parent + 1``.
+    ``schema`` (a StructType jsonValue) rides the manifest so reads
+    resolve the version's schema WITHOUT footer inference — and so
+    schema EVOLUTION works: a version whose lineage spans a column
+    addition reads old files through the widened schema (missing
+    columns come back NULL), no mergeSchema footer pass at any scale.
 
     Crash-atomic AND concurrency-safe: the manifest is fully written
     (and fsynced) to a writer-unique temp name, then published with an
@@ -120,6 +131,8 @@ def _try_commit(path: str, files: list[str], op: str, parent: int | None) -> int
         "operation": op,
         "files": sorted(files),
     }
+    if schema is not None:
+        manifest["schema"] = schema
     final = _manifest_path(path, version)
     tmp = f"{final}.{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
@@ -139,7 +152,11 @@ def _try_commit(path: str, files: list[str], op: str, parent: int | None) -> int
 
 
 def _commit_with_retry(
-    path: str, files_for_parent, op: str, max_retries: int = 20
+    path: str,
+    files_for_parent,
+    op: str,
+    max_retries: int = 20,
+    schema_for_parent=None,
 ) -> int:
     """Optimistic-concurrency loop shared by append and overwrite:
     re-read the latest version, derive the file list for that parent
@@ -156,12 +173,40 @@ def _commit_with_retry(
                 files_for_parent(parent),
                 op,
                 parent["version"] if parent else None,
+                schema=schema_for_parent(parent) if schema_for_parent else None,
             )
         except SnapshotConflictError:
             continue
     raise SnapshotConflictError(
         f"gave up committing {op} at {path!r} after {max_retries} conflicts"
     )
+
+
+def _evolved_schema(parent: dict | None, df: DataFrame) -> dict:
+    """Schema for an append commit: the parent's manifest schema plus
+    any NEW columns the batch introduces (appended at the end, so a
+    pinned reader's column positions never shift).  A same-name column
+    with a DIFFERENT type refuses loudly — silently coercing would
+    corrupt either the old files' reads or the new ones'.  A legacy
+    parent without a recorded schema evolves from the batch's schema
+    alone (its old files still read by inference until a compaction
+    rewrites them)."""
+    from pyspark.sql.types import StructType
+
+    if parent is None or "schema" not in parent:
+        return df.schema.jsonValue()
+    merged = StructType.fromJson(parent["schema"])
+    have = {f.name: f.dataType for f in merged.fields}
+    for f in df.schema.fields:
+        if f.name not in have:
+            merged = merged.add(f)
+        elif have[f.name] != f.dataType:
+            raise ValueError(
+                f"append changes column {f.name!r} from {have[f.name]} to "
+                f"{f.dataType}; type changes need an explicit rewrite "
+                "(snapshot_overwrite), not an append"
+            )
+    return merged.jsonValue()
 
 
 def _write_new_files(df: DataFrame, path: str) -> list[str]:
@@ -202,7 +247,12 @@ def snapshot_overwrite(df: DataFrame, path: str) -> int:
     the file list is parent-independent, so a conflict retries with
     just a version bump."""
     files = _write_new_files(df, path)
-    return _commit_with_retry(path, lambda _parent: files, "overwrite")
+    return _commit_with_retry(
+        path,
+        lambda _parent: files,
+        "overwrite",
+        schema_for_parent=lambda _parent: df.schema.jsonValue(),
+    )
 
 
 def snapshot_append(df: DataFrame, path: str) -> int:
@@ -217,6 +267,7 @@ def snapshot_append(df: DataFrame, path: str) -> int:
         path,
         lambda parent: (parent["files"] if parent else []) + new_files,
         "append",
+        schema_for_parent=lambda parent: _evolved_schema(parent, df),
     )
 
 
@@ -234,7 +285,15 @@ def snapshot_read(
     if v not in vs:
         raise ValueError(f"version {v} not in {vs} at {path!r}")
     m = _read_manifest(path, v)
-    return spark.read.parquet(*[os.path.join(path, f) for f in m["files"]])
+    reader = spark.read
+    if "schema" in m:
+        # the manifest's recorded schema: no footer inference, and a
+        # lineage spanning a column addition reads old files with the
+        # new columns as NULL (parquet missing-column semantics)
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(m["schema"]))
+    return reader.parquet(*[os.path.join(path, f) for f in m["files"]])
 
 
 def snapshot_compact(
@@ -258,7 +317,9 @@ def snapshot_compact(
     n_files = max(1, -(-total // target_file_bytes))
     df = snapshot_read(spark, path).repartition(n_files)
     files = _write_new_files(df, path)
-    return _try_commit(path, files, "compact", vs[-1])
+    return _try_commit(
+        path, files, "compact", vs[-1], schema=df.schema.jsonValue()
+    )
 
 
 def snapshot_expire(path: str, keep_last: int = 2) -> dict:
@@ -392,8 +453,13 @@ def snapshot_restore(path: str, version: int) -> int:
     vs = snapshot_versions(path)
     if version not in vs:
         raise ValueError(f"version {version} not in {vs} at {path!r}")
-    files = _read_manifest(path, version)["files"]
-    return _commit_with_retry(path, lambda _parent: files, "restore")
+    restored = _read_manifest(path, version)
+    return _commit_with_retry(
+        path,
+        lambda _parent: restored["files"],
+        "restore",
+        schema_for_parent=lambda _parent: restored.get("schema"),
+    )
 
 
 def snapshot_vacuum(path: str, min_age_seconds: float = 86400.0) -> dict:
