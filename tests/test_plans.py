@@ -1361,3 +1361,48 @@ def test_snapshot_schema_evolution_and_type_conflict(spark, tmp_path):
         snapshot_append(
             odd.select("doc_id", F.col("n_chars").alias("lang")), tbl
         )
+
+
+def test_snapshot_partitioned_layout_prunes_pinned_reads(spark, tmp_path):
+    """Partitioned snapshot tables (round 8): the Hive directories sit
+    at a fixed depth under data/ so one basePath covers every commit's
+    files; a PINNED read filtered on the partition column must show
+    PartitionFilters (directory pruning within the manifest's explicit
+    file list), column order follows the manifest schema, appends
+    inherit the layout, and compact/restore preserve it."""
+    from userbehavioranalysis_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_append,
+        snapshot_compact,
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_restore,
+    )
+
+    docs = load_testdata(spark, SF)["documents"].select("doc_id", "lang", "n_chars")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    tbl = str(tmp_path / "tbl")
+    snapshot_overwrite(even, tbl, partition_by=["lang"])  # v1
+    snapshot_append(odd, tbl)                             # v2 inherits layout
+
+    rows = lambda df: {tuple(r) for r in df.collect()}
+    latest = snapshot_read(spark, tbl)
+    assert latest.columns == ["doc_id", "lang", "n_chars"]  # manifest order
+    assert rows(latest) == rows(docs)
+
+    # pinned v1 read filtered on the partition column PRUNES
+    pinned = snapshot_read(spark, tbl, version=1).filter(F.col("lang") == "en")
+    plan = _plan(pinned)
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    assert rows(pinned) == rows(even.filter(F.col("lang") == "en"))
+
+    # compact and restore carry the layout (manifest partition_by) and content
+    snapshot_compact(spark, tbl)                          # v3
+    assert _read_manifest(tbl, 3).get("partition_by") == ["lang"]
+    assert rows(snapshot_read(spark, tbl)) == rows(docs)
+    snapshot_restore(tbl, 1)                              # v4
+    assert _read_manifest(tbl, 4).get("partition_by") == ["lang"]
+    pr = snapshot_read(spark, tbl).filter(F.col("lang") == "en")
+    assert "PartitionFilters" in _plan(pr)
+    assert rows(pr) == rows(even.filter(F.col("lang") == "en"))

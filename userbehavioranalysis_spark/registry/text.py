@@ -1096,3 +1096,50 @@ def q_corpus_snapshot_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars", _F.lit(None).cast("long")
         )
     ).select("state", "doc_id", "lang", "n_chars")
+
+
+@query(
+    "corpus_snapshot_partitioned",
+    oracle="""
+    SELECT 'latest_en' AS state, doc_id, lang, n_chars
+    FROM documents WHERE lang = 'en'
+    UNION ALL
+    SELECT 'pinned_v1_en' AS state, doc_id, lang, n_chars
+    FROM documents WHERE lang = 'en' AND doc_id % 2 = 0
+    """,
+)
+def q_corpus_snapshot_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED snapshot table (the 100 TB layout question for the
+    store): the corpus commits Hive-partitioned by lang — directories
+    at a fixed depth under data/, so one basePath covers every
+    commit's files — and a read filtered on the partition column
+    partition-PRUNES within the version's explicit file list
+    (PartitionFilters plan-pinned in tests/test_plans.py).  The hash
+    value-checks the pruned LATEST read and the pruned PINNED-v1 read
+    (after an append landed) in one gate: pruning changes I/O, never
+    results, and time travel composes with it."""
+    from userbehavioranalysis_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"].select("doc_id", "lang", "n_chars")
+    tbl = _fresh_snapshot_stage(spark, sf_dir, "snap_part")
+    snapshot_overwrite(
+        docs.filter(_F.col("doc_id") % 2 == 0), tbl, partition_by=["lang"]
+    )
+    snapshot_append(docs.filter(_F.col("doc_id") % 2 == 1), tbl)
+    latest_en = (
+        snapshot_read(spark, tbl)
+        .filter(_F.col("lang") == "en")
+        .withColumn("state", _F.lit("latest_en"))
+    )
+    pinned_en = (
+        snapshot_read(spark, tbl, version=1)
+        .filter(_F.col("lang") == "en")
+        .withColumn("state", _F.lit("pinned_v1_en"))
+    )
+    return latest_en.unionByName(pinned_en).select(
+        "state", "doc_id", "lang", "n_chars"
+    )

@@ -104,6 +104,7 @@ def _try_commit(
     op: str,
     parent: int | None,
     schema: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """One OPTIMISTIC commit attempt at version ``parent + 1``.
     ``schema`` (a StructType jsonValue) rides the manifest so reads
@@ -133,6 +134,8 @@ def _try_commit(
     }
     if schema is not None:
         manifest["schema"] = schema
+    if partition_by:
+        manifest["partition_by"] = list(partition_by)
     final = _manifest_path(path, version)
     tmp = f"{final}.{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
@@ -157,6 +160,7 @@ def _commit_with_retry(
     op: str,
     max_retries: int = 20,
     schema_for_parent=None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Optimistic-concurrency loop shared by append and overwrite:
     re-read the latest version, derive the file list for that parent
@@ -174,6 +178,7 @@ def _commit_with_retry(
                 op,
                 parent["version"] if parent else None,
                 schema=schema_for_parent(parent) if schema_for_parent else None,
+                partition_by=partition_by,
             )
         except SnapshotConflictError:
             continue
@@ -209,15 +214,62 @@ def _evolved_schema(parent: dict | None, df: DataFrame) -> dict:
     return merged.jsonValue()
 
 
-def _write_new_files(df: DataFrame, path: str) -> list[str]:
-    """Land a DataFrame as immutable files under data/<uuid>/ and
-    return their table-relative paths.  A staging subdir per commit
-    keeps concurrent writers from colliding on file names and makes
-    the new-file set trivially enumerable."""
+def _write_new_files(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> list[str]:
+    """Land a DataFrame as immutable files under data/ and return
+    their table-relative paths.
+
+    Flat layout: one staging subdir per commit (data/<uuid>/...) keeps
+    concurrent writers from colliding and the new-file set trivially
+    enumerable.
+
+    Partitioned layout: the Hive directories must sit at a FIXED depth
+    (data/col=val/...) for Spark's partition discovery to accept an
+    explicit multi-file list under one basePath — per-commit stamp
+    dirs between data/ and col=val/ make the structures "conflict".
+    So the commit writes partitionBy into a private staging dir, then
+    MOVES each leaf file to data/<col=val...>/<stamp>-<i>.parquet
+    (renames within one filesystem; an object store does the same
+    with per-file copies, still metadata-bounded by the commit's own
+    file count).  ``repartition`` by the partition columns first keeps
+    it to one file per partition value per commit (the writers.py
+    discipline), and the stamp prefix keeps concurrent commits from
+    colliding inside a shared partition directory."""
     stamp = uuid.uuid4().hex[:12]
-    out = os.path.join(path, "data", stamp)
-    df.write.mode("error").parquet(out)
-    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    if partition_by:
+        import shutil
+
+        tmp = os.path.join(path, "data", f"_stage_{stamp}")
+        df.repartition(*partition_by).write.mode("error").partitionBy(
+            *partition_by
+        ).parquet(tmp)
+        files = []
+        for root, _dirs, fs in os.walk(tmp):
+            for i, f in enumerate(sorted(fs)):
+                if not f.endswith(".parquet"):
+                    continue
+                rel_part_dir = os.path.relpath(root, tmp)
+                dest_dir = os.path.join(path, "data", rel_part_dir)
+                os.makedirs(dest_dir, exist_ok=True)
+                dest = os.path.join(dest_dir, f"{stamp}-{i}.parquet")
+                os.rename(os.path.join(root, f), dest)
+                files.append(os.path.relpath(dest, path))
+        shutil.rmtree(tmp)
+        if files:
+            return sorted(files)
+        # empty partitioned commit: same schema-bearing placeholder as
+        # the flat path (partition columns ride as DATA columns in the
+        # file, so the explicit-schema read needs no path segments)
+        out = os.path.join(path, "data", stamp)
+        os.makedirs(out, exist_ok=True)
+    else:
+        out = os.path.join(path, "data", stamp)
+        df.write.mode("error").parquet(out)
+    files = [
+        f for f in (os.listdir(out) if os.path.isdir(out) else [])
+        if f.endswith(".parquet")
+    ]
     if not files:
         # An EMPTY commit (snapshot_overwrite of an empty frame, or an
         # empty first append — e.g. a refresh day where every document
@@ -241,17 +293,28 @@ def _write_new_files(df: DataFrame, path: str) -> list[str]:
     return [os.path.join("data", stamp, f) for f in files]
 
 
-def snapshot_overwrite(df: DataFrame, path: str) -> int:
+def snapshot_overwrite(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> int:
     """Commit a full-replacement version.  Previous versions' files
     are untouched and stay readable until expired.  Concurrency-safe:
     the file list is parent-independent, so a conflict retries with
-    just a version bump."""
-    files = _write_new_files(df, path)
+    just a version bump.
+
+    ``partition_by`` lays the version out as Hive directories and
+    records the columns in the manifest: reads then derive the
+    partition columns from the paths (``basePath``) and — the point at
+    100 TB — a pinned read filtered on them PRUNES to the matching
+    directories of ITS OWN file list (PartitionFilters, plan-pinned in
+    tests).  An overwrite may change the table's partitioning (it owns
+    the whole content); appends must match it."""
+    files = _write_new_files(df, path, partition_by)
     return _commit_with_retry(
         path,
         lambda _parent: files,
         "overwrite",
         schema_for_parent=lambda _parent: df.schema.jsonValue(),
+        partition_by=partition_by,
     )
 
 
@@ -261,14 +324,48 @@ def snapshot_append(df: DataFrame, path: str) -> int:
     Concurrency-safe: the new files land ONCE; on a lost commit race
     the retry re-reads the new parent and re-derives the manifest
     (manifest-only, no data rewritten), so two racing appends both
-    land and the final version contains both."""
-    new_files = _write_new_files(df, path)
+    land and the final version contains both.  The table's partition
+    layout comes FROM the latest manifest (an append that laid out
+    directories differently would silently break pruning — the same
+    manifest-wins discipline as the index signing parameters)."""
+    vs = snapshot_versions(path)
+    part = _read_manifest(path, vs[-1]).get("partition_by") if vs else None
+    new_files = _write_new_files(df, path, part)
     return _commit_with_retry(
         path,
         lambda parent: (parent["files"] if parent else []) + new_files,
         "append",
         schema_for_parent=lambda parent: _evolved_schema(parent, df),
+        partition_by=part,
     )
+
+
+def _read_files(
+    spark: SparkSession, path: str, m: dict, files: list[str]
+) -> DataFrame:
+    """Read an explicit file subset under a version's manifest rules:
+    the recorded schema applies verbatim (no footer inference;
+    evolution NULL-fills), and for a partitioned layout ``basePath``
+    makes Spark derive the partition columns from the col=val path
+    segments — so filters on them partition-prune WITHIN the explicit
+    file list (the listing is the manifest's, the pruning is
+    Catalyst's)."""
+    reader = spark.read
+    schema = None
+    if "schema" in m:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(m["schema"])
+        reader = reader.schema(schema)
+    if m.get("partition_by"):
+        reader = reader.option("basePath", path)
+    df = reader.parquet(*[os.path.join(path, f) for f in files])
+    if schema is not None and df.columns != schema.names:
+        # Spark surfaces path-derived partition columns LAST regardless
+        # of the explicit schema; re-project to the manifest's order so
+        # a version's column positions are part of its contract
+        df = df.select(*schema.names)
+    return df
 
 
 def snapshot_read(
@@ -285,15 +382,7 @@ def snapshot_read(
     if v not in vs:
         raise ValueError(f"version {v} not in {vs} at {path!r}")
     m = _read_manifest(path, v)
-    reader = spark.read
-    if "schema" in m:
-        # the manifest's recorded schema: no footer inference, and a
-        # lineage spanning a column addition reads old files with the
-        # new columns as NULL (parquet missing-column semantics)
-        from pyspark.sql.types import StructType
-
-        reader = reader.schema(StructType.fromJson(m["schema"]))
-    return reader.parquet(*[os.path.join(path, f) for f in m["files"]])
+    return _read_files(spark, path, m, m["files"])
 
 
 def snapshot_compact(
@@ -313,12 +402,24 @@ def snapshot_compact(
     """
     vs = snapshot_versions(path)
     m = _read_manifest(path, vs[-1])
-    total = sum(os.path.getsize(os.path.join(path, f)) for f in m["files"])
-    n_files = max(1, -(-total // target_file_bytes))
-    df = snapshot_read(spark, path).repartition(n_files)
-    files = _write_new_files(df, path)
+    part = m.get("partition_by")
+    df = snapshot_read(spark, path)
+    if part:
+        # partitioned layout: the compaction unit is one file per
+        # partition value (the helper repartitions by the columns);
+        # byte-target sizing applies to the flat layout only
+        files = _write_new_files(df, path, part)
+    else:
+        total = sum(os.path.getsize(os.path.join(path, f)) for f in m["files"])
+        n_files = max(1, -(-total // target_file_bytes))
+        files = _write_new_files(df.repartition(n_files), path)
     return _try_commit(
-        path, files, "compact", vs[-1], schema=df.schema.jsonValue()
+        path,
+        files,
+        "compact",
+        vs[-1],
+        schema=df.schema.jsonValue(),
+        partition_by=part,
     )
 
 
@@ -394,21 +495,24 @@ def snapshot_diff(
     """
     import pyspark.sql.functions as F
 
-    a = set(_read_manifest(path, from_version)["files"])
-    b = set(_read_manifest(path, to_version)["files"])
+    ma = _read_manifest(path, from_version)
+    mb = _read_manifest(path, to_version)
+    a, b = set(ma["files"]), set(mb["files"])
     if a <= b or b <= a:
         added = sorted(b - a)
         removed = sorted(a - b)
         parts = []
         if added:
             parts.append(
-                spark.read.parquet(*[os.path.join(path, f) for f in added])
-                .withColumn("change", F.lit("added"))
+                _read_files(spark, path, mb, added).withColumn(
+                    "change", F.lit("added")
+                )
             )
         if removed:
             parts.append(
-                spark.read.parquet(*[os.path.join(path, f) for f in removed])
-                .withColumn("change", F.lit("removed"))
+                _read_files(spark, path, ma, removed).withColumn(
+                    "change", F.lit("removed")
+                )
             )
         if not parts:
             return snapshot_read(spark, path, to_version).limit(0).withColumn(
@@ -459,6 +563,7 @@ def snapshot_restore(path: str, version: int) -> int:
         lambda _parent: restored["files"],
         "restore",
         schema_for_parent=lambda _parent: restored.get("schema"),
+        partition_by=restored.get("partition_by"),
     )
 
 
