@@ -439,3 +439,56 @@ def test_snapshot_refresh_pinned_day_survives_retention(spark):
     # the expired day-0 pin fails loudly
     with pytest.raises(ValueError):
         snapshot_read(spark, snap, version=1)
+
+
+def test_snapshot_sink_exactly_once_crash_recovery(spark, tmp_path):
+    """snapshot_append_stream_batch's full failure matrix, beyond the
+    registered replay: (a) a replayed batch id is skipped across a
+    CRASH that orphaned its first attempt's data files (landed, never
+    committed) — the replay commits fresh files once and vacuum
+    reclaims the orphans; (b) id spaces are scoped per query name;
+    (c) dedup deliberately SURVIVES a restore (rolling back a poisoned
+    table must not re-open the door to the batch that poisoned it) —
+    re-ingesting needs a fresh query_name."""
+    from userbehavioranalysis_spark.sources.snapshots import (
+        _write_new_files,
+        snapshot_append_stream_batch,
+        snapshot_read,
+        snapshot_restore,
+        snapshot_vacuum,
+        snapshot_versions,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang")
+    )
+    b0 = docs.filter(F.col("doc_id") < 100)
+    b1 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    tbl = str(tmp_path / "tbl")
+
+    assert snapshot_append_stream_batch(b0, tbl, 0, "q") == 1
+    # crash simulation: batch 1's first attempt landed files but died
+    # before the manifest commit
+    orphans = _write_new_files(b1, tbl)
+    # the replay of batch 1 commits once...
+    assert snapshot_append_stream_batch(b1, tbl, 1, "q") == 2
+    # ...and a further replay is a no-op
+    assert snapshot_append_stream_batch(b1, tbl, 1, "q") is None
+    got = {r["doc_id"] for r in snapshot_read(spark, tbl).collect()}
+    assert got == {r["doc_id"] for r in b0.unionByName(b1).collect()}
+
+    # vacuum reclaims exactly the crashed attempt's files
+    stats = snapshot_vacuum(tbl, min_age_seconds=0)
+    assert stats["deleted_files"] == len(orphans)
+    assert {r["doc_id"] for r in snapshot_read(spark, tbl).collect()} == got
+
+    # a DIFFERENT stream's batch 0 is not confused with q's
+    assert snapshot_append_stream_batch(b1.limit(5), tbl, 0, "q2") == 3
+
+    # dedup survives the rollback: (q, 1) stays refused; a fresh
+    # stream identity re-ingests
+    snapshot_restore(tbl, 1)
+    assert snapshot_append_stream_batch(b1, tbl, 1, "q") is None
+    assert snapshot_append_stream_batch(b1, tbl, 1, "q_fresh") is not None
+    assert snapshot_versions(tbl) == [1, 2, 3, 4, 5]

@@ -60,6 +60,7 @@ R8_WINDOW_CANDIDATES = {
     "corpus_snapshot_vacuum",
     "corpus_snapshot_evolution",
     "corpus_snapshot_partitioned",
+    "streaming_snapshot_sink_replay",
 }
 
 
@@ -81,18 +82,19 @@ R8_WINDOW_CANDIDATES = {
 #   r7 window: the 4 anchors + the 9 never-checked round-7 additions +
 #              every r2/r3-newest green + the 5 oldest r4-greens →
 #              after r7 no query's newest driver row was older than r4.
-#   r8 window (this one): the 4 pinned anchors, the 8 never-checked
+#   r8 window (this one): the 4 pinned anchors, the 9 never-checked
 #              round-8 additions (snapshot-composed daily refresh,
 #              embedding-side streaming refresh, IVF drift monitor,
 #              snapshot version diff, rollback-restore, orphan vacuum,
-#              schema evolution, partitioned layout), then the queries
-#              whose newest green row is r4 — 38 of the 40 fit;
-#              events_schema_evolution and events_orc_roundtrip (both
+#              schema evolution, partitioned layout, exactly-once
+#              stream sink), then the queries whose newest green row
+#              is r4 — 37 of the 40 fit; events_schema_evolution,
+#              events_orc_roundtrip and events_jsonl_roundtrip (all
 #              format roundtrips, thematically covered by their
-#              registered siblings and the daily sampler) are the two
-#              r4-greens left to the rotation sampler.  After this
-#              window lands, exactly two registered queries' newest
-#              driver rows are older than r5.  tests/test_oracle_rotation.py keeps
+#              registered siblings and the daily sampler) are the
+#              three r4-greens left to the rotation sampler.  After
+#              this window lands, exactly three registered queries'
+#              newest driver rows are older than r5.  tests/test_oracle_rotation.py keeps
 #              running tools/oracle_check.py on a daily-seeded random
 #              sample so rotated-out queries cannot rot unnoticed.
 _DRIVER_WINDOW = [
@@ -112,6 +114,7 @@ _DRIVER_WINDOW = [
     "corpus_snapshot_vacuum",
     "corpus_snapshot_evolution",
     "corpus_snapshot_partitioned",
+    "streaming_snapshot_sink_replay",
     # ---- every query whose newest green row is r4, in definition order
     "scd2_user_state",
     "histogram_quantiles",
@@ -150,7 +153,6 @@ _DRIVER_WINDOW = [
     "excess_share_suppliers",
     "bloom_filter_join",
     "merge_upsert_users",
-    "events_jsonl_roundtrip",
 ]
 
 

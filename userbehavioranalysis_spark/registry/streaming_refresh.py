@@ -616,3 +616,55 @@ def q_streaming_embedding_incremental_replay(
         )
     finally:
         shutil.rmtree(art, ignore_errors=True)
+
+
+@query(
+    "streaming_snapshot_sink_replay",
+    oracle="SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1",
+)
+def q_streaming_snapshot_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot store as a Structured Streaming SINK with
+    EXACTLY-ONCE table commits (sources/snapshots.
+    snapshot_append_stream_batch): the 3-batch document delta streams
+    into a versioned table via foreachBatch, and — the semantics under
+    test — every batch is committed TWICE with the same batch id,
+    simulating the replay Spark performs after a failure between sink
+    write and checkpoint commit.  The manifest lineage carries
+    (query, batch_id), so the duplicate invocation is detected and
+    skipped BEFORE any data lands; the latest read must equal the
+    delta exactly — any double-ingest breaks the hash.  (At-least-once
+    foreachBatch + transaction-log dedup = Delta's txnAppId/txnVersion
+    idempotent-write contract, at the layout level.)"""
+    from userbehavioranalysis_spark.registry.text import _fresh_snapshot_stage
+    from userbehavioranalysis_spark.sources.snapshots import (
+        snapshot_append_stream_batch,
+        snapshot_read,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    stage = _stage_doc_batches(sf_dir, docs)
+    raw = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
+    tbl = _fresh_snapshot_stage(spark, sf_dir, "snap_sink")
+
+    seen_versions = []
+
+    def _batch(bdf):
+        # availableNow + maxFilesPerTrigger=1 over 3 mtime-ordered
+        # files → batch ids 0,1,2; recover the id from how many
+        # versions this run has committed (foreachBatch passes it to
+        # the handler, but _run_bounded_foreach's contract is df-only)
+        bid = len(seen_versions)
+        v = snapshot_append_stream_batch(bdf, tbl, bid, "sink_replay")
+        assert v is not None, "first commit of a batch must land"
+        seen_versions.append(v)
+        # the REPLAY: same data, same batch id — must be a no-op
+        assert snapshot_append_stream_batch(bdf, tbl, bid, "sink_replay") is None
+        return bdf.limit(0)
+
+    _run_bounded_foreach(raw, "streaming_snapshot_sink_replay", _batch)
+    return snapshot_read(spark, tbl)

@@ -105,6 +105,7 @@ def _try_commit(
     parent: int | None,
     schema: dict | None = None,
     partition_by: list[str] | None = None,
+    extra: dict | None = None,
 ) -> int:
     """One OPTIMISTIC commit attempt at version ``parent + 1``.
     ``schema`` (a StructType jsonValue) rides the manifest so reads
@@ -136,6 +137,8 @@ def _try_commit(
         manifest["schema"] = schema
     if partition_by:
         manifest["partition_by"] = list(partition_by)
+    if extra:
+        manifest.update(extra)
     final = _manifest_path(path, version)
     tmp = f"{final}.{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
@@ -613,3 +616,78 @@ def snapshot_vacuum(path: str, min_age_seconds: float = 86400.0) -> dict:
                 os.remove(fp)
                 tmps += 1
     return {"deleted_files": deleted, "deleted_tmp_manifests": tmps}
+
+
+def snapshot_append_stream_batch(
+    df: DataFrame, path: str, batch_id: int, query_name: str
+) -> int | None:
+    """EXACTLY-ONCE streaming ingest commit: the foreachBatch body for
+    using a snapshot table as a Structured Streaming SINK.
+
+    foreachBatch alone is at-least-once — after a failure between the
+    sink write and the checkpoint commit, Spark REPLAYS the batch, and
+    a plain ``snapshot_append`` would commit its rows twice.  The
+    manifest is the store's transaction log, so idempotence rides it:
+    each stream commit records ``(stream, batch_id)``, and a replayed
+    batch whose id is already in the version LINEAGE is skipped before
+    any data lands (returns None).  Parquet-write + manifest-commit
+    remain non-atomic — a crash between them leaves the data files
+    orphaned and UNCOMMITTED (never half-visible); the replay then
+    commits fresh files and :func:`snapshot_vacuum` reclaims the
+    orphans.  That is the same recovery contract Delta's
+    ``txnAppId/txnVersion`` idempotent writes give.
+
+    ``query_name`` scopes the id space: two different streams into one
+    table don't collide on Spark's per-query monotonic batch ids.
+    The dedup follows the version LINEAGE (parent chain), which
+    deliberately survives restores — rolling a poisoned table back
+    must not silently re-open the door to a replay of the very batch
+    that poisoned it.  To genuinely re-ingest after a rollback, start
+    the stream over: fresh checkpoint + a new ``query_name``.  An
+    overwrite DOES start a new id space in practice only via a new
+    query_name as well — conservative by design.
+    """
+    seen: set[tuple[str, int]] = set()
+    vs = snapshot_versions(path)
+    v: int | None = vs[-1] if vs else None
+    while v is not None:
+        m = _read_manifest(path, v)
+        sb = m.get("stream_batch")
+        if sb:
+            seen.add((sb["query"], sb["batch_id"]))
+        v = m.get("parent")
+    if (query_name, batch_id) in seen:
+        return None
+    vs = snapshot_versions(path)
+    part = _read_manifest(path, vs[-1]).get("partition_by") if vs else None
+    new_files = _write_new_files(df, path, part)
+
+    def _files(parent):
+        return (parent["files"] if parent else []) + new_files
+
+    # the batch marker rides INSIDE the atomic commit (an
+    # amend-after-publish would open a crash window where the version
+    # is live but unmarked, and the replay would double-ingest)
+    for _ in range(20):
+        vs = snapshot_versions(path)
+        parent = _read_manifest(path, vs[-1]) if vs else None
+        try:
+            return _try_commit(
+                path,
+                _files(parent),
+                "stream-append",
+                parent["version"] if parent else None,
+                schema=_evolved_schema(parent, df),
+                partition_by=part,
+                extra={
+                    "stream_batch": {
+                        "query": query_name,
+                        "batch_id": int(batch_id),
+                    }
+                },
+            )
+        except SnapshotConflictError:
+            continue
+    raise SnapshotConflictError(
+        f"gave up committing stream batch {batch_id} at {path!r}"
+    )
