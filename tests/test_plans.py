@@ -1406,3 +1406,53 @@ def test_snapshot_partitioned_layout_prunes_pinned_reads(spark, tmp_path):
     pr = snapshot_read(spark, tbl).filter(F.col("lang") == "en")
     assert "PartitionFilters" in _plan(pr)
     assert rows(pr) == rows(even.filter(F.col("lang") == "en"))
+
+
+def test_ivf_maintain_retrains_on_drift(spark, tmp_path):
+    """ivf_maintain composes the round-8 drift monitor with the
+    MLlib retrain + index rewrite: a balanced state is a cheap no-op;
+    after a hot append trips a cell, maintenance retrains over the
+    union corpus, the rewritten index's histogram re-baselines (drift
+    back to quiet), probes still work, and no vectors are lost."""
+    from userbehavioranalysis_spark.operators.similarity import (
+        ann_topk_ivf_indexed,
+        assign_ivf_clusters,
+        ivf_cell_drift,
+        ivf_index_append,
+        ivf_index_write,
+        ivf_maintain,
+    )
+
+    emb = load_testdata(spark, SF)["embeddings"]
+    idx = str(tmp_path / "ivf")
+    ivf_index_write(
+        assign_ivf_clusters(emb.filter(F.col("vec_id") % 2 == 0), 5, iters=2), idx
+    )
+    ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), idx)
+
+    quiet = ivf_maintain(spark, idx)
+    assert quiet == {
+        "checked": quiet["checked"],
+        "flagged": [],
+        "retrained": False,
+        "trained_n": emb.filter(F.col("vec_id") % 2 == 0).count(),
+    }
+
+    hot_src = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    n_hot = emb.count() * 4
+    hot = spark.createDataFrame(
+        [(100000 + i, hot_src) for i in range(n_hot)],
+        "vec_id long, embedding array<float>",
+    )
+    ivf_index_append(hot, idx)
+
+    res = ivf_maintain(spark, idx)
+    assert res["retrained"] and len(res["flagged"]) == 1
+    assert res["trained_n"] == emb.count() + n_hot  # nothing lost
+    # re-baselined: the fresh histogram matches the live state exactly
+    after = ivf_cell_drift(spark, idx).collect()
+    assert all(r["current_n"] == r["trained_n"] for r in after)
+    assert not any(r["drifted"] for r in after)
+    # the rewritten index still serves probes
+    res_df = ann_topk_ivf_indexed(emb.filter(F.col("vec_id") < 3), idx, k=5)
+    assert res_df.groupBy("query_id").count().collect()[0]["count"] == 5

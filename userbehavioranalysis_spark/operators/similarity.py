@@ -1002,3 +1002,71 @@ def ann_topk_lsh_multiprobe(
             "query_id", "neighbor_id", "cosine_r6", F.col("rank").cast("int").alias("rank")
         )
     )
+
+
+def ivf_maintain(
+    spark,
+    index_path: str,
+    skew_threshold: float = 2.0,
+    n_clusters: int | None = None,
+    max_iter: int = 4,
+) -> dict:
+    """The IVF maintenance DECISION composed end-to-end: check
+    :func:`ivf_cell_drift` against the index's pinned training
+    histogram, and when any cell flags, RETRAIN over the union corpus
+    (``mlcodebooks.ivf_clusters_distributed`` — distributed k-means‖)
+    and rewrite the index via :func:`ivf_index_write` — the evidence-
+    triggered version of FAISS's "retrain when the distribution
+    shifts" folklore, and the IVF analog of the dedup indexes' re-cap
+    compaction.
+
+    Returns an audit dict: ``{"checked": k, "flagged": [cells...],
+    "retrained": bool, "trained_n": n}``.  No-drift calls cost one
+    partition-column-only aggregate plus a k-row manifest read —
+    cheap enough to run after every append batch.  The rewrite stages
+    into a sibling temp dir and swaps via the aside-preserving
+    :func:`dedup_index._swap_dir`, so a crash mid-maintenance leaves a
+    complete readable index.  ``n_clusters`` defaults to the current
+    cell count (retrain keeps the routing granularity unless told
+    otherwise).
+    """
+    import os
+    import shutil
+
+    from userbehavioranalysis_spark.operators.dedup_index import _swap_dir
+    from userbehavioranalysis_spark.operators.mlcodebooks import (
+        ivf_clusters_distributed,
+    )
+
+    drift = ivf_cell_drift(spark, index_path, skew_threshold).collect()
+    flagged = [int(r["cluster"]) for r in drift if r["drifted"]]
+    if not flagged:
+        return {
+            "checked": len(drift),
+            "flagged": [],
+            "retrained": False,
+            "trained_n": sum(int(r["trained_n"]) for r in drift),
+        }
+    vectors = spark.read.parquet(f"{index_path}/vectors").select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    k = n_clusters if n_clusters is not None else len(drift)
+    clustered = ivf_clusters_distributed(vectors, n_clusters=k, max_iter=max_iter)
+    tmp = f"{index_path}_retrain_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ivf_index_write(clustered, tmp)
+    _swap_dir(tmp, index_path)
+    n = sum(
+        int(r["n"])
+        for r in spark.read.parquet(f"{index_path}/vectors")
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert not os.path.exists(tmp)
+    return {
+        "checked": len(drift),
+        "flagged": flagged,
+        "retrained": True,
+        "trained_n": n,
+    }
