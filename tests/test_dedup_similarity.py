@@ -606,6 +606,77 @@ def test_lsh_plane_entropy_no_mega_buckets(spark):
     assert sum(sizes) == 400 * 8  # every vector contributes all 8 bands
 
 
+def test_lsh_band_kernel_matches_jvm_fold(spark):
+    """The Arrow matmul band kernel (similarity._band_vals_udf) must be
+    BIT-IDENTICAL to the original interpreted JVM fold of the same
+    integer math — the r8 optimization replaced the fold
+    (``aggregate(zip_with(qi, pl, ...))`` over the literal plane
+    matrix, ~40 ms/vector at 128 planes) with one int64 numpy matmul
+    per batch; int64 modular arithmetic is associative, so summation
+    order cannot diverge even under wraparound.  Pins the equivalence
+    on the awkward shapes: null embedding (≡ zero vector → n_bands
+    rows of band_val 0, NOT dropped), empty array, short row (null→0
+    padding), >64-dim row (excess ignored), null element, exact-zero
+    vector — plus plain vectors, at two plane configurations."""
+    import random
+
+    from userbehavioranalysis_spark.operators.similarity import (
+        _lsh_bands,
+        _plane_matrix,
+    )
+
+    def fold_form(df, id_col, n_planes, band_bits):
+        planes = ", ".join(
+            "array(" + ", ".join(str(c) for c in row) + ")"
+            for row in _plane_matrix(n_planes)
+        )
+        qint = "transform(embedding, x -> cast(round(x * 1000000) as bigint))"
+        bits = (
+            f"transform(array({planes}), pl -> "
+            "  aggregate(zip_with(qi, pl, (x, c) -> coalesce(x * c, cast(0 as bigint))), "
+            "    cast(0 as bigint), (acc, t) -> acc + t) > 0)"
+        )
+        n_bands = n_planes // band_bits
+        band_val = " + ".join(
+            f"if(element_at(sig, b * {band_bits} + {j} + 1), {1 << j}, 0)"
+            for j in range(band_bits)
+        )
+        return (
+            df.withColumn("qi", F.expr(qint))
+            .withColumn("sig", F.expr(bits))
+            .select(
+                F.col("vec_id").alias(id_col),
+                F.posexplode_outer(
+                    F.expr(f"transform(sequence(0, {n_bands - 1}), b -> {band_val})")
+                ).alias("band", "band_val"),
+            )
+            .filter(F.col("band").isNotNull())
+        )
+
+    rng = random.Random(17)
+    rows = [
+        (1, None),
+        (2, []),
+        (3, [0.5] * 3),
+        (4, [0.25] * 70),
+        (5, [0.5, None, -0.75] + [1.0] * 61),
+        (6, [0.0] * 64),
+    ] + [
+        (100 + i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for n_planes, band_bits in ((128, 16), (16, 4)):
+        old = fold_form(emb, "vec_id", n_planes, band_bits)
+        new = _lsh_bands(emb, "vec_id", n_planes, band_bits)
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
+        # null embedding packs to band_val 0 in every band, as the fold did
+        assert (
+            new.filter("vec_id = 1").filter("band_val = 0").count()
+            == n_planes // band_bits
+        )
+
+
 def test_ann_pq_recall_on_clustered_data(spark):
     """PQ+ADC+rerank must recover nearly all brute-force neighbors on
     separable clusters, and a second run must reproduce identical rows

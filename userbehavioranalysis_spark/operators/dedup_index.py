@@ -29,6 +29,23 @@ from userbehavioranalysis_spark.operators.manifests import (
 # raised ImportError with a top-level import).
 
 
+# Scale-adaptive shard sizing (guide §2/§6: derive partitioning from
+# input size, never a constant tuned for one deployment).  One shard
+# directory per ~4M corpus rows per band keeps each (band, shard) dir
+# at roughly a parquet-file-worth of band rows (~128 MB at ~32 B/row)
+# at production scale, while a small corpus gets few directories — the
+# 64-shard ceiling reproduces the former fixed layout at ≥256M rows
+# (the 100 TB regime the constant was chosen for).  Writing the former
+# fixed 512-dir embedding layout for sf0.1's 2,000-vector corpus cost
+# 10.9 s vs 1.5 s for a size-matched layout (measured, r8), all of it
+# file-creation overhead; probes pay listing cost per dir too.
+_SHARD_TARGET_ROWS = 4_000_000
+
+
+def _derived_shards(n_rows: int, ceiling: int = 64) -> int:
+    return max(1, min(ceiling, -(-int(n_rows) // _SHARD_TARGET_ROWS)))
+
+
 def minhash_index_write(
     corpus: DataFrame,
     path: str,
@@ -36,7 +53,7 @@ def minhash_index_write(
     n_hashes: int = 12,
     bands: int = 4,
     max_bucket: int | None = None,
-    sig_shards: int = 64,
+    sig_shards: int | None = None,
 ) -> None:
     """Materialize the incremental-dedup corpus index as PARQUET — the
     production persistence leg of :func:`minhash_corpus_index`.
@@ -57,7 +74,12 @@ def minhash_index_write(
       batch's observed shards into partition-pruning predicates — a
       daily delta touching few shards reads few directories, never the
       corpus.  ``repartition`` before ``partitionBy`` keeps it to one
-      file per shard (writers.py discipline).
+      file per shard (writers.py discipline).  ``sig_shards=None``
+      (default) derives the shard count from the corpus row count
+      (:func:`_derived_shards` — scale-adaptive: ~4M rows/band/shard,
+      ceiling 64 = the former fixed layout at ≥256M docs), so a small
+      corpus never pays hundreds of directory creations/listings for
+      kilobytes of data.
 
     ``max_bucket`` (the hot-bucket cap) is applied at WRITE time — the
     capped index is the production artifact, so every probe inherits
@@ -75,13 +97,25 @@ def minhash_index_write(
     Cf. similarity.ann_index_write (similarity.py:485) — the same
     persisted-LSH posture for the embedding-vector index.
     """
+    from pyspark.sql import Observation
+
     from userbehavioranalysis_spark.operators.dedup import minhash_corpus_index
 
     assert n_hashes % bands == 0
     sig_c, bk_c = minhash_corpus_index(corpus, shingle_k, n_hashes, bands, max_bucket)
+    # corpus size rides the signatures write (Observation — no extra
+    # job); sig_shards=None derives the shard count from it, so the
+    # layout is scale-adaptive instead of a fixed 64 (see
+    # _derived_shards; the manifest pins whatever was used, probes and
+    # appends inherit it)
+    obs = Observation()
     sig_c.select(
         "doc_id", *[F.col(f"m{i}") for i in range(n_hashes)]
-    ).write.mode("overwrite").parquet(f"{path}/signatures")
+    ).observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(
+        f"{path}/signatures"
+    )
+    if sig_shards is None:
+        sig_shards = _derived_shards(obs.get["n"])
     (
         bk_c.withColumn(
             "sig_shard", F.pmod(F.xxhash64("band_sig"), F.lit(sig_shards)).cast("int")
@@ -484,7 +518,7 @@ def embedding_index_write(
     path: str,
     n_planes: int = 128,
     band_bits: int = 16,
-    band_shards: int = 64,
+    band_shards: int | None = None,
     max_bucket: int | None = None,
 ) -> None:
     """Materialize the embedding-dedup corpus index as PARQUET — the
@@ -506,6 +540,11 @@ def embedding_index_write(
       observed shards into partition-pruning predicates, reading few
       directories, never the corpus.  One file per shard via
       ``repartition`` before ``partitionBy`` (writers.py discipline).
+      ``band_shards=None`` (default) derives the shard count from the
+      corpus row count (:func:`_derived_shards` — scale-adaptive:
+      ~4M vectors/band/shard, ceiling 64 = the former fixed layout at
+      ≥256M vectors), so a small corpus never pays hundreds of
+      directory creations/listings for kilobytes of data.
 
     ``max_bucket`` is the hot-bucket guard (:func:`_cap_emb_buckets`),
     applied at WRITE time exactly like the minhash index's: the capped
@@ -522,11 +561,21 @@ def embedding_index_write(
     scheme, so this index, ``embedding_dedup_lsh``, and the ANN store
     all speak one signing scheme.
     """
+    from pyspark.sql import Observation
+
     from userbehavioranalysis_spark.operators.similarity import _lsh_bands
 
+    # corpus size rides the vectors write (Observation — no extra job);
+    # band_shards=None derives the shard count from it (scale-adaptive
+    # layout, see _derived_shards; the manifest pins whatever was used)
+    obs = Observation()
     corpus_emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    ).write.mode("overwrite").parquet(f"{path}/vectors")
+    ).observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(
+        f"{path}/vectors"
+    )
+    if band_shards is None:
+        band_shards = _derived_shards(obs.get["n"])
     (
         _cap_emb_buckets(
             _lsh_bands(corpus_emb, "corpus_vec_id", n_planes, band_bits),

@@ -280,12 +280,61 @@ def _plane_matrix(n_planes: int, dim: int = 64) -> tuple[tuple[int, ...], ...]:
     )
 
 
-def _planes_spark(n_planes: int, dim: int = 64) -> str:
-    rows = ", ".join(
-        "array(" + ", ".join(str(c) for c in row) + ")"
-        for row in _plane_matrix(n_planes, dim)
-    )
-    return f"array({rows})"
+def _band_vals_udf(n_planes: int, band_bits: int, dim: int = 64):
+    """Arrow-batched band-value kernel: quantized vector → array of
+    per-band LSH values, as ONE int64 numpy matmul per batch.
+
+    Replaces the interpreted JVM higher-order fold of the same math
+    (``aggregate(zip_with(qi, pl, ...))`` over the literal plane
+    matrix), which costs ~40 ms/vector at 128 planes — measured 2.4 s
+    wall for the 2,000-vector sf0.1 corpus on 32 cores vs <0.01 s for
+    the matmul (guide §4.2: hand whole batches to vectorized native
+    code).  BIT-IDENTICAL to the fold by construction, not by luck:
+
+    - quantization stays in the JVM (same ``round``/``cast`` exprs),
+      so the UDF only ever sees exact int64 inputs;
+    - every product/sum is int64 modular arithmetic — associative and
+      commutative even under wraparound — so numpy's summation order
+      cannot diverge from the fold's sequential order;
+    - sign test (``> 0``) and bit packing are integer-exact on both
+      paths.  (tests/test_dedup_similarity.py pins fold ≡ matmul
+      equality over every sf0.1 vector.)
+
+    Null/shape handling mirrors the fold exactly: rows shorter than
+    ``dim`` pad with 0 (null×plane → coalesce 0 in the fold), longer
+    rows ignore the excess (plane side is null → 0), and a NULL
+    quantized array behaves as the all-zero vector — in the fold a
+    null ``qi`` nulls every signature bit and ``if(null, w, 0)``
+    packs each band to 0, i.e. n_bands rows of band_val 0, NOT a
+    dropped row.
+    """
+    import numpy as np
+
+    planes_t = np.asarray(_plane_matrix(n_planes, dim), dtype=np.int64).T
+    n_bands = n_planes // band_bits
+    weights = (np.int64(1) << np.arange(band_bits, dtype=np.int64)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def band_vals(qi):
+        import pandas as pd
+
+        if len(qi) == 0:
+            return pd.Series([], dtype="object")
+        null_mask = qi.isna().to_numpy()
+        rows = qi.to_numpy()
+        mat = np.zeros((len(rows), dim), dtype=np.int64)
+        for i, r in enumerate(rows):
+            if null_mask[i]:
+                continue  # null qi ≡ zero vector (see docstring)
+            v = np.asarray(r, dtype=np.int64)[:dim]
+            mat[i, : len(v)] = v
+        bits = (mat @ planes_t) > 0  # (n, n_planes) bool
+        vals = (
+            bits.reshape(len(rows), n_bands, band_bits).astype(np.int64) @ weights
+        ).astype("int32")
+        return pd.Series([v.tolist() for v in vals], dtype="object")
+
+    return band_vals
 
 
 def _planes_duck_values(n_planes: int, dim: int = 64) -> str:
@@ -311,49 +360,41 @@ def _lsh_bands(df: DataFrame, id_col: str, n_planes: int, band_bits: int) -> Dat
     md5-derived literal matrix of :func:`_plane_matrix` (see there for
     why the planes must be independent draws, not a formula sweep).
     All integer math (max |term| ≈ 2·10¹⁵, ×64 dims ≈ 10¹⁷ ≪ 2⁶³),
-    evaluated by a JVM higher-order ``aggregate`` fold: exact,
-    order-independent, and reproducible verbatim in the DuckDB oracle.
-    Bits are grouped ``band_bits`` per band; two vectors are candidates
-    iff some band value collides.
+    evaluated as one int64 numpy matmul per Arrow batch
+    (:func:`_band_vals_udf`): exact, order-independent (int64 modular
+    arithmetic is associative), and reproducible verbatim by the
+    DuckDB oracle's fold form.  Bits are grouped ``band_bits`` per
+    band; two vectors are candidates iff some band value collides.
     """
-    # The signature fold is CPU-bound (n_planes·dim fused ops per
-    # vector, interpreted HOF — ~4 ms/vector at 128 planes), while a
-    # vector row is ~dim·8 B: rebalancing to the session's core count
-    # costs one 512 B/vector round-robin pass and buys full-cluster
-    # parallelism even when the scan arrives as a handful of compacted
-    # parquet row groups (the driver testdata is ONE row group —
-    # unsplittable by maxPartitionBytes; measured 7.8 s → 0.4 s on 32
-    # cores at sf0.1).  defaultParallelism is total executor cores, so
-    # this also never *reduces* a wide scan below cluster width.
+    # The signature math is CPU-bound (n_planes·dim fused ops per
+    # vector), while a vector row is ~dim·8 B: rebalancing to the
+    # session's core count costs one 512 B/vector round-robin pass and
+    # buys full-cluster parallelism even when the scan arrives as a
+    # handful of compacted parquet row groups (the driver testdata is
+    # ONE row group — unsplittable by maxPartitionBytes).
+    # defaultParallelism is total executor cores, so this also never
+    # *reduces* a wide scan below cluster width.
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    # quantize ONCE per vector, then fold each plane over the qint
-    # array (at 128 planes, quantizing inside the plane fold re-rounds
-    # every float 128× — measured 2× on the whole signature stage).
-    # zip_with pairs qint with the plane row, so vectors narrower than
-    # the 64-wide matrix pad with null→0 via coalesce.
+    # quantize ONCE per vector IN THE JVM (identical round/cast exprs
+    # to the original fold form — the Arrow kernel only ever sees
+    # exact int64s), then compute all band values in one int64 numpy
+    # matmul per Arrow batch (_band_vals_udf; was an interpreted
+    # aggregate/zip_with fold over the literal plane matrix at
+    # ~40 ms/vector for 128 planes — guide §4.2).  The coalesce
+    # reproduces the fold's null→0 padding at the element level.
     qint = (
-        "transform(embedding, x -> cast(round(x * 1000000) as bigint))"
-    )
-    bits = (
-        f"transform({_planes_spark(n_planes)}, pl -> "
-        "  aggregate(zip_with(qi, pl, (x, c) -> coalesce(x * c, cast(0 as bigint))), "
-        "    cast(0 as bigint), (acc, t) -> acc + t) > 0)"
-    )
-    n_bands = n_planes // band_bits
-    band_val = " + ".join(
-        f"if(element_at(sig, b * {band_bits} + {j} + 1), {1 << j}, 0)"
-        for j in range(band_bits)
+        "transform(embedding, x ->"
+        " coalesce(cast(round(x * 1000000) as bigint), cast(0 as bigint)))"
     )
     # posexplode_OUTER + null filter, not posexplode: otherwise
-    # InferFiltersFromGenerate clones the whole hyperplane fold into an
+    # InferFiltersFromGenerate clones the signature kernel into an
     # interpreted scan DataFilter (see functions/arrays.exploded)
     return (
         df.withColumn("qi", F.expr(qint))
-        .withColumn("sig", F.expr(bits))
         .select(
             F.col("vec_id").alias(id_col),
             F.posexplode_outer(
-                F.expr(f"transform(sequence(0, {n_bands - 1}), b -> {band_val})")
+                _band_vals_udf(n_planes, band_bits)(F.col("qi"))
             ).alias("band", "band_val"),
         )
         .filter(F.col("band").isNotNull())
