@@ -325,7 +325,10 @@ def test_minhash_index_probe_prunes_partitions_and_matches_memory(spark, tmp_pat
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     path = str(tmp_path / "index")
-    minhash_index_write(corpus, path, max_bucket=32)
+    # explicit production shard count: a derived small-corpus layout
+    # (few directories) deliberately skips the probe's pruning collect
+    # — this test pins the pruned path that matters at scale
+    minhash_index_write(corpus, path, max_bucket=32, sig_shards=64)
 
     out = minhash_incremental_matches_indexed(batch, path)
     plan = _plan(out)
@@ -352,7 +355,10 @@ def test_minhash_index_probe_prunes_to_few_shards_for_tiny_batch(spark, tmp_path
 
     docs = load_testdata(spark, SF)["documents"]
     minhash_index_write(
-        docs.filter(F.col("doc_id") % 2 == 0), str(tmp_path / "index"), max_bucket=32
+        docs.filter(F.col("doc_id") % 2 == 0),
+        str(tmp_path / "index"),
+        max_bucket=32,
+        sig_shards=64,  # production domain — exercises the pruned path
     )
     one = docs.filter(F.col("doc_id") == 1)
     out = minhash_incremental_matches_indexed(one, str(tmp_path / "index"))
@@ -377,8 +383,14 @@ def test_minhash_index_append_equals_one_shot_index(spark, tmp_path):
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     full_path = str(tmp_path / "full")
     app_path = str(tmp_path / "appended")
-    minhash_index_write(docs.filter(F.col("doc_id") % 2 == 0), full_path)
-    minhash_index_write(docs.filter(F.col("doc_id") % 4 == 0), app_path)
+    # explicit production shards: the trailing PartitionFilters
+    # assertion needs the pruned (large-domain) probe path
+    minhash_index_write(
+        docs.filter(F.col("doc_id") % 2 == 0), full_path, sig_shards=64
+    )
+    minhash_index_write(
+        docs.filter(F.col("doc_id") % 4 == 0), app_path, sig_shards=64
+    )
     minhash_index_append(docs.filter(F.col("doc_id") % 4 == 2), app_path)
 
     want = {
@@ -541,7 +553,9 @@ def test_embedding_index_probe_prunes_partitions_and_matches_memory(spark, tmp_p
         ).alias("embedding"),
     )
     path = str(tmp_path / "embidx")
-    embedding_index_write(emb, path)
+    # explicit production shard count — pins the pruned probe path
+    # (a derived small-corpus layout skips the pruning collect)
+    embedding_index_write(emb, path, band_shards=64)
 
     out = embedding_dedup_incremental_indexed(batch, path)
     plan = _plan(out)
@@ -573,8 +587,11 @@ def test_embedding_index_append_equals_one_shot_index(spark, tmp_path):
     )
     full_path = str(tmp_path / "full")
     app_path = str(tmp_path / "app")
-    embedding_index_write(emb, full_path)
-    embedding_index_write(emb.filter(F.col("vec_id") % 2 == 0), app_path)
+    # explicit production shards for the PartitionFilters assertion
+    embedding_index_write(emb, full_path, band_shards=64)
+    embedding_index_write(
+        emb.filter(F.col("vec_id") % 2 == 0), app_path, band_shards=64
+    )
     embedding_index_append(emb.filter(F.col("vec_id") % 2 == 1), app_path)
 
     want = {

@@ -46,6 +46,18 @@ def _derived_shards(n_rows: int, ceiling: int = 64) -> int:
     return max(1, min(ceiling, -(-int(n_rows) // _SHARD_TARGET_ROWS)))
 
 
+# Partition-pruning pays when the index's partition DOMAIN is large
+# (a daily delta then touches few of many shard dirs — the 100 TB
+# steady state).  Below this bound the probe's observed-shard collect
+# is a whole extra Spark job (it signs the batch just to learn shards
+# it was going to read anyway: a 4-directory index is read in full by
+# construction), so the probe skips the collect and lets the bucket
+# join do the filtering — semantically identical, one fewer action per
+# micro-batch.  16 = the smallest domain where a typical delta could
+# plausibly skip half the directories.
+_PRUNE_MIN_DOMAIN = 16
+
+
 def minhash_index_write(
     corpus: DataFrame,
     path: str,
@@ -103,28 +115,38 @@ def minhash_index_write(
 
     assert n_hashes % bands == 0
     sig_c, bk_c = minhash_corpus_index(corpus, shingle_k, n_hashes, bands, max_bucket)
-    # corpus size rides the signatures write (Observation — no extra
-    # job); sig_shards=None derives the shard count from it, so the
-    # layout is scale-adaptive instead of a fixed 64 (see
-    # _derived_shards; the manifest pins whatever was used, probes and
-    # appends inherit it)
-    obs = Observation()
-    sig_c.select(
-        "doc_id", *[F.col(f"m{i}") for i in range(n_hashes)]
-    ).observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(
-        f"{path}/signatures"
-    )
-    if sig_shards is None:
-        sig_shards = _derived_shards(obs.get["n"])
-    (
-        bk_c.withColumn(
-            "sig_shard", F.pmod(F.xxhash64("band_sig"), F.lit(sig_shards)).cast("int")
+    # the tokenize→shingle→minhash subtree feeds BOTH dataset writes
+    # (bk_c is banded FROM sig_c): cache it for the duration so the
+    # corpus is signed once, not once per write (measured ~1.7 s/pass
+    # at sf0.1 — the bucket write's plan shares the subtree and hits
+    # the cached blocks via CacheManager plan matching)
+    sig_c = sig_c.cache()
+    try:
+        # corpus size rides the signatures write (Observation — no
+        # extra job); sig_shards=None derives the shard count from it,
+        # so the layout is scale-adaptive instead of a fixed 64 (see
+        # _derived_shards; the manifest pins whatever was used, probes
+        # and appends inherit it)
+        obs = Observation()
+        sig_c.select(
+            "doc_id", *[F.col(f"m{i}") for i in range(n_hashes)]
+        ).observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(
+            f"{path}/signatures"
         )
-        .repartition("band_id", "sig_shard")
-        .write.mode("overwrite")
-        .partitionBy("band_id", "sig_shard")
-        .parquet(f"{path}/buckets")
-    )
+        if sig_shards is None:
+            sig_shards = _derived_shards(obs.get["n"])
+        (
+            bk_c.withColumn(
+                "sig_shard",
+                F.pmod(F.xxhash64("band_sig"), F.lit(sig_shards)).cast("int"),
+            )
+            .repartition("band_id", "sig_shard")
+            .write.mode("overwrite")
+            .partitionBy("band_id", "sig_shard")
+            .parquet(f"{path}/buckets")
+        )
+    finally:
+        sig_c.unpersist()
     import json
     import os
 
@@ -191,18 +213,25 @@ def minhash_index_append(
     bands, sig_shards = p["bands"], p["sig_shards"]
     assert n_hashes % bands == 0
     sig_n, bk_n = minhash_corpus_index(new_docs, shingle_k, n_hashes, bands, None)
-    sig_n.select(
-        "doc_id", *[F.col(f"m{i}") for i in range(n_hashes)]
-    ).write.mode("append").parquet(f"{path}/signatures")
-    (
-        bk_n.withColumn(
-            "sig_shard", F.pmod(F.xxhash64("band_sig"), F.lit(sig_shards)).cast("int")
+    # sign the batch once across both appends (same shared-subtree
+    # cache as minhash_index_write)
+    sig_n = sig_n.cache()
+    try:
+        sig_n.select(
+            "doc_id", *[F.col(f"m{i}") for i in range(n_hashes)]
+        ).write.mode("append").parquet(f"{path}/signatures")
+        (
+            bk_n.withColumn(
+                "sig_shard",
+                F.pmod(F.xxhash64("band_sig"), F.lit(sig_shards)).cast("int"),
+            )
+            .repartition("band_id", "sig_shard")
+            .write.mode("append")
+            .partitionBy("band_id", "sig_shard")
+            .parquet(f"{path}/buckets")
         )
-        .repartition("band_id", "sig_shard")
-        .write.mode("append")
-        .partitionBy("band_id", "sig_shard")
-        .parquet(f"{path}/buckets")
-    )
+    finally:
+        sig_n.unpersist()
 
 
 def minhash_index_compact(
@@ -362,12 +391,15 @@ def minhash_incremental_matches_indexed(
     with partition pruning — the 100 TB refresh loop's steady state.
 
     Only the new batch is tokenized/minhashed (cached once — it feeds
-    the shard collect, the bucket join, and the score join).  The
-    batch's observed (band_id, sig_shard) pairs — a collect bounded by
-    the bands × ``sig_shards`` DOMAIN, never by data size — become an
-    OR of partition-column predicates, so the bucket scan lists and
-    reads only the probed directories (PartitionFilters in the plan,
-    asserted in tests).  Candidates then come from band_sig equality
+    the shard collect, the bucket join, and the score join).  On a
+    production-domain index (bands × sig_shards > _PRUNE_MIN_DOMAIN)
+    the batch's observed (band_id, sig_shard) pairs — a collect
+    bounded by the DOMAIN, never by data size — become an OR of
+    partition-column predicates, so the bucket scan lists and reads
+    only the probed directories (PartitionFilters in the plan,
+    asserted in tests); a small-domain index skips the collect job —
+    every directory would be probed anyway, and the bucket equi-join
+    filters identically.  Candidates then come from band_sig equality
     inside those shards, and the signature parquet is joined only for
     candidate corpus docs.  Output (new_doc_id, corpus_doc_id,
     match_count) is IDENTICAL to the in-memory path on the same capped
@@ -418,22 +450,28 @@ def minhash_incremental_matches_indexed(
             "sig_shard", F.pmod(F.xxhash64("band_sig"), F.lit(sig_shards)).cast("int")
         )
     )
-    probes = {
-        (r["band_id"], r["sig_shard"])
-        for r in bk_n.select("band_id", "sig_shard").distinct().collect()
-    }
-    from userbehavioranalysis_spark.operators.similarity import (
-        grouped_probe_predicate,
-    )
-
     idx = spark.read.parquet(f"{index_path}/buckets")
-    # grouped per-band IN-lists (shared shape, see
-    # similarity.grouped_probe_predicate: per-pair OR chains overflow
-    # the JVM stack at domain-sized probe sets)
-    pred = grouped_probe_predicate(probes, "band_id", "sig_shard")
+    if bands * sig_shards > _PRUNE_MIN_DOMAIN:
+        # production-domain index: collect the batch's observed
+        # (band_id, sig_shard) pairs — bounded by the DOMAIN, never by
+        # data — into grouped per-band IN-list partition predicates
+        # (shared shape, see similarity.grouped_probe_predicate:
+        # per-pair OR chains overflow the JVM stack at domain-sized
+        # probe sets), so the scan lists only the probed directories.
+        # Small-domain indexes (derived shards on a small corpus) skip
+        # the collect: the batch covers every directory anyway, and
+        # the equi-join filters identically (see _PRUNE_MIN_DOMAIN).
+        from userbehavioranalysis_spark.operators.similarity import (
+            grouped_probe_predicate,
+        )
+
+        probes = {
+            (r["band_id"], r["sig_shard"])
+            for r in bk_n.select("band_id", "sig_shard").distinct().collect()
+        }
+        idx = idx.where(grouped_probe_predicate(probes, "band_id", "sig_shard"))
     cand = (
-        idx.where(pred)
-        .join(bk_n, ["band_id", "band_sig", "sig_shard"])
+        idx.join(bk_n, ["band_id", "band_sig", "sig_shard"])
         .select("new_doc_id", "corpus_doc_id")
         .distinct()
     )
@@ -686,12 +724,15 @@ def embedding_dedup_incremental_indexed(
     state (mirror of :func:`minhash_incremental_matches_indexed`).
 
     Only the batch is signed fresh (cached once in the single-slot
-    probe pool — it feeds the shard collect and the bucket join).  The
-    batch's observed (band, band_shard) pairs — a collect bounded by
-    the n_bands × band_shards DOMAIN, never by data size — become an
+    probe pool — it feeds the shard collect and the bucket join).  On
+    a production-domain index (n_bands × band_shards >
+    _PRUNE_MIN_DOMAIN) the batch's observed (band, band_shard) pairs —
+    a collect bounded by the DOMAIN, never by data size — become an
     OR of partition-column predicates, so the band scan lists and
     reads only the probed directories (PartitionFilters in the plan,
-    asserted in tests).  Candidates come from band_val equality inside
+    asserted in tests); a small-domain index skips the collect job —
+    every directory would be probed anyway, and the band equi-join
+    filters identically.  Candidates come from band_val equality inside
     those shards; the stored corpus vectors are joined only for
     candidates, and the exact integer-free cosine filter reproduces
     the in-memory path bit-for-bit (float→double storage is exact).
@@ -716,23 +757,29 @@ def embedding_dedup_incremental_indexed(
         .withColumn("band_shard", _band_shard_col(p["band_shards"])),
         pool="probe",
     )
-    probes = {
-        (r["band"], r["band_shard"])
-        for r in bands_n.select("band", "band_shard").distinct().collect()
-    }
-    from userbehavioranalysis_spark.operators.similarity import (
-        grouped_probe_predicate,
-    )
-
+    n_bands = p["n_planes"] // p["band_bits"]
     idx = spark.read.parquet(f"{index_path}/bands")
-    # grouped per-band IN-lists (shared shape, see
-    # similarity.grouped_probe_predicate — this probe is where the
-    # per-pair OR chain first overflowed the JVM stack, at sf0.1's
-    # 512-pair domain-sized delta)
-    pred = grouped_probe_predicate(probes, "band", "band_shard")
+    if n_bands * p["band_shards"] > _PRUNE_MIN_DOMAIN:
+        # production-domain index: grouped per-band IN-list partition
+        # predicates from the batch's observed (band, band_shard)
+        # pairs — a DOMAIN-bounded collect (this probe is where the
+        # per-pair OR chain first overflowed the JVM stack, at sf0.1's
+        # 512-pair domain-sized delta; see
+        # similarity.grouped_probe_predicate).  Small-domain indexes
+        # (derived shards on a small corpus) skip the collect: the
+        # batch covers every directory anyway and the equi-join
+        # filters identically (see _PRUNE_MIN_DOMAIN).
+        from userbehavioranalysis_spark.operators.similarity import (
+            grouped_probe_predicate,
+        )
+
+        probes = {
+            (r["band"], r["band_shard"])
+            for r in bands_n.select("band", "band_shard").distinct().collect()
+        }
+        idx = idx.where(grouped_probe_predicate(probes, "band", "band_shard"))
     cand = (
-        idx.where(pred)
-        .join(bands_n, ["band", "band_val", "band_shard"])
+        idx.join(bands_n, ["band", "band_val", "band_shard"])
         .select("new_vec_id", "corpus_vec_id")
         .distinct()
     )
