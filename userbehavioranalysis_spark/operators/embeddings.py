@@ -444,11 +444,12 @@ def doc_embed_hashing(
     toks = F.expr(f"split(trim({text_col}), '\\\\s+')")
     h = "cast(conv(substr(md5(concat('e#', w)), 1, 15), 16, 10) as bigint)"
     s = "cast(conv(substr(md5(concat('s#', w)), 1, 15), 16, 10) as bigint)"
-    # CPU-bound map side (2 md5 per token occurrence); rebalance so a
-    # few-row-group scan doesn't serialize it (see _lsh_bands)
-    documents = documents.repartition(
-        documents.sparkSession.sparkContext.defaultParallelism
-    )
+    # No rebalance before the map side: a round-robin repartition here
+    # shuffles the full text payload and costs more than it buys at
+    # few-row-group input sizes (measured consistently slower at
+    # sf0.1), while at scale the scan's natural row-group parallelism
+    # already spreads the md5 work without moving a byte (guide §2.4:
+    # remove shuffles outright).
     words = exploded(documents.withColumn("_t", toks), F.col("_t"), "w", "doc_id")
     words = words.select(
         "doc_id",

@@ -366,15 +366,15 @@ def _lsh_bands(df: DataFrame, id_col: str, n_planes: int, band_bits: int) -> Dat
     DuckDB oracle's fold form.  Bits are grouped ``band_bits`` per
     band; two vectors are candidates iff some band value collides.
     """
-    # The signature math is CPU-bound (n_planes·dim fused ops per
-    # vector), while a vector row is ~dim·8 B: rebalancing to the
-    # session's core count costs one 512 B/vector round-robin pass and
-    # buys full-cluster parallelism even when the scan arrives as a
-    # handful of compacted parquet row groups (the driver testdata is
-    # ONE row group — unsplittable by maxPartitionBytes).
-    # defaultParallelism is total executor cores, so this also never
-    # *reduces* a wide scan below cluster width.
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # No rebalance before signing: the interpreted fold this kernel
+    # replaced was ~4 ms/vector, which justified a round-robin
+    # repartition so a one-row-group local scan didn't serialize the
+    # fold; the matmul kernel signs ~μs/vector, so that repartition
+    # was a full shuffle of the vector payload (guide §2.4: remove
+    # shuffles outright) plus 32 Python-worker launches for work one
+    # task finishes in milliseconds (measured 0.6-4.0 s → 0.4 s at
+    # sf0.1).  At scale the scan's natural row-group parallelism
+    # spreads the signing without moving a byte.
     # quantize ONCE per vector IN THE JVM (identical round/cast exprs
     # to the original fold form — the Arrow kernel only ever sees
     # exact int64s), then compute all band values in one int64 numpy
