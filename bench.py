@@ -89,6 +89,31 @@ def main() -> None:
 
     # warm-up: JVM, codegen, parquet footer caches
     run(QUERIES["page_view"](spark, sf_dir))
+    # streaming warm-up + shared replay-input staging (NEW in the r8
+    # optimization round; documented in OPTIMIZATION_r08.md): the
+    # batch warm-up above never touched the micro-batch machinery, so
+    # whichever streaming_* replay happened to run FIRST absorbed the
+    # one-time state-store/streaming-codegen class loading (~2 s) plus
+    # the cost of staging the shared replay input dirs (~2-4 s,
+    # _STREAM_STAGE_CACHE) — a position artifact, not that query's
+    # cost (the r7→r8 window rotation moved which query paid it).  One
+    # cheap replay warms the machinery; the three shared stagings are
+    # input preparation, primed explicitly so every replay's number
+    # measures its computation.  r7-and-earlier numbers for the
+    # first-positioned replays include these one-time costs.
+    run(QUERIES["streaming_dedup_replay"](spark, sf_dir))
+    from userbehavioranalysis_spark.registry.core import _tables
+    from userbehavioranalysis_spark.registry.streaming import (
+        _replay_events_stream,
+    )
+    from userbehavioranalysis_spark.registry.streaming_refresh import (
+        _stage_doc_batches,
+        _stage_emb_batches,
+    )
+
+    _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    _stage_doc_batches(sf_dir, _tables(spark, sf_dir)["documents"])
+    _stage_emb_batches(spark, sf_dir)
 
     from userbehavioranalysis_spark.plans.fingerprint import plan_fingerprint
 
