@@ -35,7 +35,7 @@ HEADLINERS = [
     ("pipeline_clean_corpus", "five composed stages, one declarative plan"),
     ("dedup_ngram_jaccard", "df-bounded posting join — max-df stop-shingle cap"),
     ("blacklist_filtered", "per-key daily rank — one exchange, no join-back"),
-    ("ann_topk_lsh", "integer LSH bands — broadcast query side, codegen'd signature fold"),
+    ("ann_topk_lsh", "integer LSH bands — broadcast query side, Arrow int64-matmul band kernel"),
     ("token_topk", "skewed token counts — partial agg + TakeOrderedAndProject"),
     ("curate_sample", "md5 sample gate pushed map-side before the rank window"),
     ("doc_chunks", "sliding token-window chunking — map-only, zero Exchange"),

@@ -14,15 +14,19 @@ Three paths with identical output shape and a shared cosine kernel:
 - ``ann_topk_lsh``     the second scale path: random-hyperplane LSH.
   Unlike IVF it needs no training pass, and unlike most LSH builds it
   is **exactly reproducible across engines**: embeddings are quantized
-  to integers (round(x·1e6)) and hyperplanes are an md5-derived integer
-  matrix inlined as a literal on both engines, so every signature bit
-  is exact 64-bit integer arithmetic — no float summation order to
-  diverge — and a DuckDB oracle hash-matches the full candidate set
-  and ranking.
+  to integers (round(x·1e6), in the JVM) and hyperplanes are an
+  md5-derived integer matrix, so every signature bit is exact 64-bit
+  integer arithmetic — order-independent even under wraparound — and
+  a DuckDB oracle hash-matches the full candidate set and ranking.
+  Since r8 the plane products are one int64 numpy matmul per Arrow
+  batch (``_band_vals_udf``) instead of an interpreted JVM fold;
+  bit-equality with the fold is pinned in tests.
 
-All vector math is columnar (``aggregate``/``zip_with`` folds over
-``array<double>``) — JVM codegen, no UDFs, deterministic fold order so
-cosines reproduce bit-for-bit across runs and engines.
+All float vector math is columnar (``aggregate``/``zip_with`` folds
+over ``array<double>`` with deterministic fold order, so cosines
+reproduce bit-for-bit across runs and engines) or an Arrow-batched
+numpy kernel where the math is order-independent; no row-at-a-time
+Python UDFs anywhere.
 
 Ranking determinism: order by (rounded cosine DESC, vec_id ASC).  The
 6-dp rounding makes near-equal cosines compare equal, pushing the
