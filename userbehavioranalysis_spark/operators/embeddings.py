@@ -444,12 +444,18 @@ def doc_embed_hashing(
     toks = F.expr(f"split(trim({text_col}), '\\\\s+')")
     h = "cast(conv(substr(md5(concat('e#', w)), 1, 15), 16, 10) as bigint)"
     s = "cast(conv(substr(md5(concat('s#', w)), 1, 15), 16, 10) as bigint)"
-    # No rebalance before the map side: a round-robin repartition here
-    # shuffles the full text payload and costs more than it buys at
-    # few-row-group input sizes (measured consistently slower at
-    # sf0.1), while at scale the scan's natural row-group parallelism
-    # already spreads the md5 work without moving a byte (guide §2.4:
-    # remove shuffles outright).
+    # CPU-bound map side (2 md5 per token occurrence); rebalance so a
+    # few-row-group scan doesn't serialize it.  NOTE (r8): removing
+    # this repartition was tried and REVERTED — the embed output's
+    # partitioning is what downstream consumers inherit, and
+    # doc_ann_topk's brute-force side has no exchange of its own, so a
+    # 1-partition cached embed serialized its whole cosine+rank
+    # pipeline (doc_ann_topk 2.95 s → 11.1 s isolated).  The shuffle
+    # here is ~600 KB of text at bench scale and buys 32-way
+    # parallelism for everything built on the embeddings.
+    documents = documents.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    )
     words = exploded(documents.withColumn("_t", toks), F.col("_t"), "w", "doc_id")
     words = words.select(
         "doc_id",
