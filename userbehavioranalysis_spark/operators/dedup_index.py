@@ -450,7 +450,16 @@ def minhash_incremental_matches_indexed(
             "sig_shard", F.pmod(F.xxhash64("band_sig"), F.lit(sig_shards)).cast("int")
         )
     )
-    idx = spark.read.parquet(f"{index_path}/buckets")
+    # explicit schemas on both index reads: the layout is pinned by the
+    # writer (+ manifest), so footer schema inference is a pure extra
+    # Spark job per read — measured 3 inference jobs and ~0.3-0.9 s of
+    # driver time per refresh micro-batch (guide §1.2: don't compute
+    # what you already know).  Types mirror the writer exactly
+    # (corpus_doc_id/mN are bigint aggregates; partition columns
+    # band_id/sig_shard are int, discovery order = directory nesting).
+    idx = spark.read.schema(
+        "corpus_doc_id long, band_sig string, band_id int, sig_shard int"
+    ).parquet(f"{index_path}/buckets")
     if bands * sig_shards > _PRUNE_MIN_DOMAIN:
         # production-domain index: collect the batch's observed
         # (band_id, sig_shard) pairs — bounded by the DOMAIN, never by
@@ -475,7 +484,9 @@ def minhash_incremental_matches_indexed(
         .select("new_doc_id", "corpus_doc_id")
         .distinct()
     )
-    sig_c = spark.read.parquet(f"{index_path}/signatures")
+    sig_c = spark.read.schema(
+        "doc_id long, " + ", ".join(f"m{i} long" for i in range(n_hashes))
+    ).parquet(f"{index_path}/signatures")
     sn = sig_n.select(
         F.col("doc_id").alias("new_doc_id"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_hashes)],
@@ -758,7 +769,11 @@ def embedding_dedup_incremental_indexed(
         pool="probe",
     )
     n_bands = p["n_planes"] // p["band_bits"]
-    idx = spark.read.parquet(f"{index_path}/bands")
+    # explicit schema: layout pinned by the writer/manifest — footer
+    # inference is an extra job per probe (see the minhash probe note)
+    idx = spark.read.schema(
+        "corpus_vec_id long, band_val int, band int, band_shard int"
+    ).parquet(f"{index_path}/bands")
     if n_bands * p["band_shards"] > _PRUNE_MIN_DOMAIN:
         # production-domain index: grouped per-band IN-list partition
         # predicates from the batch's observed (band, band_shard)
@@ -783,7 +798,9 @@ def embedding_dedup_incremental_indexed(
         .select("new_vec_id", "corpus_vec_id")
         .distinct()
     )
-    vecs = spark.read.parquet(f"{index_path}/vectors")
+    vecs = spark.read.schema("vec_id long, embedding array<double>").parquet(
+        f"{index_path}/vectors"
+    )
     vn = new_emb.select(
         F.col("vec_id").alias("new_vec_id"),
         F.col("embedding").cast("array<double>").alias("va"),

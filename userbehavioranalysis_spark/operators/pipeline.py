@@ -26,8 +26,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from userbehavioranalysis_spark.functions import text as T
 from userbehavioranalysis_spark.operators import text_analysis
 from userbehavioranalysis_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+
+def _quality_lang_gate(
+    documents: DataFrame, min_score: float, lang: str
+) -> DataFrame:
+    """Quality + language gates fused into ONE per-doc projection:
+    (doc_id, n_tokens, score_r4) for docs passing both.
+
+    Equivalent by construction to
+    ``quality_score(df).filter(score) ⋈ language_id(df).filter(lang)``
+    on doc_id — both operators emit exactly one row per input doc, so
+    the inner join is the conjunction of the two filters.  Fusing
+    removes a whole scan+tokenize of the batch and the doc_id join
+    (one exchange/broadcast per composite evaluation — guide §2.4);
+    the expressions come verbatim from text_analysis
+    (quality_score_expr / lang_guess_expr), so the values are
+    bit-identical to the joined form."""
+    return (
+        documents.withColumn("tokens", F.expr(T.TOKENS_SPARK))
+        .select(
+            "doc_id",
+            F.expr("cast(size(tokens) as bigint)").alias("n_tokens"),
+            F.expr(text_analysis.quality_score_expr()).alias("score_r4"),
+            F.expr(text_analysis.lang_guess_expr()).alias("lang_guess"),
+        )
+        .filter((F.col("score_r4") >= min_score) & (F.col("lang_guess") == lang))
+        .select("doc_id", "n_tokens", "score_r4")
+    )
 
 
 def clean_corpus(
@@ -51,27 +80,22 @@ def clean_corpus(
     ``pipeline_clean_corpus`` query keeps the exact uncapped semantics;
     tools/bench_scale.py measures the capped form as the 100 TB path.
     """
-    quality_ok = text_analysis.quality_score(documents).filter(
-        F.col("score_r4") >= min_score
-    )
-    lang_ok = text_analysis.language_id(documents).filter(
-        F.col("lang_guess") == lang
-    )
+    gated = _quality_lang_gate(documents, min_score, lang)
     exact_keepers = exact_dedup(documents).select(
         F.col("keeper_id").alias("doc_id")
     )
-    near_losers = (
-        minhash_lsh_pairs(
-            documents,
-            min_matching_hashes=near_dup_min_matches,
-            max_bucket=max_bucket,
-        )
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    # no .distinct() on the anti-join side: left_anti is key-set
+    # semantics (duplicate loser rows change nothing), and the distinct
+    # was one extra exchange per evaluation (guide §2.4); the LSH dup
+    # factor is bounded by the band count, so the undeduped side stays
+    # O(pairs) at scale
+    near_losers = minhash_lsh_pairs(
+        documents,
+        min_matching_hashes=near_dup_min_matches,
+        max_bucket=max_bucket,
+    ).select(F.col("doc_b").alias("doc_id"))
     return (
-        quality_ok.select("doc_id", "n_tokens", "score_r4")
-        .join(lang_ok.select("doc_id"), "doc_id")
+        gated
         .join(exact_keepers, "doc_id", "left_semi")
         .join(near_losers, "doc_id", "left_anti")
     )
@@ -129,10 +153,7 @@ def incremental_refresh(
         # LRU reclaims after the composed plan is consumed).
         sig_c, bk_c = minhash_corpus_index(corpus, max_bucket=max_bucket)
         corpus_index = (sig_c.cache(), bk_c.cache())
-    quality_ok = text_analysis.quality_score(new_docs).filter(
-        F.col("score_r4") >= min_score
-    )
-    lang_ok = text_analysis.language_id(new_docs).filter(F.col("lang_guess") == lang)
+    gated = _quality_lang_gate(new_docs, min_score, lang)
     self_exact_keepers = exact_dedup(new_docs).select(
         F.col("keeper_id").alias("doc_id")
     )
@@ -142,31 +163,23 @@ def incremental_refresh(
         .join(corpus_md5, "text_md5", "left_semi")
         .select("doc_id")
     )
-    corpus_near_losers = (
-        minhash_incremental_matches(
-            None,
-            new_docs,
-            min_matching_hashes=near_dup_min_matches,
-            corpus_index=corpus_index,
-        )
-        .select(F.col("new_doc_id").alias("doc_id"))
-        .distinct()
-    )
+    # anti-join sides are NOT deduped — see clean_corpus
+    corpus_near_losers = minhash_incremental_matches(
+        None,
+        new_docs,
+        min_matching_hashes=near_dup_min_matches,
+        corpus_index=corpus_index,
+    ).select(F.col("new_doc_id").alias("doc_id"))
     # self-LSH last: its release_pooled() only drops its own pool, and
     # its batch-signature subtree is plan-identical to the probe's
     # cached sig_n, so the CacheManager serves it from the same blocks
-    self_near_losers = (
-        minhash_lsh_pairs(
-            new_docs,
-            min_matching_hashes=near_dup_min_matches,
-            max_bucket=max_bucket,
-        )
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    self_near_losers = minhash_lsh_pairs(
+        new_docs,
+        min_matching_hashes=near_dup_min_matches,
+        max_bucket=max_bucket,
+    ).select(F.col("doc_b").alias("doc_id"))
     return (
-        quality_ok.select("doc_id", "n_tokens", "score_r4")
-        .join(lang_ok.select("doc_id"), "doc_id")
+        gated
         .join(self_exact_keepers, "doc_id", "left_semi")
         .join(corpus_exact_losers, "doc_id", "left_anti")
         .join(self_near_losers, "doc_id", "left_anti")
@@ -201,28 +214,21 @@ def screen_against_corpus(
         minhash_incremental_matches,
     )
 
-    quality_ok = text_analysis.quality_score(new_docs).filter(
-        F.col("score_r4") >= min_score
-    )
-    lang_ok = text_analysis.language_id(new_docs).filter(F.col("lang_guess") == lang)
+    gated = _quality_lang_gate(new_docs, min_score, lang)
     corpus_exact_losers = (
         new_docs.select("doc_id", F.md5("text").alias("text_md5"))
         .join(corpus_md5, "text_md5", "left_semi")
         .select("doc_id")
     )
-    corpus_near_losers = (
-        minhash_incremental_matches(
-            None,
-            new_docs,
-            min_matching_hashes=near_dup_min_matches,
-            corpus_index=corpus_index,
-        )
-        .select(F.col("new_doc_id").alias("doc_id"))
-        .distinct()
-    )
+    # anti-join side not deduped — see clean_corpus
+    corpus_near_losers = minhash_incremental_matches(
+        None,
+        new_docs,
+        min_matching_hashes=near_dup_min_matches,
+        corpus_index=corpus_index,
+    ).select(F.col("new_doc_id").alias("doc_id"))
     return (
-        quality_ok.select("doc_id", "n_tokens", "score_r4")
-        .join(lang_ok.select("doc_id"), "doc_id")
+        gated
         .join(corpus_exact_losers, "doc_id", "left_anti")
         .join(corpus_near_losers, "doc_id", "left_anti")
     )
@@ -253,33 +259,31 @@ def refresh_against_persisted(
     )
 
     spark = new_docs.sparkSession
-    quality_ok = text_analysis.quality_score(new_docs).filter(
-        F.col("score_r4") >= min_score
-    )
-    lang_ok = text_analysis.language_id(new_docs).filter(F.col("lang_guess") == lang)
+    gated = _quality_lang_gate(new_docs, min_score, lang)
     self_exact_keepers = exact_dedup(new_docs).select(
         F.col("keeper_id").alias("doc_id")
     )
     corpus_exact_losers = (
         new_docs.select("doc_id", F.md5("text").alias("text_md5"))
-        .join(spark.read.parquet(md5_path), "text_md5", "left_semi")
+        # explicit schema: the md5-set layout is this module's own
+        # (single string column) — footer inference would be an extra
+        # Spark job on every refresh micro-batch
+        .join(
+            spark.read.schema("text_md5 string").parquet(md5_path),
+            "text_md5",
+            "left_semi",
+        )
         .select("doc_id")
     )
-    corpus_near_losers = (
-        minhash_incremental_matches_indexed(
-            new_docs, index_path, min_matching_hashes=near_dup_min_matches
-        )
-        .select(F.col("new_doc_id").alias("doc_id"))
-        .distinct()
-    )
-    self_near_losers = (
-        minhash_lsh_pairs(new_docs, min_matching_hashes=near_dup_min_matches)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    # anti-join sides not deduped — see clean_corpus
+    corpus_near_losers = minhash_incremental_matches_indexed(
+        new_docs, index_path, min_matching_hashes=near_dup_min_matches
+    ).select(F.col("new_doc_id").alias("doc_id"))
+    self_near_losers = minhash_lsh_pairs(
+        new_docs, min_matching_hashes=near_dup_min_matches
+    ).select(F.col("doc_b").alias("doc_id"))
     return (
-        quality_ok.select("doc_id", "n_tokens", "score_r4")
-        .join(lang_ok.select("doc_id"), "doc_id")
+        gated
         .join(self_exact_keepers, "doc_id", "left_semi")
         .join(corpus_exact_losers, "doc_id", "left_anti")
         .join(self_near_losers, "doc_id", "left_anti")

@@ -47,6 +47,26 @@ def _marker_count(lang: str) -> str:
     return f"size(filter(tokens, t -> t in ({words})))"
 
 
+def _lang_best_expr() -> str:
+    """The argmax struct behind :func:`language_id`, over a ``tokens``
+    column — exposed so composites (operators/pipeline) can evaluate
+    the language gate in the same projection as the quality gate
+    instead of joining two one-row-per-doc frames."""
+    score_struct = ", ".join(
+        f"struct({_marker_count(lang)} as hits, '{lang}' as lang)"
+        for lang in sorted(LANG_MARKERS)
+    )
+    return f"array_max(array({score_struct}))"  # max by (hits, lang), lang desc ties
+
+
+def lang_guess_expr() -> str:
+    """SQL expression (over a ``tokens`` array column) for
+    :func:`language_id`'s ``lang_guess`` — single source for the gate
+    fusion in operators/pipeline."""
+    best = _lang_best_expr()
+    return f"if(({best}).hits = 0, 'und', ({best}).lang)"
+
+
 def language_id(documents: DataFrame) -> DataFrame:
     """Heuristic language guess from marker-word hit counts.
 
@@ -55,17 +75,23 @@ def language_id(documents: DataFrame) -> DataFrame:
     when nothing matches.  Returns (doc_id, lang_guess, marker_hits).
     """
     df = documents.withColumn("tokens", F.expr(T.TOKENS_SPARK))
-    score_struct = ", ".join(
-        f"struct({_marker_count(lang)} as hits, '{lang}' as lang)"
-        for lang in sorted(LANG_MARKERS)
-    )
-    best = (
-        f"array_max(array({score_struct}))"  # max by (hits, lang), lang desc ties
-    )
+    best = _lang_best_expr()
     return df.select(
         "doc_id",
-        F.expr(f"if(({best}).hits = 0, 'und', ({best}).lang)").alias("lang_guess"),
+        F.expr(lang_guess_expr()).alias("lang_guess"),
         F.expr(f"cast(({best}).hits as int)").alias("marker_hits"),
+    )
+
+
+def quality_score_expr() -> str:
+    """SQL expression (over a ``tokens`` array column) for
+    :func:`quality_score`'s ``score_r4`` — single source for the gate
+    fusion in operators/pipeline; MUST stay textually identical to the
+    score expression below (the oracles replay it verbatim)."""
+    stop = _marker_count("en")
+    return (
+        f"round(least(cast(size(tokens) as double) / 100, 1.0) * 0.5"
+        f" + (1.0 - cast({stop} as double) / size(tokens)) * 0.5, 4)"
     )
 
 
@@ -89,10 +115,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
         F.expr(f"round(cast({stop} as double) / size(tokens), 4)").alias(
             "stopword_ratio_r4"
         ),
-        F.expr(
-            f"round(least(cast(size(tokens) as double) / 100, 1.0) * 0.5"
-            f" + (1.0 - cast({stop} as double) / size(tokens)) * 0.5, 4)"
-        ).alias("score_r4"),
+        F.expr(quality_score_expr()).alias("score_r4"),
     )
 
 

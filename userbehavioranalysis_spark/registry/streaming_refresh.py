@@ -378,18 +378,29 @@ def q_streaming_daily_refresh_replay(spark: SparkSession, sf_dir: str) -> DataFr
     idx = os.path.join(art, "index")
     md5p = os.path.join(art, "md5")
     minhash_index_write(corpus, idx)
-    corpus.select(F.md5("text").alias("text_md5")).distinct().write.parquet(md5p)
+    # one file for the ~KB md5 set: every micro-batch re-lists and
+    # re-scans this dataset (appends invalidate any caching), so file
+    # count is per-batch fixed cost (guide §6 small files)
+    corpus.select(F.md5("text").alias("text_md5")).distinct().coalesce(
+        1
+    ).write.parquet(md5p)
     try:
 
         def _batch(bdf):
             res = refresh_against_persisted(bdf, idx, md5p).localCheckpoint()
-            survivors = bdf.join(
-                res.select("doc_id"), "doc_id", "left_semi"
-            ).localCheckpoint()
-            minhash_index_append(survivors, idx)
-            survivors.select(F.md5("text").alias("text_md5")).write.mode(
-                "append"
-            ).parquet(md5p)
+            # cache, not localCheckpoint: the two consumers (the index
+            # append's signing subtree and the md5 append) share one
+            # materialization without an extra eager job per batch;
+            # lineage is bdf ⋈ checkpointed res — never the mutated
+            # index, so recompute-on-miss stays correct
+            survivors = bdf.join(res.select("doc_id"), "doc_id", "left_semi").cache()
+            try:
+                minhash_index_append(survivors, idx)
+                survivors.select(F.md5("text").alias("text_md5")).coalesce(
+                    1
+                ).write.mode("append").parquet(md5p)
+            finally:
+                survivors.unpersist()
             return res
 
         return _run_bounded_foreach(
@@ -487,20 +498,28 @@ def q_streaming_snapshot_refresh_replay(spark: SparkSession, sf_dir: str) -> Dat
     md5p = os.path.join(art, "md5")
     snap = os.path.join(art, "snap")
     minhash_index_write(corpus, idx)
-    corpus.select(F.md5("text").alias("text_md5")).distinct().write.parquet(md5p)
+    # single-file md5 set + survivor appends: per-batch re-list/re-scan
+    # cost (see the daily-refresh replay note)
+    corpus.select(F.md5("text").alias("text_md5")).distinct().coalesce(
+        1
+    ).write.parquet(md5p)
 
     def _batch(bdf):
         res = refresh_against_persisted(bdf, idx, md5p).localCheckpoint()
-        survivors = bdf.join(
-            res.select("doc_id"), "doc_id", "left_semi"
-        ).localCheckpoint()
-        minhash_index_append(survivors, idx)
-        survivors.select(F.md5("text").alias("text_md5")).write.mode(
-            "append"
-        ).parquet(md5p)
+        survivors = bdf.join(res.select("doc_id"), "doc_id", "left_semi").cache()
+        try:
+            minhash_index_append(survivors, idx)
+            survivors.select(F.md5("text").alias("text_md5")).coalesce(
+                1
+            ).write.mode("append").parquet(md5p)
+        finally:
+            survivors.unpersist()
         # the day's COMMIT: one new snapshot version whose manifest is
         # parent-files + this batch's survivor files (cumulative corpus)
-        snapshot_append(res, snap)
+        # — coalesced to one file: a day's survivors are one commit's
+        # worth of rows, and all three pinned day reads (plus the
+        # compaction) re-list this table's files
+        snapshot_append(res.coalesce(1), snap)
         return res
 
     _run_bounded_foreach(raw, "streaming_snapshot_refresh_replay", _batch)
