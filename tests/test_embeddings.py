@@ -194,3 +194,76 @@ def test_doc_embed_hashing_semantics(spark):
     assert abs(cos(got[0], got[2])) < 0.5
     # doubling every count leaves the normalized vector unchanged
     assert cos(got[0], got[3]) > 0.999999
+
+
+def test_doc_embed_kernel_matches_sql_fold(spark):
+    """The Arrow embed kernel must be BIT-identical to the SQL
+    explode → 64-conditional-sum → fold-norm formulation it replaced
+    (the r9 optimization), over the awkward tokenization shapes: empty
+    text (one empty token), leading/trailing Java-\\s whitespace
+    (leading empty token kept, trailing kept by split's -1 limit),
+    tabs/newlines (NOT trimmed by trim — only ASCII spaces are),
+    repeated tokens, unicode, and a doc whose every token cancels is
+    still emitted (zero vector).  NULL text drops the row on both
+    paths."""
+    from pyspark.sql import functions as F
+
+    from userbehavioranalysis_spark.operators.embeddings import doc_embed_hashing
+
+    dim = 64
+    docs = spark.createDataFrame(
+        [
+            (0, "plain words here"),
+            (1, ""),                          # one empty token
+            (2, "   spaced   out   "),        # ASCII spaces trimmed
+            (3, "\tleading tab"),             # tab NOT trimmed -> leading empty token
+            (4, "trailing newline\n"),        # kept by limit -1
+            (5, "dup dup dup dup words"),
+            (6, "héllo wörld ünïcode"),
+            (7, None),                        # dropped on both paths
+            (8, "a\nb\tc\x0bd\x0ce\rf"),      # every Java \s delimiter
+        ],
+        "doc_id long, text string",
+    )
+    # the pre-r9 SQL formulation, verbatim
+    toks = F.expr("split(trim(text), '\\\\s+')")
+    h = "cast(conv(substr(md5(concat('e#', w)), 1, 15), 16, 10) as bigint)"
+    s = "cast(conv(substr(md5(concat('s#', w)), 1, 15), 16, 10) as bigint)"
+    words = (
+        docs.withColumn("_t", toks)
+        .select("doc_id", F.posexplode_outer("_t").alias("_p", "w"))
+        .filter(F.col("_p").isNotNull())
+        .select(
+            "doc_id",
+            F.expr(f"pmod({h}, {dim})").alias("b"),
+            F.expr(f"if(pmod({s}, 2) = 0, 1, -1)").alias("sg"),
+        )
+    )
+    sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("b") == d, F.col("sg")).otherwise(0)).alias(f"v{d}")
+            for d in range(dim)
+        ]
+    )
+    iv = "array(" + ", ".join(f"v{d}" for d in range(dim)) + ")"
+    norm = (
+        "sqrt(aggregate(iv, cast(0 as double),"
+        " (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    )
+    old = {
+        r["doc_id"]: r["embedding"]
+        for r in sums.withColumn("iv", F.expr(iv))
+        .withColumn(
+            "embedding",
+            F.expr(
+                f"CASE WHEN {norm} = 0.0 THEN transform(iv, x -> 0.0d) "
+                f"ELSE transform(iv, x -> cast(x as double) / {norm}) END"
+            ),
+        )
+        .select("doc_id", "embedding")
+        .collect()
+    }
+    new = {r["doc_id"]: r["embedding"] for r in doc_embed_hashing(docs).collect()}
+    assert set(new) == set(old) == {0, 1, 2, 3, 4, 5, 6, 8}
+    for d in old:
+        assert new[d] == old[d], f"doc {d}: kernel diverges from the SQL fold"

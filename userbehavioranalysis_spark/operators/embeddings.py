@@ -434,56 +434,102 @@ def doc_embed_hashing(
     input to the ANN/dedup operators, so at 100 TB this runs as the
     embed stage of the corpus pipeline with zero extra exchanges.
     """
-    from userbehavioranalysis_spark.functions.arrays import exploded
-
-    # explode per OCCURRENCE (counts matter for the hashing trick) and
-    # reduce through ONE HashAggregate of dim conditional sums — the
-    # simhash-vote shape: hashes computed once per token, partial agg
-    # map-side, a single doc_id exchange.  (A per-bucket HOF fold would
-    # re-hash every token dim× and CollapseProject defeats hoisting.)
-    toks = F.expr(f"split(trim({text_col}), '\\\\s+')")
-    h = "cast(conv(substr(md5(concat('e#', w)), 1, 15), 16, 10) as bigint)"
-    s = "cast(conv(substr(md5(concat('s#', w)), 1, 15), 16, 10) as bigint)"
-    # CPU-bound map side (2 md5 per token occurrence); rebalance so a
-    # few-row-group scan doesn't serialize it.  NOTE (r8): removing
-    # this repartition was tried and REVERTED — the embed output's
-    # partitioning is what downstream consumers inherit, and
-    # doc_ann_topk's brute-force side has no exchange of its own, so a
-    # 1-partition cached embed serialized its whole cosine+rank
-    # pipeline (doc_ann_topk 2.95 s → 11.1 s isolated).  The shuffle
-    # here is ~600 KB of text at bench scale and buys 32-way
-    # parallelism for everything built on the embeddings.
+    # The whole per-doc embedding runs in ONE Arrow kernel (guide §4.2:
+    # hand whole batches to native code) instead of the former
+    # explode-per-occurrence → 64-conditional-sum HashAggregate: that
+    # shape paid 2 interpreted md5 calls per token OCCURRENCE plus 64
+    # branch evaluations per occurrence in the aggregate update, and
+    # one full doc_id exchange to regroup what was already grouped (a
+    # document row IS its own group).  The kernel memoizes each
+    # distinct token's (bucket, sign) per task, so md5 runs once per
+    # VOCABULARY entry, and the per-doc bucket sums never leave the
+    # row — a map-only plan with ZERO exchanges (was 1).
+    #
+    # Bit-equality with the old JVM path, piece by piece (pinned by
+    # tests/test_embeddings.py::test_doc_embed_kernel_matches_sql_fold):
+    # - tokens: Spark `split(trim(text), '\\s+')` = strip ASCII spaces
+    #   then Java-regex split with limit -1 (leading/trailing empty
+    #   strings KEPT when delimited; "" -> [""]).  Python re.split over
+    #   the explicit Java \s class reproduces that exactly.
+    # - hashes: md5 over UTF-8 bytes, first 15 hex chars as int
+    #   (< 2^60), pmod dim / parity sign — identical integer math.
+    # - norm: the old fold `acc + double(x)*double(x)` left-to-right in
+    #   float64; the kernel accumulates the same order in float64, so
+    #   even a >2^53 corner rounds identically.  Division is IEEE
+    #   float64 on both sides.
+    # - a NULL text doc vanished through the old explode; the explicit
+    #   isNotNull filter reproduces that.
+    #
+    # CPU-bound map side; rebalance so a few-row-group scan doesn't
+    # serialize it.  NOTE (r8): removing this repartition was tried and
+    # REVERTED — the embed output's partitioning is what downstream
+    # consumers inherit, and doc_ann_topk's brute-force side has no
+    # exchange of its own, so a 1-partition cached embed serialized its
+    # whole cosine+rank pipeline (doc_ann_topk 2.95 s → 11.1 s
+    # isolated).  The shuffle here is ~600 KB of text at bench scale
+    # and buys 32-way parallelism for everything built on the
+    # embeddings.
     documents = documents.repartition(
         documents.sparkSession.sparkContext.defaultParallelism
     )
-    words = exploded(documents.withColumn("_t", toks), F.col("_t"), "w", "doc_id")
-    words = words.select(
-        "doc_id",
-        F.expr(f"pmod({h}, {dim})").alias("b"),
-        F.expr(f"if(pmod({s}, 2) = 0, 1, -1)").alias("sg"),
+    return documents.where(F.col(text_col).isNotNull()).select(
+        "doc_id", _hash_embed_udf(dim)(F.col(text_col)).alias("embedding")
     )
-    sums = words.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(F.col("b") == d, F.col("sg")).otherwise(0)).alias(f"v{d}")
-            for d in range(dim)
-        ]
-    )
-    iv = "array(" + ", ".join(f"v{d}" for d in range(dim)) + ")"
-    norm = (
-        "sqrt(aggregate(iv, cast(0 as double),"
-        " (acc, x) -> acc + cast(x as double) * cast(x as double)))"
-    )
-    return (
-        sums.withColumn("iv", F.expr(iv))
-        .withColumn(
-            "embedding",
-            F.expr(
-                f"CASE WHEN {norm} = 0.0 THEN transform(iv, x -> 0.0d) "
-                f"ELSE transform(iv, x -> cast(x as double) / {norm}) END"
-            ),
-        )
-        .select("doc_id", "embedding")
-    )
+
+
+def _hash_embed_udf(dim: int):
+    """Arrow-batched signed-feature-hashing kernel for
+    :func:`doc_embed_hashing`: text → L2-normalized dim-vector, one
+    Python call per Arrow batch, md5 memoized per distinct token per
+    task (vocabulary ≪ occurrences)."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    # Java \s is ASCII-only: [ \t\n\x0B\f\r].  Python \s would also
+    # match unicode whitespace — spell the class out.
+    _split = re.compile("[ \t\n\x0b\f\r]+").split
+
+    @pandas_udf("array<double>")
+    def embed(texts):
+        import numpy as np
+        import pandas as pd
+
+        memo: dict[str, tuple[int, int]] = {}
+        zero = [0.0] * dim
+        out = []
+        for t in texts:
+            # Spark trim() strips ASCII space (0x20) only; Java split
+            # with limit -1 keeps leading/trailing empty tokens ("" is
+            # one empty token), matching re.split exactly
+            vec = np.zeros(dim, dtype=np.int64)
+            for w in _split(t.strip(" ")):
+                bs = memo.get(w)
+                if bs is None:
+                    wb = w.encode("utf-8")
+                    b = int(hashlib.md5(b"e#" + wb).hexdigest()[:15], 16) % dim
+                    s = (
+                        1
+                        if int(hashlib.md5(b"s#" + wb).hexdigest()[:15], 16) % 2 == 0
+                        else -1
+                    )
+                    memo[w] = bs = (b, s)
+                vec[bs[0]] += bs[1]
+            # norm: float64 accumulation in array order — the exact
+            # arithmetic of the old SQL fold, not np.sum's pairwise
+            acc = 0.0
+            for x in vec:
+                xd = float(x)
+                acc += xd * xd
+            if acc == 0.0:
+                out.append(zero)
+            else:
+                nrm = acc ** 0.5
+                out.append([float(x) / nrm for x in vec])
+        return pd.Series(out, dtype="object")
+
+    return embed
 
 
 def ann_topk_ivfpq(
