@@ -117,12 +117,27 @@ def main() -> None:
 
     from userbehavioranalysis_spark.plans.fingerprint import plan_fingerprint
 
+    # POLICY ADDITION (r9, disclosed in OPTIMIZATION_r09.md): a
+    # streaming replay whose single run took >= HEAVY_STREAMING_S gets
+    # ONE repeat and reports the min.  The r8 verdict showed a single
+    # CPU-steal burst on one >=5 s replay dominating the round-over-
+    # round total (hot_items_report 7.8->29.2 s with an unchanged
+    # plan); min-of-2 on just the heavy tail bounds that failure mode
+    # while keeping the sub-5 s replays single-run (their repeat would
+    # double ~40% of suite wall-clock to re-measure fixed setup).
+    # BOTH raw runs are recorded in BENCH_DETAIL's streaming_runs, so
+    # the old single-run number stays comparable across rounds.
+    HEAVY_STREAMING_S = 5.0
     timings: dict[str, float] = {}
     plan_shas: dict[str, str] = {}
+    streaming_runs: dict[str, list[float]] = {}
     for name, fn in QUERIES.items():
-        runs = 1 if name.startswith("streaming_") else 2
+        is_streaming = name.startswith("streaming_")
+        planned = 1 if is_streaming else 2
         best = float("inf")
-        for i in range(runs):
+        raw: list[float] = []
+        i = 0
+        while i < planned:
             if i == 0:
                 # drop the previous query's dangling single-slot pool
                 # cache so plan_sha is order-independent (CacheManager
@@ -133,7 +148,9 @@ def main() -> None:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             run(df)
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            raw.append(dt)
+            best = min(best, dt)
             if i == 0:
                 # physical-plan fingerprint (plans/fingerprint.py): a
                 # cross-round timing delta with an UNCHANGED plan_sha is
@@ -141,7 +158,12 @@ def main() -> None:
                 # recorded after the timed run so hashing cost (plan
                 # analysis is already paid) stays out of the number.
                 plan_shas[name] = plan_fingerprint(df)
+                if is_streaming and dt >= HEAVY_STREAMING_S:
+                    planned = 2
+            i += 1
         timings[name] = round(best, 3)
+        if is_streaming and len(raw) > 1:
+            streaming_runs[name] = [round(t, 3) for t in raw]
 
     total = round(sum(timings.values()), 3)
     parity = {n: timings[n] for n in PARITY_15 if n in timings}
@@ -159,8 +181,16 @@ def main() -> None:
         # column in BASELINE.md ("Streaming timing policy") instead.
         "timing_policy": {
             "batch": "min-of-2",
-            "streaming": "single-run since r4 (r3 used min-of-2; see BASELINE.md)",
+            "streaming": (
+                "single-run since r4; since r9 replays whose first run"
+                " took >=5 s get one repeat (min reported, both runs in"
+                " streaming_runs) — see OPTIMIZATION_r09.md"
+            ),
         },
+        # raw per-run times for the heavy replays that got the r9
+        # repeat: [first, second] — first is the r4-r8-comparable
+        # single-run figure, min(first, second) is the reported number
+        "streaming_runs": streaming_runs,
         "queries": timings,
         # normalized physical-plan hash per query at THIS sf (see
         # plans/fingerprint.py; scale-pinned — compare only same-sf
@@ -169,6 +199,12 @@ def main() -> None:
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    # tiny sidecar with ONLY the plan fingerprints (r8 verdict item 3:
+    # the round-over-round comparison needs plan_sha without parsing
+    # the full detail file — an unchanged sha proves a timing delta is
+    # session noise, not a plan change)
+    with open(os.path.join(REPO, "BENCH_PLANSHA.json"), "w") as f:
+        json.dump({"sf": sf, "plan_sha": plan_shas}, f, indent=1, sort_keys=True)
     # humans first, machine line LAST
     print(json.dumps(detail["queries"], sort_keys=True))
     print(
