@@ -268,6 +268,33 @@ def test_dedup_clusters_matches_union_find_property(spark):
         assert got == expect, f"trial {trial}: {got} != {expect}"
 
 
+def test_dedup_clusters_driver_finish_matches_distributed_tail(spark, monkeypatch):
+    """The r9 driver-finish ending (union-find over the contracted
+    remnant once it is provably driver-sized) must label EXACTLY like
+    the pure distributed pointer-jumping tail it replaces.  Same graph,
+    both endings: default threshold takes the driver finish after round
+    0; threshold 0 forces the full distributed loop."""
+    from userbehavioranalysis_spark.operators import dedup as D
+
+    # two long chains (driver finish must union across many remnant
+    # hops), a triangle, an isolated pair — all shapes in one graph
+    pairs = [(i, i + 1) for i in range(100, 140)]
+    pairs += [(i, i + 1) for i in range(300, 320)]
+    pairs += [(1, 2), (2, 3), (1, 3), (10, 11)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    with_finish = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in D.dedup_clusters(df).collect()
+    }
+    monkeypatch.setattr(D, "_REMNANT_MAX_EDGES", 0)
+    pure_distributed = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in D.dedup_clusters(df).collect()
+    }
+    assert with_finish == pure_distributed
+    assert (100, 100, True) in with_finish and (140, 100, False) in with_finish
+
+
 def test_pii_redact_counts_and_masking(spark):
     import hashlib
 
