@@ -102,18 +102,12 @@ def main() -> None:
     # measures its computation.  r7-and-earlier numbers for the
     # first-positioned replays include these one-time costs.
     run(QUERIES["streaming_dedup_replay"](spark, sf_dir))
-    from userbehavioranalysis_spark.registry.core import _tables
-    from userbehavioranalysis_spark.registry.streaming import (
-        _replay_events_stream,
-    )
-    from userbehavioranalysis_spark.registry.streaming_refresh import (
-        _stage_doc_batches,
-        _stage_emb_batches,
-    )
+    # staging primed through the registry's own helper, with the same
+    # cache keys the queries use — key drift is impossible by
+    # construction (r9; previously reproduced here by hand)
+    from userbehavioranalysis_spark.registry import warm_streaming
 
-    _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
-    _stage_doc_batches(sf_dir, _tables(spark, sf_dir)["documents"])
-    _stage_emb_batches(spark, sf_dir)
+    warm_streaming(spark, sf_dir)
 
     from userbehavioranalysis_spark.plans.fingerprint import plan_fingerprint
 

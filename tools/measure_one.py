@@ -37,16 +37,9 @@ def main() -> None:
 
     QUERIES["page_view"](spark, sf_dir).count()
     QUERIES["streaming_dedup_replay"](spark, sf_dir).count()
-    from userbehavioranalysis_spark.registry.core import _tables
-    from userbehavioranalysis_spark.registry.streaming import _replay_events_stream
-    from userbehavioranalysis_spark.registry.streaming_refresh import (
-        _stage_doc_batches,
-        _stage_emb_batches,
-    )
+    from userbehavioranalysis_spark.registry import warm_streaming
 
-    _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
-    _stage_doc_batches(sf_dir, _tables(spark, sf_dir)["documents"])
-    _stage_emb_batches(spark, sf_dir)
+    warm_streaming(spark, sf_dir)
 
     tracker = sc.statusTracker()
     for name in args:

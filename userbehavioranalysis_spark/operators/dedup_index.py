@@ -196,6 +196,15 @@ def minhash_index_append(
     with the manifest raises (silent override would quietly apply
     different parameters than requested).  The keyword args apply only
     to pre-manifest indexes.
+
+    NOTE the shard count pinned at write time is inherited by every
+    append AND by compact (which preserves the layout): an index
+    written small that grows far past ``_SHARD_TARGET_ROWS`` per shard
+    keeps its original partition-pruning granularity until a FULL
+    REWRITE (``minhash_index_write`` over the union content with
+    ``sig_shards=None`` re-derives the count) — the deliberate escape
+    hatch, since re-sharding in place would invalidate every
+    concurrently-running probe's pruning predicates.
     """
     p = _resolve_signing_params(
         path,
@@ -668,6 +677,9 @@ def embedding_index_append(
     rewrite; probes see the union because partition pruning selects
     directories, not files.  Signing parameters come from the index's
     ``_manifest.json``; an explicitly passed conflicting value raises.
+    The write-time shard count is pinned for the index's life (appends
+    and compact preserve the layout); re-derive it via a full
+    ``embedding_index_write`` rewrite — see the minhash append note.
     """
     from userbehavioranalysis_spark.operators.similarity import _lsh_bands
 

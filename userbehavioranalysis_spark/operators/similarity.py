@@ -314,6 +314,10 @@ def _band_vals_udf(n_planes: int, band_bits: int, dim: int = 64):
     """
     import numpy as np
 
+    # the packed band value is returned as int32: 1<<j weights with
+    # band_bits >= 31 would wrap silently instead of erroring (current
+    # callers use 16 and 4 — this guards misconfiguration, not use)
+    assert band_bits <= 30, f"band_bits={band_bits} overflows int32 band values"
     planes_t = np.asarray(_plane_matrix(n_planes, dim), dtype=np.int64).T
     n_bands = n_planes // band_bits
     weights = (np.int64(1) << np.arange(band_bits, dtype=np.int64)).astype(np.int64)

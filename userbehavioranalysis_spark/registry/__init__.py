@@ -167,3 +167,27 @@ def _reorder_driver_window() -> None:
 
 
 _reorder_driver_window()
+
+
+def warm_streaming(spark, sf_dir: str) -> None:
+    """Prime the streaming machinery's process-scoped input staging —
+    the exact same calls (and therefore the exact same
+    ``_STREAM_STAGE_CACHE`` keys) the replay queries make, so a
+    harness that warms through this helper can never drift from the
+    keys the queries use (the bench previously reproduced the staging
+    calls by hand against private internals; if a registry call site
+    had changed its staging key, the priming would have silently
+    stopped working).  Idempotent and cheap when already staged."""
+    import os
+
+    from userbehavioranalysis_spark.registry.streaming import (
+        _replay_events_stream,
+    )
+    from userbehavioranalysis_spark.registry.streaming_refresh import (
+        _stage_doc_batches,
+        _stage_emb_batches,
+    )
+
+    _replay_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    _stage_doc_batches(sf_dir, _tables(spark, sf_dir)["documents"])
+    _stage_emb_batches(spark, sf_dir)
