@@ -529,7 +529,16 @@ def _hash_embed_udf(dim: int):
                 out.append([float(x) / nrm for x in vec])
         return pd.Series(out, dtype="object")
 
-    return embed
+    # asNondeterministic is a PLANNER fence, not a semantic claim (the
+    # kernel is pure): left deterministic, Catalyst infers non-null/
+    # non-empty constraints from downstream posexplode/norm filters and
+    # pushes them BELOW the rebalance exchange — which re-evaluates the
+    # whole kernel a second time per document just to pre-filter rows
+    # the real evaluation then recomputes (observed: 2 ArrowEvalPython
+    # nodes in doc_embed_hashing/doc_ann_topk, the lower one vacuous
+    # since every non-null text yields a 64-element array).  Fencing
+    # halves the Python-boundary work; values are identical.
+    return embed.asNondeterministic()
 
 
 def ann_topk_ivfpq(
